@@ -1,0 +1,104 @@
+"""Codec dispatch — semantic mirror of /root/reference/src/tersets.zig:64-254.
+
+``compress`` validates (non-empty input, non-negative error bound — zig
+:70-71), dispatches on method, and appends the method id as the blob's last
+byte (zig :176) so blobs are self-describing. ``decompress`` reads the method
+from the last byte (zig :189-193) and dispatches.
+
+Unlike the reference, every decoder here receives the blob *without* the
+trailing method byte. (The reference accidentally passes the full blob
+including the method byte to the SlidingWindow decoder, zig :227-229 — a
+latent bug we do not replicate; divergence documented in
+codecs/sliding_window.py.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+from ..errors import (
+    UnknownMethodError,
+    UnsupportedErrorBoundError,
+    UnsupportedInputError,
+)
+from ..methods import ALWAYS_LOSSLESS, LOSSLESS_AT_ZERO, Method, max_method_index
+from . import delta_of_delta, gorilla, pmc
+
+#: method -> compress(values: f64[:], error_bound: float) -> bytes (no method byte)
+_COMPRESSORS: dict[Method, Callable[[np.ndarray, float], bytes]] = {
+    Method.PoorMansCompressionMidrange: pmc.compress_midrange,
+    Method.PoorMansCompressionMean: pmc.compress_mean,
+    Method.GorillaXOR: gorilla.compress,
+    Method.DeltaOfDelta: delta_of_delta.compress,
+}
+
+#: method -> decompress(blob without method byte) -> np.ndarray
+_DECOMPRESSORS: dict[Method, Callable[[bytes], np.ndarray]] = {
+    Method.PoorMansCompressionMidrange: pmc.decompress,
+    Method.PoorMansCompressionMean: pmc.decompress,
+    Method.GorillaXOR: gorilla.decompress,
+    Method.DeltaOfDelta: delta_of_delta.decompress,
+}
+
+
+def register(method: Method, compressor, decompressor) -> None:
+    """Hook for codec modules implemented in later milestones."""
+    _COMPRESSORS[method] = compressor
+    _DECOMPRESSORS[method] = decompressor
+
+
+def implemented_methods() -> list[Method]:
+    return sorted(_COMPRESSORS, key=int)
+
+
+def compress(values, method: Method, error_bound: float = 0.0) -> bytes:
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    if len(values) == 0:
+        raise UnsupportedInputError("empty input")  # zig :70
+    if error_bound < 0:
+        raise UnsupportedErrorBoundError("negative error bound")  # zig :71
+    method = Method(method)
+    try:
+        body = _COMPRESSORS[method](values, error_bound)
+    except KeyError:
+        raise UnknownMethodError(f"method {method!r} not implemented") from None
+    return body + bytes([int(method)])
+
+
+def decompress(blob: bytes) -> np.ndarray:
+    if len(blob) == 0:
+        raise UnsupportedInputError("empty blob")  # zig :187
+    method_index = blob[-1]
+    if method_index > max_method_index():
+        raise UnknownMethodError(f"method byte {method_index}")  # zig :190-191
+    method = Method(method_index)
+    try:
+        out = _DECOMPRESSORS[method](blob[:-1])
+    except KeyError:
+        raise UnknownMethodError(f"method {method!r} not implemented") from None
+    return np.ascontiguousarray(out, dtype=np.float64)
+
+
+def is_within_error_bound(
+    uncompressed: np.ndarray, decompressed: np.ndarray, error_bound: float
+) -> bool:
+    """Mirror of isWithinErrorBound (/root/reference/src/tersets.zig:239-254)."""
+    uncompressed = np.asarray(uncompressed, dtype=np.float64)
+    decompressed = np.asarray(decompressed, dtype=np.float64)
+    if uncompressed.shape != decompressed.shape:
+        return False
+    return bool(np.all(np.abs(uncompressed - decompressed) <= np.float32(error_bound)))
+
+
+__all__ = [
+    "ALWAYS_LOSSLESS",
+    "LOSSLESS_AT_ZERO",
+    "Method",
+    "compress",
+    "decompress",
+    "implemented_methods",
+    "is_within_error_bound",
+    "register",
+]
