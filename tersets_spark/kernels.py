@@ -1,0 +1,168 @@
+"""Arrow-vectorized Spark kernels for the codec + rollup layer.
+
+Everything here follows the input_hint contract: pandas/Arrow UDFs only (no
+row-at-a-time Python UDFs). The rollup kernel is vectorized *across* the whole
+Arrow batch — one flat int64 buffer and ``np.ufunc.reduceat`` per aggregate —
+so per-row Python work is limited to the inherently-sequential codecs.
+
+Exactness note (BASELINE.md "rolled-up-point exact-match"): bucket sums are
+computed in int64 over integer tokens, so every aggregate (cnt/sum/min/max/
+first/last) is exact and order-independent; means are derived as sum/cnt at
+query time. This is what makes Spark output == DuckDB oracle == NumPy oracle
+bitwise, with no float-summation-order hazards (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import codecs
+from .methods import Method
+
+# ---------------------------------------------------------------------------
+# codec column kernels
+# ---------------------------------------------------------------------------
+
+
+def compress_udf(method: Method, error_bound: float = 0.0):
+    """pandas UDF: array<int32|double> column -> binary codec blob."""
+    method = Method(method)
+
+    @F.pandas_udf(BinaryType())
+    def _compress(tokens: pd.Series) -> pd.Series:
+        return tokens.map(
+            lambda arr: codecs.compress(np.asarray(arr, dtype=np.float64), method, error_bound)
+        )
+
+    return _compress
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def decompress_udf(blobs: pd.Series) -> pd.Series:
+    """pandas UDF: binary blob -> array<double> (method from trailing byte)."""
+    return blobs.map(lambda b: codecs.decompress(bytes(b)))
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def decompress_tokens_udf(blobs: pd.Series) -> pd.Series:
+    """Blob -> array<int32> token round-trip (lossless codecs only)."""
+    return blobs.map(lambda b: np.round(codecs.decompress(bytes(b))).astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# fused bucket rollup (raw tokens -> per-bucket aggregates), mapInPandas
+# ---------------------------------------------------------------------------
+
+ROLLUP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("cnt", LongType()),
+        StructField("sum", LongType()),
+        StructField("vmin", LongType()),
+        StructField("vmax", LongType()),
+        StructField("first", LongType()),
+        StructField("last", LongType()),
+    ]
+)
+
+ROLLUP_BLOCKS_SCHEMA = StructType(
+    ROLLUP_SCHEMA.fields + [StructField("block", BinaryType())]
+)
+
+
+def _flatten_batch(tokens_col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a Series of int arrays into (flat int64 values, row offsets)."""
+    arrs = [np.asarray(a, dtype=np.int64) for a in tokens_col]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.int64)
+    return flat, offsets
+
+
+def bucket_rollup_pdf(
+    pdf: pd.DataFrame, tier_seconds: int, with_blocks: bool = False, block_method: Method = Method.DeltaOfDelta
+) -> pd.DataFrame:
+    """Vectorized per-batch rollup: one reduceat per aggregate.
+
+    Point ``j`` of row ``i`` carries timestamp ``ts0_i + j`` (implicit index
+    time axis, FIXTURES.md §1); buckets are ``tier_seconds``-aligned epochs.
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object" if f.name in ("doc_id", "source", "block") else "int64")
+             for f in (ROLLUP_BLOCKS_SCHEMA if with_blocks else ROLLUP_SCHEMA).fields}
+        )
+    delta = np.int64(tier_seconds)
+    flat, offsets = _flatten_batch(pdf["tokens"])
+    lens = np.diff(offsets)
+    ts0 = pdf["ts0"].to_numpy(dtype=np.int64)
+
+    # first in-row index j >= 1 where (ts0 + j) % delta == 0
+    j0 = delta - (ts0 % delta)  # in [1, delta]
+    n_internal = np.maximum(0, (lens - j0 + delta - 1) // delta)
+    counts = 1 + n_internal  # segments per row (first segment starts at j=0)
+
+    nseg = int(counts.sum())
+    row_of_seg = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
+    seg_base = np.zeros(len(pdf), dtype=np.int64)
+    np.cumsum(counts[:-1], out=seg_base[1:])
+    seg_rank = np.arange(nseg, dtype=np.int64) - seg_base[row_of_seg]
+    in_row_start = np.where(seg_rank == 0, 0, j0[row_of_seg] + (seg_rank - 1) * delta)
+    starts = offsets[row_of_seg] + in_row_start
+
+    sums = np.add.reduceat(flat, starts)
+    vmin = np.minimum.reduceat(flat, starts)
+    vmax = np.maximum.reduceat(flat, starts)
+    cnt = np.diff(starts, append=offsets[-1])
+    first = flat[starts]
+    last = flat[starts + cnt - 1]
+    bucket_ts = ((ts0[row_of_seg] + in_row_start) // delta) * delta
+
+    out = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy()[row_of_seg],
+            "source": pdf["source"].to_numpy()[row_of_seg],
+            "bucket_ts": bucket_ts,
+            "cnt": cnt,
+            "sum": sums,
+            "vmin": vmin,
+            "vmax": vmax,
+            "first": first,
+            "last": last,
+        }
+    )
+    if with_blocks:
+        ends = starts + cnt
+        out["block"] = [
+            codecs.compress(flat[s:e].astype(np.float64), block_method, 0.0)
+            for s, e in zip(starts, ends)
+        ]
+    return out
+
+
+def rollup_map_in_pandas(tier_seconds: int, with_blocks: bool = False,
+                         block_method: Method = Method.DeltaOfDelta):
+    """mapInPandas generator for the raw->tier rollup."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield bucket_rollup_pdf(pdf, tier_seconds, with_blocks, block_method)
+
+    return _gen

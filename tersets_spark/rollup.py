@@ -1,0 +1,145 @@
+"""Rollup / downsample / gap-fill operators (Spark-first, JVM-side).
+
+The retention cascade is raw -> 1m -> 1h -> 1d ("continuous aggregates",
+north_rule). Only raw->first-tier touches Python (the vectorized kernel in
+kernels.py); every higher tier is a pure DataFrame aggregation over exact
+integer partial aggregates — whole-stage-codegen, order-insensitive, and
+re-aggregable (sum/cnt/min/max compose; first/last carried via min/max over
+(bucket_ts, value) structs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .kernels import ROLLUP_BLOCKS_SCHEMA, ROLLUP_SCHEMA, rollup_map_in_pandas
+from .methods import Method
+
+TIERS = {"1m": 60, "1h": 3600, "1d": 86400}
+TIER_ORDER = ["1m", "1h", "1d"]
+
+
+def rollup_raw(
+    sequences: DataFrame,
+    tier_seconds: int = 60,
+    with_blocks: bool = False,
+    block_method: Method = Method.DeltaOfDelta,
+) -> DataFrame:
+    """raw sequences (doc_id, tokens, n_tok, source, ts0) -> first-tier buckets."""
+    schema = ROLLUP_BLOCKS_SCHEMA if with_blocks else ROLLUP_SCHEMA
+    cols = sequences.select("doc_id", "tokens", "source", "ts0")
+    return cols.mapInPandas(
+        rollup_map_in_pandas(tier_seconds, with_blocks, block_method), schema=schema
+    )
+
+
+def rollup_up(tier_df: DataFrame, tier_seconds: int) -> DataFrame:
+    """Aggregate a finer tier into coarser buckets (exact integer combine)."""
+    bucket = (F.floor(F.col("bucket_ts") / tier_seconds) * tier_seconds).cast("long")
+    return (
+        tier_df.groupBy("doc_id", "source", bucket.alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.min(F.struct("bucket_ts", "first")).getField("first").alias("first"),
+            F.max(F.struct("bucket_ts", "last")).getField("last").alias("last"),
+        )
+    )
+
+
+def with_mean(df: DataFrame) -> DataFrame:
+    """Derived mean = sum/cnt (exact integers in, deterministic double out)."""
+    return df.withColumn("mean", F.col("sum") / F.col("cnt"))
+
+
+def cascade(sequences: DataFrame, with_blocks: bool = False) -> dict[str, DataFrame]:
+    """Full retention cascade; each tier derives from the one below."""
+    tiers: dict[str, DataFrame] = {}
+    tiers["1m"] = rollup_raw(sequences, TIERS["1m"], with_blocks=with_blocks)
+    base = tiers["1m"].drop("block") if with_blocks else tiers["1m"]
+    tiers["1h"] = rollup_up(base, TIERS["1h"])
+    tiers["1d"] = rollup_up(tiers["1h"], TIERS["1d"])
+    return tiers
+
+
+# ---------------------------------------------------------------------------
+# gap-fill
+# ---------------------------------------------------------------------------
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    step: int,
+    value_cols: list[str],
+    strategy: str = "locf",
+) -> DataFrame:
+    """Densify a per-series time grid and fill missing values.
+
+    Emits one row per ``step`` between each series' min and max ``ts_col``.
+    ``strategy``: 'null' (grid only), 'locf' (last observation carried
+    forward), or 'linear' (interpolate between surrounding anchors; falls
+    back to LOCF after the last anchor). Adds boolean ``gap_filled``.
+
+    Plan shape: bounds agg + sequence/explode grid + left join co-partitioned
+    on (keys, ts) + one window per direction — all JVM-side built-ins
+    (SURVEY.md §2.13 gap-fill row).
+    """
+    if strategy not in ("null", "locf", "linear"):
+        raise ValueError(f"unknown gap-fill strategy {strategy!r}")
+    bounds = df.groupBy(*keys).agg(F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1"))
+    grid = bounds.select(
+        *keys, F.explode(F.sequence("_t0", "_t1", F.lit(step))).alias(ts_col)
+    )
+    joined = grid.join(df, on=[*keys, ts_col], how="left")
+    marker = value_cols[0]
+    out = joined.withColumn("gap_filled", F.col(marker).isNull())
+    if strategy == "null":
+        return out
+
+    w_back = (
+        Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if strategy == "locf":
+        for c in value_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_back))
+        return out
+
+    w_fwd = (
+        Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchor_ts = F.when(~F.col("gap_filled"), F.col(ts_col))
+    out = (
+        out.withColumn("_pt", F.last(anchor_ts, ignorenulls=True).over(w_back))
+        .withColumn("_nt", F.first(anchor_ts, ignorenulls=True).over(w_fwd))
+    )
+    for c in value_cols:
+        prev_v = F.last(c, ignorenulls=True).over(w_back)
+        next_v = F.first(c, ignorenulls=True).over(w_fwd)
+        frac = (F.col(ts_col) - F.col("_pt")) / (F.col("_nt") - F.col("_pt"))
+        interp = prev_v + (next_v - prev_v) * frac
+        out = out.withColumn(
+            c,
+            F.when(~F.col("gap_filled"), F.col(c))
+            .when(F.col("_nt").isNull(), prev_v)  # trailing gap -> LOCF
+            .when(F.col("_pt").isNull(), next_v)  # leading gap -> NOCB
+            .otherwise(interp),
+        )
+    return out.drop("_pt", "_nt")
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, *cols: str, salt_buckets: int = 16,
+                       salt_source: str = "doc_id") -> DataFrame:
+    """Explicit skew defusal (north_rule): repartition by cols + hash salt.
+
+    groupBy(source) with zipfian sources would put ~40% of rows in one
+    shuffle partition; salting by a stable hash of ``salt_source`` spreads
+    each hot key over ``salt_buckets`` partitions. Downstream per-series
+    kernels are keyed by doc_id, so salting never splits a series.
+    """
+    salt: Column = F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
+    return df.repartition(num_partitions, *[F.col(c) for c in cols], salt)

@@ -1,0 +1,71 @@
+"""Mimic the round driver: run queries() vs oracle_sql() via DuckDB at sf0.01.
+
+Comparison follows the driver contract: per query, row count + schema-width +
+order-insensitive exact value match (columns sorted by name, rows sorted).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.integer) or df[c].dtype == bool:
+            df[c] = df[c].astype("int64")
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 3
+
+
+def test_every_query_has_oracle():
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    missing = set(qs) - set(osql)
+    assert not missing, f"queries without oracle (rows-only fallback): {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    got = _normalize(qs[name](spark, SF_DIR).toPandas())
+    exp = _normalize(ddb.execute(osql[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
