@@ -24,12 +24,33 @@ from ..errors import (
     UnsupportedInputError,
 )
 from ..methods import ALWAYS_LOSSLESS, LOSSLESS_AT_ZERO, Method, max_method_index
-from . import delta_of_delta, gorilla, pmc
+from . import (
+    abc_linear,
+    delta_of_delta,
+    gorilla,
+    histogram,
+    line_simplification,
+    mix_piece,
+    pmc,
+    sim_piece,
+    swing_slide,
+)
 
 #: method -> compress(values: f64[:], error_bound: float) -> bytes (no method byte)
 _COMPRESSORS: dict[Method, Callable[[np.ndarray, float], bytes]] = {
     Method.PoorMansCompressionMidrange: pmc.compress_midrange,
     Method.PoorMansCompressionMean: pmc.compress_mean,
+    Method.SwingFilter: swing_slide.compress_swing,
+    Method.SwingFilterDisconnected: swing_slide.compress_swing_disconnected,
+    Method.SlideFilter: swing_slide.compress_slide,
+    Method.SimPiece: sim_piece.compress,
+    Method.PiecewiseConstantHistogram: histogram.compress_pwch,
+    Method.PiecewiseLinearHistogram: histogram.compress_pwlh,
+    Method.ABCLinearApproximation: abc_linear.compress,
+    Method.VisvalingamWhyatt: line_simplification.compress_vw,
+    Method.SlidingWindow: line_simplification.compress_sliding_window,
+    Method.BottomUp: line_simplification.compress_bottom_up,
+    Method.MixPiece: mix_piece.compress,
     Method.GorillaXOR: gorilla.compress,
     Method.DeltaOfDelta: delta_of_delta.compress,
 }
@@ -38,6 +59,17 @@ _COMPRESSORS: dict[Method, Callable[[np.ndarray, float], bytes]] = {
 _DECOMPRESSORS: dict[Method, Callable[[bytes], np.ndarray]] = {
     Method.PoorMansCompressionMidrange: pmc.decompress,
     Method.PoorMansCompressionMean: pmc.decompress,
+    Method.SwingFilter: swing_slide.decompress_swing,
+    Method.SwingFilterDisconnected: swing_slide.decompress_slide,
+    Method.SlideFilter: swing_slide.decompress_slide,
+    Method.SimPiece: sim_piece.decompress,
+    Method.PiecewiseConstantHistogram: histogram.decompress_pwch,
+    Method.PiecewiseLinearHistogram: histogram.decompress_pwlh,
+    Method.ABCLinearApproximation: abc_linear.decompress,
+    Method.VisvalingamWhyatt: line_simplification.decompress_vw,
+    Method.SlidingWindow: line_simplification.decompress_sliding_window,
+    Method.BottomUp: line_simplification.decompress_bottom_up,
+    Method.MixPiece: mix_piece.decompress,
     Method.GorillaXOR: gorilla.decompress,
     Method.DeltaOfDelta: delta_of_delta.decompress,
 }
