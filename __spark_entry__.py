@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tersets_spark import Method
-from tersets_spark.kernels import compress_udf, decompress_tokens_udf
+from tersets_spark.kernels import compress_udf, decompress_tokens_udf, decompress_udf
 from tersets_spark.rollup import TIERS, gap_fill, rollup_raw, rollup_up, with_mean
 from tersets_spark.shipping import ensure_shipped
 from tersets_spark.tables import ensure_sequences, sf_name_from_dir
@@ -36,6 +36,32 @@ _LOSSLESS_METHODS = [
     Method.DeltaOfDelta,
 ]
 
+#: Sequential per-series codecs, lossless at eb=0 (reference's own lossless
+#: list, bindings/python/tests/__init__.py:52-57, plus the line-simplification
+#: family whose eb=0 behavior degenerates to exact storage). Checked on a
+#: source-filtered subset to bound the Python-loop cost at sf0.01.
+_LOSSLESS_PLA_METHODS = [
+    Method.SwingFilter,
+    Method.SwingFilterDisconnected,
+    Method.SlideFilter,
+    Method.ABCLinearApproximation,
+    Method.VisvalingamWhyatt,
+    Method.SlidingWindow,
+    Method.BottomUp,
+]
+
+#: Codecs with a true L-inf guarantee at eb > 0 (SURVEY.md §2).
+_LINF_METHODS = [
+    Method.SwingFilter,
+    Method.SwingFilterDisconnected,
+    Method.SlideFilter,
+    Method.ABCLinearApproximation,
+    Method.SimPiece,
+    Method.MixPiece,
+]
+
+_PLA_SOURCES = ("src_06", "src_07")  # ~5% of rows: keeps the subset cheap
+
 
 def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)  # workers need the package regardless of driver cwd
@@ -45,6 +71,43 @@ def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _seq_path_sql() -> str:
     """Path the oracle reads — the driver compares at sf0.01."""
     return ensure_sequences("sf0.01")
+
+
+def _pla_sources_sql() -> str:
+    return "(" + ", ".join(f"'{s}'" for s in _PLA_SOURCES) + ")"
+
+
+def _stopwords_sql() -> str:
+    from tersets_spark.textops import STOPWORDS
+
+    return "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+#: Brute-force word-3-gram Jaccard >= 0.8 pairs — oracle for both the exact
+#: Spark implementation and the MinHash+LSH scale path.
+_JACCARD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+           c AS n_inter, sa.n AS n_a, sb.n AS n_b
+    FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+    WHERE c >= 0.8 * (sa.n + sb.n - c)
+"""
 
 
 def _epoch_seconds() -> F.Column:
@@ -96,6 +159,14 @@ def _q_rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the zipf-skewed source key."""
+    from tersets_spark.rollup import salted_source_stats
+
+    seq = _sequences(spark, sf_dir)
+    return salted_source_stats(rollup_raw(seq, TIERS["1m"]))
+
+
 def _q_roundtrip_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row token-array-equality invariant (input_hint), per codec."""
     seq = _sequences(spark, sf_dir).select("tokens")
@@ -113,6 +184,99 @@ def _q_roundtrip_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def _q_roundtrip_lossless_pla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-array equality at eb=0 for the per-series PLA/simplification codecs."""
+    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES)).select("tokens")
+    parts = []
+    for m in _LOSSLESS_PLA_METHODS:
+        rt = decompress_tokens_udf(compress_udf(m, 0.0)(F.col("tokens")))
+        parts.append(
+            seq.agg(
+                F.lit(m.name).alias("method"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((rt == F.col("tokens")).cast("long")).alias("n_exact"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _q_within_bound_linf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-inf invariant at eb=0.5: every decompressed point within the bound.
+
+    Exercises the lossy path of Swing/Slide/ABC/Sim-Piece/Mix-Piece through
+    the Spark kernels; the oracle is the guarantee itself (n_ok == n_rows).
+    The bound comparison happens JVM-side (zip_with + forall), not in Python.
+    """
+    eb = 0.5
+    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES)).select("tokens")
+    parts = []
+    for m in _LINF_METHODS:
+        dec = decompress_udf(compress_udf(m, eb)(F.col("tokens")))
+        ok = (F.size(dec) == F.size(F.col("tokens"))) & F.forall(
+            F.zip_with(
+                dec,
+                F.col("tokens"),
+                lambda d, t: F.abs(d - t.cast("double")) <= F.lit(eb),
+            ),
+            lambda x: x,
+        )
+        parts.append(
+            seq.agg(
+                F.lit(m.name).alias("method"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(ok.cast("long")).alias("n_ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _q_pwch_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PWCH bucket count is exactly min(n_tok, max_buckets) — Min-Merge cap.
+
+    The blob is 16 bytes per bucket plus the method byte
+    (histogram_compression.zig:82-89), so the bucket count is SQL-checkable.
+    """
+    max_buckets = 64
+    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES))
+    blob = compress_udf(Method.PiecewiseConstantHistogram, float(max_buckets))(F.col("tokens"))
+    return (
+        seq.select("source", "n_tok", ((F.octet_length(blob) - 1) / 16).cast("long").alias("buckets"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("buckets").alias("buckets"),
+        )
+    )
+
+
+def _q_codec_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed footprint per vectorized codec (rows-only check; no SQL
+    oracle — blob sizes are codec-defined, not SQL-expressible)."""
+    seq = _sequences(spark, sf_dir)
+    parts = []
+    for m in _LOSSLESS_METHODS:
+        blob = compress_udf(m, 0.0)(F.col("tokens"))
+        parts.append(
+            seq.agg(
+                F.lit(m.name).alias("method"),
+                F.sum(F.col("n_tok").cast("long") * 8).alias("raw_bytes"),
+                F.sum(F.octet_length(blob).cast("long")).alias("compressed_bytes"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.withColumn(
+        "ratio", F.round(F.col("raw_bytes") / F.col("compressed_bytes"), 3)
+    )
 
 
 def _q_pmc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,16 +350,168 @@ def _q_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.textops import quality_score, text_stats
+
+    stats = quality_score(text_stats(_docs(spark, sf_dir)))
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_ws_tokens").alias("ws_tokens"),
+        F.sum("n_re_tokens").alias("re_tokens"),
+        F.sum("n_stop").alias("stopwords"),
+        F.sum("n_punct").alias("punct"),
+        F.sum("token_chars").alias("token_chars"),
+        F.sum("quality_milli").alias("quality_milli"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "fingerprint", F.col("keep_id").cast("long").alias("keep_id"), "n_copies"
+    )
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.8).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_inter",
+        "n_a",
+        "n_b",
+    )
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-accelerated near-dup; oracle is the brute-force Jaccard SQL, so a
+    MinHash recall miss shows up as a driver mismatch."""
+    from tersets_spark.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=3, threshold=0.8).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_inter",
+        "n_a",
+        "n_b",
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair count by Hamming distance (rows-only check)."""
+    from tersets_spark.dedup import simhash_pairs
+
+    return (
+        simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.dedup import embedding_near_dup
+
+    # Synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51);
+    # 0.4 yields a non-trivial pair set at every scale factor.
+    return embedding_near_dup(_embs(spark, sf_dir), threshold=0.4).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+
+
+def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.similarity import knn_bruteforce
+
+    return knn_bruteforce(_embs(spark, sf_dir), probe_ids=list(range(10)), k=10).select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the LSH ANN path vs brute force (rows-only check)."""
+    from tersets_spark.similarity import ann_recall, knn_bruteforce, knn_lsh
+
+    emb = _embs(spark, sf_dir)
+    probes = list(range(10))
+    # Synthetic embeddings are near-orthogonal (neighbor cosine ~0.35-0.5),
+    # so band width must be small for decent collision odds: 4 planes x 16
+    # tables gives ~90% expected recall at this angular distance.
+    exact = knn_bruteforce(emb, probes, k=10)
+    approx = knn_lsh(emb, probes, k=10, planes=4, tables=16)
+    return ann_recall(exact, approx).select(
+        F.col("probe_id").cast("long").alias("probe_id"), "k", "hits", "recall_milli"
+    )
+
+
+def _q_lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-ID prediction distribution (rows-only check)."""
+    from tersets_spark.textops import lang_id_udf
+
+    return (
+        _docs(spark, sf_dir)
+        .select(lang_id_udf(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+def _q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synth media -> mapInPandas features (rows-only)."""
+    from tersets_spark.multimodal import media_features, synthesize_media_from_documents
+
+    media = synthesize_media_from_documents(_docs(spark, sf_dir))
+    feats = media_features(media, allow_fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("byte_sum").alias("byte_sum"),
+        F.sum(F.element_at("hist16", 8)).alias("hist_bin7"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
         "rollup_1h": _q_rollup_1h,
         "rollup_1d": _q_rollup_1d,
+        "source_stats_salted": _q_source_stats_salted,
         "roundtrip_lossless": _q_roundtrip_lossless,
+        "roundtrip_lossless_pla": _q_roundtrip_lossless_pla,
+        "within_bound_linf": _q_within_bound_linf,
+        "pwch_bucket_cap": _q_pwch_bucket_cap,
+        "codec_footprint": _q_codec_footprint,
         "pmc_segments": _q_pmc_segments,
         "gapfill_events_locf": _q_gapfill_events_locf,
         "events_rollup_1m": _q_events_rollup_1m,
         "top_users_by_value": _q_top_users_by_value,
+        "text_stats_by_lang": _q_text_stats_by_lang,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "lang_id_dist": _q_lang_id_dist,
+        "media_feature_stats": _q_media_feature_stats,
     }
 
 
@@ -224,10 +540,31 @@ def oracle_sql() -> dict[str, str]:
         FROM pts {where} GROUP BY 1, 2, 3
     """
     methods_values = ", ".join(f"('{m.name}')" for m in _LOSSLESS_METHODS)
+    pla_methods_values = ", ".join(f"('{m.name}')" for m in _LOSSLESS_PLA_METHODS)
+    linf_methods_values = ", ".join(f"('{m.name}')" for m in _LINF_METHODS)
     return {
         "rollup_1m": f"WITH pts AS ({pts}) "
         + rollup.format(d=60, where="WHERE source IN ('src_02','src_03')"),
         "rollup_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
+        # per-source stats over the 1m tier (engine side: two-phase salted agg)
+        "source_stats_salted": f"""
+            WITH pts AS ({pts}),
+            buckets AS (
+                SELECT doc_id, source, (ts // 60) * 60 AS bucket_ts,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(v) AS BIGINT) AS vsum,
+                       CAST(MIN(v) AS BIGINT) AS vmin,
+                       CAST(MAX(v) AS BIGINT) AS vmax
+                FROM pts GROUP BY 1, 2, 3
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS buckets,
+                   CAST(SUM(cnt) AS BIGINT) AS points,
+                   CAST(SUM(vsum) AS BIGINT) AS sum,
+                   CAST(MIN(vmin) AS BIGINT) AS vmin,
+                   CAST(MAX(vmax) AS BIGINT) AS vmax
+            FROM buckets GROUP BY source
+        """,
         "rollup_1d": f"WITH pts AS ({pts}) " + rollup.format(d=86400, where=""),
         # lossless round-trip: every row must round-trip exactly, per codec
         "roundtrip_lossless": f"""
@@ -235,6 +572,31 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')) AS n_rows,
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')) AS n_exact
             FROM (VALUES {methods_values}) AS m(method)
+        """,
+        "roundtrip_lossless_pla": f"""
+            SELECT m.method,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
+                    WHERE source IN {_pla_sources_sql()}) AS n_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
+                    WHERE source IN {_pla_sources_sql()}) AS n_exact
+            FROM (VALUES {pla_methods_values}) AS m(method)
+        """,
+        "within_bound_linf": f"""
+            SELECT m.method,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
+                    WHERE source IN {_pla_sources_sql()}) AS n_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
+                    WHERE source IN {_pla_sources_sql()}) AS n_ok
+            FROM (VALUES {linf_methods_values}) AS m(method)
+        """,
+        # PWCH holds exactly min(n_tok, 64) buckets after Min-Merge
+        "pwch_bucket_cap": f"""
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(LEAST(CAST(n_tok AS BIGINT), 64)) AS BIGINT) AS buckets
+            FROM read_parquet('{seq}')
+            WHERE source IN {_pla_sources_sql()}
+            GROUP BY source
         """,
         # PMC-MR at eb=0 emits exactly one segment per run of equal values
         "pmc_segments": f"""
@@ -284,6 +646,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
                    CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
             FROM events GROUP BY 1, 2
+        """,
+        "text_stats_by_lang": f"""
+            WITH stats AS (
+                SELECT lang,
+                       CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+                       CAST(length(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]'))
+                            AS BIGINT) AS n_re,
+                       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t IN {_stopwords_sql()})) AS BIGINT) AS n_stop,
+                       CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z_\\s]', '', 'g'))
+                            AS BIGINT) AS n_punct,
+                       CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                t -> length(t))) AS BIGINT) AS token_chars,
+                       n_chars
+                FROM documents
+            ),
+            scored AS (
+                SELECT *, greatest(0, least(1000,
+                           500 + (n_stop * 1000) // greatest(n_ws, 1)
+                               - 2 * ((n_punct * 1000) // greatest(n_chars, 1)))) AS q
+                FROM stats
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(n_re) AS BIGINT) AS re_tokens,
+                   CAST(SUM(n_stop) AS BIGINT) AS stopwords,
+                   CAST(SUM(n_punct) AS BIGINT) AS punct,
+                   CAST(SUM(token_chars) AS BIGINT) AS token_chars,
+                   CAST(SUM(q) AS BIGINT) AS quality_milli
+            FROM scored GROUP BY lang
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_jaccard": _JACCARD_ORACLE,
+        # MinHash+LSH must recover exactly the brute-force Jaccard pairs
+        "dedup_minhash_lsh": _JACCARD_ORACLE,
+        "embedding_near_dup": """
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "knn_bruteforce": """
+            SELECT CAST(probe_id AS BIGINT) AS probe_id,
+                   CAST(rank AS BIGINT) AS rank,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id
+            FROM (
+                SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY list_cosine_similarity(p.embedding, n.embedding) DESC,
+                                    n.vec_id ASC
+                       ) AS rank
+                FROM embeddings p JOIN embeddings n ON p.vec_id != n.vec_id
+                WHERE p.vec_id < 10
+            ) WHERE rank <= 10
         """,
         "top_users_by_value": """
             WITH totals AS (

@@ -1,0 +1,359 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Spark-first design: everything that CAN be a DataFrame op is one (shingling
+via posexplode + window lead, candidate generation via band-bucket joins,
+exact verification via explode-join-agg). The only Python is Arrow-vectorized
+NumPy inside pandas UDFs (MinHash signatures, SimHash bits).
+
+Scale notes (100 TB):
+
+* exact dedup is a hash groupBy on a 16-byte key — one shuffle, partial
+  aggregation map-side;
+* brute-force Jaccard (``jaccard_pairs``) shuffles the exploded shingle
+  table and is quadratic within a shingle bucket; it is the small-scale
+  ORACLE. The scale path is ``minhash_lsh_pairs``: LSH bands bound each
+  join bucket to near-duplicates only, so the pair join touches
+  O(duplicates) rows, not O(n^2);
+* SimHash reduces each doc to one int64; candidate pairs join on 16-bit
+  band keys (4 bands -> any pair within Hamming distance 3 shares >= 1 band
+  by pigeonhole — exhaustive, not probabilistic);
+* embedding near-dup joins on LSH sign-buckets of the normalized vectors;
+  the brute-force variant is the oracle at test scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .textops import fingerprint_md5, ws_tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per normalized-text fingerprint.
+
+    Output: (fingerprint, keep_id = min id, n_copies). Scale: single shuffle
+    on the md5 key with map-side partial aggregation.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram Jaccard (the oracle path)
+# ---------------------------------------------------------------------------
+
+
+def shingle_table(df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word k-shingles per document, fully JVM-side.
+
+    posexplode + window lead keeps the plan in whole-stage codegen; output is
+    (id, shingle) distinct.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    return (
+        toks.select("id", F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("id", "shingle")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold (exact, brute force).
+
+    Output: (id_a, id_b, n_inter, n_a, n_b) with id_a < id_b — integer
+    columns only, so the result is engine-independent. Intended as the
+    small-scale oracle; use minhash_lsh_pairs at scale.
+    """
+    sh = shingle_table(df, k, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .filter(
+            F.col("n_inter")
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MINHASH_SEED = 0x5EED_1DEA
+
+
+def _perm_coeffs(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_MINHASH_SEED)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _hash_shingles(shingles: list[str]) -> np.ndarray:
+    """FNV-1a 64-bit over utf-8 shingle bytes, vectorized per shingle."""
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def minhash_signature(shingles: list[str], num_perm: int = 128) -> np.ndarray:
+    """MinHash signature: min over shingles of (a*h + b) mod 2^61-1, per perm."""
+    a, b = _perm_coeffs(num_perm)
+    if not shingles:
+        return np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+    hashes = _hash_shingles(shingles)
+    # (P, S) permuted hash matrix in uint64 mod arithmetic
+    prod = (a[:, None] * hashes[None, :] + b[:, None]) % _MERSENNE
+    return prod.min(axis=1).astype(np.int64)
+
+
+def minhash_udf(num_perm: int = 128):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(shingle_lists: pd.Series) -> pd.Series:
+        return shingle_lists.map(
+            lambda sh: minhash_signature(list(sh) if sh is not None else [], num_perm).tolist()
+        )
+
+    return _minhash
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via shingle -> MinHash -> banded LSH -> exact verify.
+
+    Candidate pairs share at least one band bucket (detect prob for J=0.8
+    with 32 bands x 4 rows: 1-(1-0.8^4)^32 ~ 1-5e-8); every candidate is
+    then verified with the EXACT shingle Jaccard, so emitted pairs carry no
+    approximation — LSH only bounds the join. Same output schema as
+    ``jaccard_pairs``.
+    """
+    rows_per_band = num_perm // bands
+    sh = shingle_table(df, k, id_col, text_col)
+    shingle_sets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shingles"))
+    sigs = shingle_sets.select(
+        "id", minhash_udf(num_perm)(F.col("shingles")).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    candidates = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # Exact verification of candidates only.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(candidates, ["id_a", "id_b"])  # restrict to LSH candidates
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .filter(
+            F.col("n_inter")
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(token_lists: pd.Series) -> pd.Series:
+    """64-bit SimHash over FNV-hashed tokens (sign of per-bit vote sums)."""
+
+    def simhash(tokens) -> int:
+        if tokens is None or len(tokens) == 0:
+            return 0
+        hashes = _hash_shingles(list(tokens))
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        word = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            word |= np.uint64(1) << np.uint64(i)
+        return int(word.astype(np.int64))
+
+    return token_lists.map(simhash)
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of 64-bit SimHash.
+
+    Banding: split the hash into max_hamming+1 16-bit chunks — any pair
+    within the distance budget agrees on >= 1 chunk (pigeonhole), so the
+    candidate join is exhaustive. Distance check is JVM-side bit_count(xor).
+    """
+    hashes = df.select(
+        F.col(id_col).alias("id"), simhash_udf(ws_tokens(F.col(text_col))).alias("sim")
+    )
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sim"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(n_bands)
+        ]
+    )
+    banded = hashes.select("id", "sim", F.posexplode(chunks).alias("band", "chunk"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "chunk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.expr("bit_count(x.sim ^ y.sim)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a, b):
+    """JVM-side cosine similarity of two array<float|double> columns."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (id_a < id_b). Oracle path —
+    quadratic; at scale use :func:`embedding_near_dup_lsh`."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        left.crossJoin(right)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 12,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 0x51AB5,
+) -> DataFrame:
+    """Random-hyperplane LSH blocking + exact cosine verify (scale path).
+
+    Vectors sharing a sign-pattern bucket in ANY of ``tables`` tables become
+    candidates; candidates are verified with the exact cosine. Bucket joins
+    replace the O(n^2) cross join with O(sum of bucket^2).
+    """
+    rng = np.random.default_rng(seed)
+    all_planes = rng.standard_normal((tables, planes, dim)).astype(np.float64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = []
+        signs = np.einsum("tpd,nd->tnp", all_planes, mat) > 0
+        weights = 1 << np.arange(planes, dtype=np.int64)
+        buckets = (signs * weights).sum(axis=2)  # (tables, n)
+        for i in range(mat.shape[0]):
+            out.append([int(t) << 32 | int(buckets[t, i]) for t in range(tables)])
+        return pd.Series(out)
+
+    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = ids.select("id", F.explode(bucket_udf(F.col("vec"))).alias("bucket"))
+    candidates = (
+        banded.alias("x")
+        .join(banded.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        candidates.join(ids.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "va"), "id_a")
+        .join(ids.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vb"), "id_b")
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    return verified

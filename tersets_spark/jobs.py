@@ -76,9 +76,19 @@ def run_cascade(
     with_blocks: bool = True,
     resume: bool = True,
     num_partitions: int | None = None,
+    salt: bool = False,
     fail_after_tier: str | None = None,  # test hook for kill/resume
 ) -> dict[str, str]:
-    """Run the full cascade; returns tier -> output dir. Resumable."""
+    """Run the full cascade; returns tier -> output dir. Resumable.
+
+    ``salt=True`` inserts an explicit salted repartition before the raw/1m
+    kernels. Default off: those stages are map-only (per-row kernels), so a
+    pre-shuffle only re-moves the token payload without fixing any key skew —
+    scan splits are already byte-balanced. Salting belongs where a skewed KEY
+    is shuffled (see rollup.salted_source_stats for the per-source case);
+    enable it here only when the input files themselves are pathologically
+    skewed per split.
+    """
     ensure_shipped(spark)
     catalog = TierCatalog(out_dir)
     seq = spark.read.parquet(sequences_path)
@@ -93,13 +103,18 @@ def run_cascade(
     # --- raw tier: compressed per-series blobs ---
     pend = pending_for("raw")
     if pend:
-        raw = salted_repartition(seq, num_partitions, "source").select(
-            "doc_id",
-            "source",
-            "ts0",
-            "n_tok",
-            compress_udf(compress_method, 0.0)(F.col("tokens")).alias("blob"),
+        from pyspark.sql.types import BinaryType, StructField, StructType
+
+        from .kernels import compress_map_in_arrow
+
+        src = seq.select("doc_id", "source", "ts0", "n_tok", "tokens")
+        if salt:
+            src = salted_repartition(src, num_partitions, "source")
+        raw_schema = StructType(
+            [f for f in src.schema.fields if f.name != "tokens"]
+            + [StructField("blob", BinaryType())]
         )
+        raw = src.mapInArrow(compress_map_in_arrow(compress_method), raw_schema)
         _write_tier(catalog, raw, "raw", pend)
     if fail_after_tier == "raw":
         raise RuntimeError("injected failure after raw tier")
@@ -107,8 +122,9 @@ def run_cascade(
     # --- 1m tier: vectorized bucket rollup (+ optional per-bucket blocks) ---
     pend = pending_for("1m")
     if pend:
+        m1_in = salted_repartition(seq, num_partitions, "source") if salt else seq
         m1 = rollup_raw(
-            salted_repartition(seq, num_partitions, "source"),
+            m1_in,
             TIERS["1m"],
             with_blocks=with_blocks,
             block_method=compress_method,

@@ -42,6 +42,23 @@ def compress_udf(method: Method, error_bound: float = 0.0):
     """pandas UDF: array<int32|double> column -> binary codec blob."""
     method = Method(method)
 
+    if method == Method.DeltaOfDelta and error_bound == 0.0:
+        # Batched whole-batch encoder (byte-identical to the scalar path).
+        @F.pandas_udf(BinaryType())
+        def _compress_dod(tokens: pd.Series) -> pd.Series:
+            from .codecs import delta_of_delta
+
+            arrs = [np.asarray(a, dtype=np.int64) for a in tokens]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            flat = np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.int64)
+            tail = bytes([int(Method.DeltaOfDelta)])
+            blobs = delta_of_delta.compress_blocks(flat, offsets[:-1], offsets[1:])
+            return pd.Series([b + tail for b in blobs], dtype=object)
+
+        return _compress_dod
+
     @F.pandas_udf(BinaryType())
     def _compress(tokens: pd.Series) -> pd.Series:
         return tokens.map(
@@ -150,10 +167,20 @@ def bucket_rollup_pdf(
     )
     if with_blocks:
         ends = starts + cnt
-        out["block"] = [
-            codecs.compress(flat[s:e].astype(np.float64), block_method, 0.0)
-            for s, e in zip(starts, ends)
-        ]
+        if block_method == Method.DeltaOfDelta:
+            # Batched multi-block encoder: byte-identical blobs, one global
+            # NumPy pass instead of ~100 us of per-block overhead.
+            from .codecs import delta_of_delta
+
+            tail = bytes([int(Method.DeltaOfDelta)])
+            out["block"] = [
+                b + tail for b in delta_of_delta.compress_blocks(flat, starts, ends)
+            ]
+        else:
+            out["block"] = [
+                codecs.compress(flat[s:e].astype(np.float64), block_method, 0.0)
+                for s, e in zip(starts, ends)
+            ]
     return out
 
 
@@ -164,5 +191,144 @@ def rollup_map_in_pandas(tier_seconds: int, with_blocks: bool = False,
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield bucket_rollup_pdf(pdf, tier_seconds, with_blocks, block_method)
+
+    return _gen
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native kernels (mapInArrow): zero-copy token access
+# ---------------------------------------------------------------------------
+#
+# The pandas path materializes one numpy object PER ROW for the token array
+# (Arrow list -> ndarray copy -> int64 widen -> concatenate): ~3 passes over
+# the token payload plus 100k object allocations per batch. The Arrow path
+# reads the ListArray's flat values buffer directly (one widen to int64 is
+# the only copy), which roughly triples end-to-end cascade throughput.
+
+
+def _list_column_flat(batch, name: str) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, int64 offsets) of a list<int*> column, zero-copy."""
+    import pyarrow as pa
+
+    col = batch.column(batch.schema.get_field_index(name))
+    if isinstance(col, pa.ChunkedArray):  # pragma: no cover - batches are flat
+        col = col.combine_chunks()
+    # Slice offsets honor the array's own offset; values are the child array.
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    values = np.asarray(col.values, dtype=np.int64)
+    base = offsets[0]
+    if base != 0:
+        offsets = offsets - base
+        values = values[base:]
+    return values[: offsets[-1]], offsets
+
+
+def compress_map_in_arrow(method: Method, out_col: str = "blob", drop_tokens: bool = True):
+    """mapInArrow transform: add a binary codec-blob column for `tokens`.
+
+    DeltaOfDelta uses the batched multi-block encoder over the ListArray's
+    flat buffer; other methods fall back to per-row kernel calls.
+    """
+    import pyarrow as pa
+
+    method = Method(method)
+
+    def _gen(batches):
+        from .codecs import delta_of_delta
+
+        tail = bytes([int(Method.DeltaOfDelta)])
+        for batch in batches:
+            flat, offsets = _list_column_flat(batch, "tokens")
+            if method == Method.DeltaOfDelta:
+                blobs = [
+                    b + tail
+                    for b in delta_of_delta.compress_blocks(flat, offsets[:-1], offsets[1:])
+                ]
+            else:
+                blobs = [
+                    codecs.compress(flat[s:e].astype(np.float64), method, 0.0)
+                    for s, e in zip(offsets[:-1], offsets[1:])
+                ]
+            keep = [n for n in batch.schema.names if n != "tokens" or not drop_tokens]
+            arrays = [batch.column(batch.schema.get_field_index(n)) for n in keep]
+            arrays.append(pa.array(blobs, type=pa.binary()))
+            yield pa.RecordBatch.from_arrays(arrays, names=keep + [out_col])
+
+    return _gen
+
+
+def rollup_map_in_arrow(
+    tier_seconds: int,
+    with_blocks: bool = False,
+    block_method: Method = Method.DeltaOfDelta,
+):
+    """mapInArrow raw->tier rollup: reduceat aggregates + batched blocks.
+
+    Same math as bucket_rollup_pdf, but doc_id/source replication happens
+    with Arrow `take` (C++, no Python objects) and token access is zero-copy.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _gen(batches):
+        from .codecs import delta_of_delta
+
+        tail = bytes([int(Method.DeltaOfDelta)])
+        delta = np.int64(tier_seconds)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, offsets = _list_column_flat(batch, "tokens")
+            lens = np.diff(offsets)
+            ts0 = np.asarray(batch.column(batch.schema.get_field_index("ts0")), dtype=np.int64)
+
+            j0 = delta - (ts0 % delta)
+            n_internal = np.maximum(0, (lens - j0 + delta - 1) // delta)
+            counts = 1 + n_internal
+            nseg = int(counts.sum())
+            row_of_seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+            seg_base = np.zeros(batch.num_rows, dtype=np.int64)
+            np.cumsum(counts[:-1], out=seg_base[1:])
+            seg_rank = np.arange(nseg, dtype=np.int64) - seg_base[row_of_seg]
+            in_row_start = np.where(seg_rank == 0, 0, j0[row_of_seg] + (seg_rank - 1) * delta)
+            starts = offsets[row_of_seg] + in_row_start
+
+            sums = np.add.reduceat(flat, starts)
+            vmin = np.minimum.reduceat(flat, starts)
+            vmax = np.maximum.reduceat(flat, starts)
+            cnt = np.diff(starts, append=offsets[-1])
+            first = flat[starts]
+            last = flat[starts + cnt - 1]
+            bucket_ts = ((ts0[row_of_seg] + in_row_start) // delta) * delta
+
+            idx = pa.array(row_of_seg)
+            doc_id = pc.take(batch.column(batch.schema.get_field_index("doc_id")), idx)
+            source = pc.take(batch.column(batch.schema.get_field_index("source")), idx)
+            arrays = [
+                doc_id,
+                source,
+                pa.array(bucket_ts),
+                pa.array(cnt),
+                pa.array(sums),
+                pa.array(vmin),
+                pa.array(vmax),
+                pa.array(first),
+                pa.array(last),
+            ]
+            names = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+            if with_blocks:
+                ends = starts + cnt
+                if block_method == Method.DeltaOfDelta:
+                    blobs = [
+                        b + tail for b in delta_of_delta.compress_blocks(flat, starts, ends)
+                    ]
+                else:
+                    blobs = [
+                        codecs.compress(flat[s:e].astype(np.float64), block_method, 0.0)
+                        for s, e in zip(starts, ends)
+                    ]
+                arrays.append(pa.array(blobs, type=pa.binary()))
+                names.append("block")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return _gen

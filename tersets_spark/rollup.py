@@ -27,10 +27,12 @@ def rollup_raw(
     block_method: Method = Method.DeltaOfDelta,
 ) -> DataFrame:
     """raw sequences (doc_id, tokens, n_tok, source, ts0) -> first-tier buckets."""
+    from .kernels import rollup_map_in_arrow
+
     schema = ROLLUP_BLOCKS_SCHEMA if with_blocks else ROLLUP_SCHEMA
     cols = sequences.select("doc_id", "tokens", "source", "ts0")
-    return cols.mapInPandas(
-        rollup_map_in_pandas(tier_seconds, with_blocks, block_method), schema=schema
+    return cols.mapInArrow(
+        rollup_map_in_arrow(tier_seconds, with_blocks, block_method), schema=schema
     )
 
 
@@ -130,6 +132,39 @@ def gap_fill(
             .otherwise(interp),
         )
     return out.drop("_pt", "_nt")
+
+
+def salted_source_stats(tier_df: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Per-source tier stats via an explicit two-phase SALTED aggregation.
+
+    ``source`` is zipf-skewed (~40% of rows in one key at generation
+    settings), so a naive groupBy("source") funnels nearly half the table
+    through one reducer. Phase 1 aggregates on (source, hash(doc_id)%salt) —
+    the hot key fans out over ``salt_buckets`` reducers — and phase 2 combines
+    the tiny per-salt partials. All aggregates used are re-aggregable
+    (sum/count/min/max), so the two-phase result is exact.
+    """
+    salt = F.pmod(F.hash(F.col("doc_id")), F.lit(salt_buckets)).alias("_salt")
+    partial = (
+        tier_df.groupBy("source", salt)
+        .agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.sum("cnt").alias("_points"),
+            F.sum("sum").alias("_sum"),
+            F.min("vmin").alias("_vmin"),
+            F.max("vmax").alias("_vmax"),
+        )
+    )
+    return (
+        partial.groupBy("source")
+        .agg(
+            F.sum("_rows").alias("buckets"),
+            F.sum("_points").alias("points"),
+            F.sum("_sum").alias("sum"),
+            F.min("_vmin").alias("vmin"),
+            F.max("_vmax").alias("vmax"),
+        )
+    )
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, *cols: str, salt_buckets: int = 16,

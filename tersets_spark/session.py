@@ -32,9 +32,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # ~1.5 MB of int64 tokens per Arrow batch: the vectorized kernels make
+        # ~10 passes over each batch, and keeping batch + intermediates
+        # cache-resident is worth 4x end-to-end on this host (concurrent DRAM
+        # streaming does not scale here — measured in BENCH/BASELINE.md). On
+        # a real cluster this is a per-executor cache-tuning knob.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Token-array rows are wide (~3 KB amortized); smaller scan splits keep
+        # every core busy on medium inputs instead of 1-2 jumbo partitions.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=ERROR")
     )

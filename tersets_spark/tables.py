@@ -25,8 +25,10 @@ EPOCH = 1_700_000_000  # fixed engine epoch (2023-11-14T22:13:20Z)
 VOCAB = 50257
 N_SOURCES = 12
 
-#: rows per driver testdata scale factor (sf name -> n_rows)
-ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+#: rows per driver testdata scale factor (sf name -> n_rows). sf0.4 exists
+#: only for the scaling benchmark: big enough (~300M tokens) that per-run
+#: fixed overheads stop dominating the N-vs-4N efficiency ratio.
+ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000, "sf0.4": 400_000}
 
 
 def sequences_path(sf_name: str, seed: int = 42) -> str:
@@ -99,7 +101,10 @@ def ensure_sequences(sf_name: str, seed: int = 42) -> str:
         os.makedirs(DATA_DIR, exist_ok=True)
         table = generate_sequences(ROWS_BY_SF[sf_name], seed)
         tmp = path + ".tmp"
-        pq.write_table(table, tmp, compression="zstd")
+        # Small row groups make the single file splittable: Spark assigns row
+        # groups to scan tasks, so a 100k-row table parallelizes across all
+        # cores instead of serializing on one unsplittable group.
+        pq.write_table(table, tmp, compression="zstd", row_group_size=1000)
         os.replace(tmp, path)
     return path
 

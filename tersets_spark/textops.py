@@ -1,0 +1,159 @@
+"""Text-analysis operators for training-data pipelines over the ``documents``
+table ``(doc_id, text, lang, source, n_chars)``.
+
+Everything stays JVM-side (built-in ``pyspark.sql.functions``) except
+language identification and rolling-hash fingerprinting, which are
+Arrow-vectorized pandas UDFs (never row-at-a-time Python).
+
+Scale notes (100 TB): all column expressions here are narrow (no shuffle);
+aggregations downstream are standard partial+final hash aggregates. The text
+column is the only wide payload — queries select it once and derive integer
+stats, so Parquet column pruning keeps scans minimal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+#: Small fixed stopword list (deterministic; shared with the DuckDB oracles).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: Word-ish tokenization: runs of word chars OR single non-space punctuation —
+#: a BPE-ish pre-tokenizer regex, identical semantics in Spark and DuckDB for
+#: ASCII text.
+TOKEN_REGEX = r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text (JVM-side)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def regex_tokens(col: Column) -> Column:
+    """BPE-ish regex tokenization (JVM-side regexp_extract_all)."""
+    return F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document integer quality stats — all exact (bigint) columns.
+
+    n_ws_tokens: whitespace tokens; n_re_tokens: regex tokens; n_stop:
+    stopword occurrences; n_punct: non-alphanumeric, non-space chars;
+    token_chars: total characters across whitespace tokens (for mean token
+    length as token_chars/n_ws_tokens downstream).
+    """
+    toks = ws_tokens(F.col(text_col))
+    stop_lits = [F.lit(s) for s in STOPWORDS]
+    return df.select(
+        "*",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(regex_tokens(F.col(text_col))).cast("long").alias("n_re_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long").alias("n_stop"),
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), r"[^0-9A-Za-z_\s]", ""))
+        ).cast("long").alias("n_punct"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+        ).alias("token_chars"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0, 1000] as an exact integer.
+
+    1000 * clamp(0, 1, 0.5 + stop_ratio - punct_ratio) style scoring with all
+    arithmetic on bigints scaled by 1000 (integer DIV, not float division —
+    Spark's cast truncates while DuckDB's rounds, so float-then-cast would
+    break oracle parity).
+    """
+    stats = df
+    stop_ratio_m = F.expr("(n_stop * 1000) DIV greatest(n_ws_tokens, 1)")
+    punct_ratio_m = F.expr("(n_punct * 1000) DIV greatest(n_chars, 1)")
+    raw = F.lit(500) + stop_ratio_m - punct_ratio_m * 2
+    return stats.select(
+        "*",
+        F.greatest(F.lit(0), F.least(F.lit(1000), raw)).cast("long").alias("quality_milli"),
+    )
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dedup fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# language identification (character n-gram heuristic, pandas UDF)
+# ---------------------------------------------------------------------------
+
+#: Character-trigram marker profiles per language. Deterministic, tiny —
+#: a stand-in for a trained n-gram model; the Spark-side plumbing (Arrow
+#: batching, argmax scoring) is the real deliverable.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", " th", "ion", " of", "tio", "ed ", " is"),
+    "de": ("der", "die", "und", "ein", "sch", "ich", " de", "en ", "cht"),
+    "fr": ("les", " de", "ent", "que", "ion", " le", "des", " la", "ait"),
+    "es": (" de", "los", "ión", " la", "que", "ado", "ent", " el", "cio"),
+    "zh": ("的", "了", "是", "在", "我", "有", "他", "这", "不"),
+}
+
+
+@F.pandas_udf(StringType())
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    """Argmax language by marker-trigram frequency; 'und' when no marker hits."""
+    langs = list(_LANG_PROFILES)
+
+    def classify(text: str) -> str:
+        if not text:
+            return "und"
+        low = text.lower()
+        best_lang, best_score = "und", 0
+        for lang in langs:
+            score = sum(low.count(tri) for tri in _LANG_PROFILES[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    return texts.map(classify)
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprinting (Karp-Rabin, pandas UDF)
+# ---------------------------------------------------------------------------
+
+_KR_BASE = np.uint64(1_000_003)
+_KR_WINDOW = 8
+_KR_KEEP = 8  # keep the k smallest window hashes (winnowing-style sketch)
+
+
+def _rolling_hashes(data: bytes) -> np.ndarray:
+    """All Karp-Rabin window hashes of the byte string, fully vectorized.
+
+    h(i) = sum_{j<w} base^{w-1-j} * data[i+j] mod 2^64 — computed as a
+    sliding dot product via a strided view; O(n*w) multiplies in NumPy,
+    no Python loop.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr)
+    if n < _KR_WINDOW:
+        arr = np.pad(arr, (0, _KR_WINDOW - n), constant_values=0)
+        n = _KR_WINDOW
+    powers = _KR_BASE ** np.arange(_KR_WINDOW - 1, -1, -1, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, _KR_WINDOW)
+    return (windows * powers).sum(axis=1, dtype=np.uint64)
+
+
+def rolling_fingerprint(data: bytes) -> list[int]:
+    """Winnowing-style sketch: the k smallest distinct window hashes (as
+    signed int64 for Spark's LongType)."""
+    hashes = np.unique(_rolling_hashes(data))
+    return hashes[:_KR_KEEP].astype(np.int64).tolist()
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def rolling_fingerprint_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: rolling_fingerprint((t or "").encode("utf-8")))
