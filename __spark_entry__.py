@@ -315,6 +315,49 @@ def _q_gapfill_events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gapfill_events_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute LINEAR-interpolated gap-fill of per-user event cents."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    per_min = (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy(
+            "user_id",
+            ((F.floor(_epoch_seconds() / 60)) * 60).alias("bucket_ts"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    filled = gap_fill(per_min, ["user_id"], "bucket_ts", 60, ["cents"], strategy="linear")
+    return filled.select(
+        "user_id",
+        "bucket_ts",
+        F.col("cents").cast("double").alias("cents"),
+        F.col("gap_filled").cast("int").alias("gap_filled"),
+    )
+
+
+def _q_blocks_roundtrip_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate invariant: every 1m tier block re-aggregates to
+    its stored integer aggregates (north-star: tiers stored as compressed
+    delta blocks remain exactly queryable)."""
+    from tersets_spark.rollup import rollup_raw as rollup_raw_blocks
+
+    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES))
+    m1 = rollup_raw_blocks(seq, TIERS["1m"], with_blocks=True)
+    dec = decompress_udf(F.col("block"))
+    ok = (
+        (F.aggregate(dec, F.lit(0.0), lambda a, v: a + v) == F.col("sum").cast("double"))
+        & (F.size(dec) == F.col("cnt"))
+        & (F.array_min(dec) == F.col("vmin").cast("double"))
+        & (F.array_max(dec) == F.col("vmax").cast("double"))
+        & (F.element_at(dec, 1) == F.col("first").cast("double"))
+        & (F.element_at(dec, -1) == F.col("last").cast("double"))
+    )
+    return m1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum(ok.cast("long")).alias("buckets_ok"),
+    )
+
+
 def _q_events_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic time-bucket rollup over the events stream table."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -500,6 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_footprint": _q_codec_footprint,
         "pmc_segments": _q_pmc_segments,
         "gapfill_events_locf": _q_gapfill_events_locf,
+        "gapfill_events_linear": _q_gapfill_events_linear,
+        "blocks_roundtrip_1m": _q_blocks_roundtrip_1m,
         "events_rollup_1m": _q_events_rollup_1m,
         "top_users_by_value": _q_top_users_by_value,
         "text_stats_by_lang": _q_text_stats_by_lang,
@@ -637,6 +682,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.cents IS NULL AS INT) AS gap_filled
             FROM grid g LEFT JOIN per_min p
               ON g.user_id = p.user_id AND g.bucket_ts = p.bucket_ts
+        """,
+        "gapfill_events_linear": """
+            WITH per_min AS (
+                SELECT user_id,
+                       (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS bucket_ts,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events WHERE user_id < 40 GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT user_id, MIN(bucket_ts) AS t0, MAX(bucket_ts) AS t1
+                FROM per_min GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id, unnest(generate_series(t0, t1, 60)) AS bucket_ts
+                FROM bounds
+            ),
+            j AS (
+                SELECT g.user_id, g.bucket_ts, p.cents,
+                       CAST(p.cents IS NULL AS INT) AS gap_filled
+                FROM grid g LEFT JOIN per_min p
+                  ON g.user_id = p.user_id AND g.bucket_ts = p.bucket_ts
+            ),
+            w AS (
+                SELECT *,
+                       LAST_VALUE(cents IGNORE NULLS) OVER wb AS pv,
+                       LAST_VALUE(CASE WHEN gap_filled = 0 THEN bucket_ts END IGNORE NULLS)
+                           OVER wb AS pt,
+                       FIRST_VALUE(cents IGNORE NULLS) OVER wf AS nv,
+                       FIRST_VALUE(CASE WHEN gap_filled = 0 THEN bucket_ts END IGNORE NULLS)
+                           OVER wf AS nt
+                FROM j
+                WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (PARTITION BY user_id ORDER BY bucket_ts
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, bucket_ts,
+                   CAST(CASE WHEN gap_filled = 0 THEN cents
+                        WHEN nt IS NULL THEN pv
+                        WHEN pt IS NULL THEN nv
+                        ELSE pv + (nv - pv) * ((bucket_ts - pt) / CAST(nt - pt AS DOUBLE))
+                   END AS DOUBLE) AS cents,
+                   gap_filled
+            FROM w
+        """,
+        # every 1m block must re-aggregate exactly -> buckets_ok == buckets
+        "blocks_roundtrip_1m": f"""
+            WITH pts AS ({pts}),
+            b AS (
+                SELECT doc_id, source, (ts // 60) * 60 AS bucket_ts
+                FROM pts WHERE source IN {_pla_sources_sql()} GROUP BY 1, 2, 3
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS buckets,
+                   CAST(COUNT(*) AS BIGINT) AS buckets_ok
+            FROM b GROUP BY source
         """,
         "events_rollup_1m": """
             SELECT event_type,

@@ -28,6 +28,13 @@ Semantics reproduced exactly:
 Divergence (documented): inputs of length 1 raise ``UnsupportedInputError``
 where the reference would trap on an out-of-bounds read (zig :78 indexes
 ``uncompressed_values[1]`` unconditionally).
+
+Known shared edge (reference-faithful): at eb=0, a 3+-point segment whose
+interior point matches the fp-evaluated bound line exactly while differing
+from ``(v1-v0)+v0`` by an absorbed tiny term (subnormal between larger
+endpoints) reconstructs to the line value, not the original — losslessness
+at eb=0 is unconditional only for inputs where line evaluations are exact
+(e.g. integral token values, the engine's input_hint contract).
 """
 
 from __future__ import annotations

@@ -111,17 +111,22 @@ def gap_fill(
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_back))
         return out
 
+    # "next anchor" = running last over the REVERSED order: an O(n) running
+    # frame. (first/ignorenulls over an unbounded-FOLLOWING frame makes Spark
+    # rescan the tail per row — O(n^2) per partition, minutes at 1M rows.)
     w_fwd = (
-        Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
+        Window.partitionBy(*keys)
+        .orderBy(F.desc(ts_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     anchor_ts = F.when(~F.col("gap_filled"), F.col(ts_col))
     out = (
         out.withColumn("_pt", F.last(anchor_ts, ignorenulls=True).over(w_back))
-        .withColumn("_nt", F.first(anchor_ts, ignorenulls=True).over(w_fwd))
+        .withColumn("_nt", F.last(anchor_ts, ignorenulls=True).over(w_fwd))
     )
     for c in value_cols:
         prev_v = F.last(c, ignorenulls=True).over(w_back)
-        next_v = F.first(c, ignorenulls=True).over(w_fwd)
+        next_v = F.last(c, ignorenulls=True).over(w_fwd)
         frac = (F.col(ts_col) - F.col("_pt")) / (F.col("_nt") - F.col("_pt"))
         interp = prev_v + (next_v - prev_v) * frac
         out = out.withColumn(
