@@ -1,0 +1,114 @@
+"""Structured Streaming tests: file-source ingest into the 1m tier (exactly
+the batch kernel's output), restart/resume via the stream checkpoint, and
+batch/stream parity of the watermarked windowed rollup."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tersets_spark.rollup import TIERS, rollup_raw
+from tersets_spark.streaming import (
+    read_streamed_tier,
+    stream_sequences_to_tier,
+    windowed_event_rollup,
+)
+from tersets_spark.tables import ensure_sequences
+
+
+@pytest.fixture(scope="module")
+def staged_input(tmp_path_factory):
+    """Split the sf0.001 sequences parquet into 4 files in a stream dir."""
+    src = ensure_sequences("sf0.001")
+    stage = tmp_path_factory.mktemp("stream_in")
+    table = pq.read_table(src)
+    n = table.num_rows
+    for i in range(4):
+        pq.write_table(table.slice(i * n // 4, n // 4 + (n % 4 if i == 3 else 0)),
+                       os.path.join(stage, f"part-{i}.parquet"))
+    return str(stage)
+
+
+def test_stream_matches_batch_rollup(spark, staged_input, tmp_path):
+    out = str(tmp_path / "tiers")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_sequences_to_tier(
+        spark, staged_input, out, ckpt, max_files_per_trigger=2, with_blocks=False
+    )
+    q.awaitTermination()
+
+    streamed = read_streamed_tier(spark, out).drop("batch")
+    batch = rollup_raw(spark.read.parquet(staged_input), TIERS["1m"], with_blocks=False)
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    assert streamed.count() == batch.count()
+    assert (
+        streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    ), "streamed tier differs from batch rollup"
+
+
+def test_stream_resume_processes_only_new_files(spark, staged_input, tmp_path):
+    out = str(tmp_path / "tiers")
+    ckpt = str(tmp_path / "ckpt")
+    # stage only the first half, run to completion
+    half = str(tmp_path / "in")
+    os.makedirs(half)
+    files = sorted(os.listdir(staged_input))
+    for f in files[:2]:
+        shutil.copy(os.path.join(staged_input, f), half)
+    q = stream_sequences_to_tier(spark, half, out, ckpt, with_blocks=False)
+    q.awaitTermination()
+    rows_first = read_streamed_tier(spark, out).count()
+    assert rows_first > 0
+
+    # add the second half; a RESTARTED stream (same checkpoint) picks up
+    # only the new files
+    for f in files[2:]:
+        shutil.copy(os.path.join(staged_input, f), half)
+    q2 = stream_sequences_to_tier(spark, half, out, ckpt, with_blocks=False)
+    q2.awaitTermination()
+    streamed = read_streamed_tier(spark, out)
+    batch = rollup_raw(spark.read.parquet(half), TIERS["1m"], with_blocks=False)
+    assert streamed.count() == batch.count() > rows_first
+
+
+def test_windowed_rollup_batch_stream_parity(spark, tmp_path):
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(events_path)
+    batch_out = windowed_event_rollup(events).orderBy("bucket_start", "event_type")
+
+    out_dir = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    in_dir = str(tmp_path / "win_in")  # file stream sources need a directory
+    os.makedirs(in_dir)
+    shutil.copy(events_path, in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (
+        windowed_event_rollup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out_dir)
+    # Append mode only emits windows the watermark has closed; every emitted
+    # window must match the batch result exactly, and most windows close.
+    b = batch_out.collect()
+    s = {(r.bucket_start, r.event_type): r for r in streamed.collect()}
+    assert len(s) > 0
+    matched = 0
+    for r in b:
+        key = (r.bucket_start, r.event_type)
+        if key in s:
+            got = s[key]
+            assert (got.cnt, got.sum_cents, got.min_cents, got.max_cents) == (
+                r.cnt, r.sum_cents, r.min_cents, r.max_cents
+            ), key
+            matched += 1
+    assert matched == len(s)
