@@ -257,6 +257,29 @@ def _q_pwch_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pwlh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PWLH (Min-Merge + convex-hull MABR) holds min(n_tok, 16) buckets;
+    triplet blob layout (24 bytes/bucket, histogram_compression.zig:120-141).
+
+    Restricted to short series: the faithful per-insert hull-merge + MABR
+    recompute (histogram_compression.zig:403-420) is O(n*h^2) and the point
+    here is layout/cap verification, not throughput.
+    """
+    max_buckets = 16
+    seq = _sequences(spark, sf_dir).filter(
+        F.col("source").isin(*_PLA_SOURCES) & (F.col("n_tok") <= 128)
+    )
+    blob = compress_udf(Method.PiecewiseLinearHistogram, float(max_buckets))(F.col("tokens"))
+    return (
+        seq.select("source", "n_tok", ((F.octet_length(blob) - 1) / 24).cast("long").alias("buckets"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("buckets").alias("buckets"),
+        )
+    )
+
+
 def _q_codec_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed footprint per vectorized codec (rows-only check; no SQL
     oracle — blob sizes are codec-defined, not SQL-expressible)."""
@@ -540,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lossless_pla": _q_roundtrip_lossless_pla,
         "within_bound_linf": _q_within_bound_linf,
         "pwch_bucket_cap": _q_pwch_bucket_cap,
+        "pwlh_bucket_cap": _q_pwlh_bucket_cap,
         "codec_footprint": _q_codec_footprint,
         "pmc_segments": _q_pmc_segments,
         "gapfill_events_locf": _q_gapfill_events_locf,
@@ -633,6 +657,15 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
                     WHERE source IN {_pla_sources_sql()}) AS n_ok
             FROM (VALUES {linf_methods_values}) AS m(method)
+        """,
+        # PWLH holds exactly min(n_tok, 16) buckets after Min-Merge
+        "pwlh_bucket_cap": f"""
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(LEAST(CAST(n_tok AS BIGINT), 16)) AS BIGINT) AS buckets
+            FROM read_parquet('{seq}')
+            WHERE source IN {_pla_sources_sql()} AND n_tok <= 128
+            GROUP BY source
         """,
         # PWCH holds exactly min(n_tok, 64) buckets after Min-Merge
         "pwch_bucket_cap": f"""

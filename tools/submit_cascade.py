@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the retention cascade (north_rule launch).
+
+Cluster launch:
+
+    python -c "from tersets_spark.shipping import _build_zip; print(_build_zip())"
+    spark-submit --py-files <that zip> tools/submit_cascade.py \
+        --input /path/to/sequences_parquet --out /path/to/tiers \
+        [--method DeltaOfDelta] [--no-blocks] [--no-resume] [--salt]
+
+Local smoke (same code path the driver/bench use):
+
+    python tools/submit_cascade.py --input data/sequences_sf0.001_seed42_n2000.parquet \
+        --out /tmp/tiers --master "local[4]"
+
+The job is resumable: rerunning with the same --out anti-joins the manifest
+and processes only incomplete (tier, source) partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True, help="sequences parquet path")
+    parser.add_argument("--out", required=True, help="tier catalog output dir")
+    parser.add_argument("--method", default="DeltaOfDelta")
+    parser.add_argument("--no-blocks", action="store_true")
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--salt", action="store_true",
+                        help="salted repartition before the map-only tiers (see jobs.py)")
+    parser.add_argument("--master", default=None,
+                        help="override master for local smoke runs (spark-submit sets it otherwise)")
+    args = parser.parse_args()
+
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import run_cascade
+    from tersets_spark.methods import Method
+
+    if args.master:
+        from tersets_spark.session import get_spark
+
+        spark = get_spark(master=args.master, app_name="tersets-cascade")
+    else:
+        # Under spark-submit, master/conf come from the launcher.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("tersets-cascade").getOrCreate()
+
+    tiers = run_cascade(
+        spark,
+        args.input,
+        args.out,
+        compress_method=Method[args.method],
+        with_blocks=not args.no_blocks,
+        resume=not args.no_resume,
+        salt=args.salt,
+    )
+    summary = {
+        "tiers": tiers,
+        "partitions_done": len(TierCatalog(args.out).metrics()),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
