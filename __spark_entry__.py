@@ -480,6 +480,16 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over Jaccard>=0.8 pairs."""
+    from tersets_spark.dedup import dedup_clusters, jaccard_pairs
+
+    pairs = jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.8)
+    return dedup_clusters(pairs).select(
+        F.col("id").cast("long").alias("id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pair count by Hamming distance (rows-only check)."""
     from tersets_spark.dedup import simhash_pairs
@@ -575,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_bruteforce": _q_knn_bruteforce,
@@ -821,6 +832,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_ORACLE,
         # MinHash+LSH must recover exactly the brute-force Jaccard pairs
         "dedup_minhash_lsh": _JACCARD_ORACLE,
+        # connected components over the same pairs, via recursive CTE
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+            )
+            SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS cluster
+            FROM reach GROUP BY id
+        """,
         "embedding_near_dup": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -357,3 +357,57 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b")
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster) labels.
+
+    Iterative min-label propagation: every node starts labeled with its own
+    id; each round, a node adopts the minimum label among itself and its
+    neighbors; convergence when no label changes. Rounds needed = graph
+    diameter — near-dup components are tiny (pairs of near-identical docs),
+    so this converges in 2-3 rounds; ``max_iterations`` bounds pathological
+    chains. Output keeps only nodes that appear in some pair (singletons are
+    trivially their own cluster).
+
+    Scale: each round is one shuffle join on the edge list — the standard
+    large-scale CC shape (a Spark-native stand-in for GraphX/GraphFrames).
+    The canonical "keep one per cluster" policy is then: keep id == cluster.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
+                    "new_cluster"
+                ),
+                "cluster",
+            )
+        )
+        changed = updated.filter(F.col("new_cluster") != F.col("cluster")).count()
+        labels = updated.select("id", F.col("new_cluster").alias("cluster"))
+        if changed == 0:
+            break
+    return labels

@@ -5,12 +5,13 @@ source partition through TierCatalog's atomic directory replace, the manifest
 records lineage + throughput metrics per partition, and a rerun anti-joins
 the completed set so a killed job picks up exactly where it stopped.
 
-Plan shape per tier:
-  raw:   scan sequences -> salted repartition -> pandas-UDF compress -> write
-  1m:    scan sequences -> salted repartition -> vectorized rollup kernel -> write
+Plan shape per tier (PLANS.md has the explain evidence):
+  raw:   scan sequences -> mapInArrow compress -> write (map-only, no shuffle)
+  1m:    scan sequences -> mapInArrow rollup kernel -> write (map-only)
   1h/1d: scan tier below -> JVM hash aggregate (exact integer combine) -> write
 Filters on pending sources are pushed to the parquet scan (partition/row-group
 pruning); only raw/1m cross the Python boundary, in Arrow batches.
+``apply_retention`` expires tier rows past their policy horizon.
 """
 
 from __future__ import annotations
@@ -23,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import TierCatalog
-from .kernels import compress_udf
 from .methods import Method
 from .rollup import TIERS, rollup_raw, rollup_up, salted_repartition
 from .shipping import ensure_shipped
@@ -134,6 +134,7 @@ def run_cascade(
         raise RuntimeError("injected failure after 1m tier")
 
     # --- 1h / 1d tiers: exact integer re-aggregation of the tier below ---
+    # (retention expiry for written tiers lives in apply_retention below)
     for tier, below in (("1h", "1m"), ("1d", "1h")):
         pend = pending_for(tier)
         if pend:
@@ -145,3 +146,85 @@ def run_cascade(
             raise RuntimeError(f"injected failure after {tier} tier")
 
     return {t: os.path.join(out_dir, t) for t in ("raw", "1m", "1h", "1d")}
+
+
+# ---------------------------------------------------------------------------
+# retention expiry
+# ---------------------------------------------------------------------------
+
+#: Default policy: how long each tier's data is kept, in seconds of event
+#: time (TimescaleDB-style retention: finer tiers expire first, coarser
+#: aggregates are kept longer). None = keep forever.
+DEFAULT_RETENTION = {"raw": 7 * 86400, "1m": 30 * 86400, "1h": 365 * 86400, "1d": None}
+
+
+def apply_retention(
+    spark: SparkSession,
+    out_dir: str,
+    now_ts: int,
+    policy: dict[str, int | None] | None = None,
+) -> dict[str, int]:
+    """Expire tier data older than the policy's horizon, per tier.
+
+    Row-level expiry on the bucket time axis: each kept source partition is
+    rewritten atomically without the expired buckets (raw rows expire on
+    ``ts0``); partitions whose data expires entirely are deleted. Every
+    expiry is recorded in the manifest (`status=retention`) with the dropped
+    row count, so lineage shows what was removed and when. Returns
+    tier -> rows dropped.
+
+    Scale note: the rewrite filter is bucket_ts >= horizon — a pushed-down
+    min/max row-group prune on the time axis, so only row groups straddling
+    the horizon are actually read.
+    """
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
+
+    policy = DEFAULT_RETENTION if policy is None else policy
+    catalog = TierCatalog(out_dir)
+    dropped: dict[str, int] = {}
+    for tier, keep_seconds in policy.items():
+        if keep_seconds is None:
+            continue
+        tier_dir = os.path.join(out_dir, tier)
+        if not os.path.isdir(tier_dir):
+            continue
+        horizon = now_ts - keep_seconds
+        ts_col = "ts0" if tier == "raw" else "bucket_ts"
+        tier_dropped = 0
+        for entry in sorted(os.listdir(tier_dir)):
+            if not entry.startswith("source="):
+                continue
+            part_dir = os.path.join(tier_dir, entry)
+            part = spark.read.parquet(part_dir)
+            n_expired = part.filter(F.col(ts_col) < horizon).count()
+            if n_expired == 0:
+                continue
+            kept = part.filter(F.col(ts_col) >= horizon)
+            tmp = part_dir + ".retention-tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            shutil.rmtree(part_dir)
+            if spark.read.parquet(tmp).count() == 0:
+                shutil.rmtree(tmp)
+            else:
+                os.replace(tmp, part_dir)
+            tier_dropped += n_expired
+            with open(catalog.manifest_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "tier": tier,
+                            "partition": entry.split("=", 1)[1],
+                            "status": "retention",
+                            "dropped_rows": n_expired,
+                            "horizon_ts": horizon,
+                            "wall_clock_unix": time.time(),
+                        }
+                    )
+                    + "\n"
+                )
+        dropped[tier] = tier_dropped
+    return dropped

@@ -1,0 +1,90 @@
+"""Retention expiry + physical-plan-shape regression tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tersets_spark.jobs import apply_retention, run_cascade
+from tersets_spark.tables import EPOCH, ensure_sequences
+
+
+@pytest.fixture(scope="module")
+def tiers(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tiers"))
+    run_cascade(spark, ensure_sequences("sf0.001"), out, with_blocks=False, resume=False)
+    return out
+
+
+def test_retention_drops_only_expired_rows(spark, tiers):
+    m1 = spark.read.option("basePath", os.path.join(tiers, "1m")).parquet(
+        os.path.join(tiers, "1m", "source=*")
+    )
+    lo, hi = m1.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    cut = (lo + hi) // 2
+    now = EPOCH + 10 * 86400
+    keep = now - cut  # horizon lands mid-range
+    before = m1.count()
+    expected_dropped = m1.filter(F.col("bucket_ts") < cut).count()
+    assert 0 < expected_dropped < before
+
+    dropped = apply_retention(
+        spark, tiers, now, policy={"1m": keep, "raw": None, "1h": None, "1d": None}
+    )
+    assert dropped["1m"] == expected_dropped
+
+    after = spark.read.option("basePath", os.path.join(tiers, "1m")).parquet(
+        os.path.join(tiers, "1m", "source=*")
+    )
+    assert after.count() == before - expected_dropped
+    assert after.agg(F.min("bucket_ts")).collect()[0][0] >= cut
+
+    # lineage: manifest carries retention records with dropped counts
+    recs = [
+        json.loads(line)
+        for line in open(os.path.join(tiers, "_manifest.jsonl"))
+        if '"retention"' in line
+    ]
+    assert sum(r["dropped_rows"] for r in recs) == expected_dropped
+    assert all(r["tier"] == "1m" for r in recs)
+
+
+def test_retention_keep_forever_is_noop(spark, tiers):
+    raw_dir = os.path.join(tiers, "raw")
+    before = spark.read.option("basePath", raw_dir).parquet(
+        os.path.join(raw_dir, "source=*")
+    ).count()
+    dropped = apply_retention(
+        spark, tiers, EPOCH + 10**9,
+        policy={"raw": None, "1m": None, "1h": None, "1d": None},
+    )
+    assert dropped == {}
+    after = spark.read.option("basePath", raw_dir).parquet(
+        os.path.join(raw_dir, "source=*")
+    ).count()
+    assert after == before
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regressions (PLANS.md invariants)
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_plan_pushes_source_filter_and_prunes_columns(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["rollup_1m"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(source" in plan, "source filter not pushed to scan"
+    assert "n_tok" not in plan.split("ReadSchema")[1][:300], "n_tok not pruned"
+
+
+def test_knn_plan_broadcasts_probes(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["knn_bruteforce"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, "probe side not broadcast"
