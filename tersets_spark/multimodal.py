@@ -142,3 +142,94 @@ def media_features(media: DataFrame, *, allow_fake: bool = True) -> DataFrame:
             yield extract_features_batch(pdf, allow_fake=allow_fake)
 
     return media.select("media_id", "kind", "payload").mapInPandas(gen, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample plumbing (stub-backed, batch shape real)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_batch(pdf: pd.DataFrame, width: int, height: int, *, allow_fake: bool = True) -> pd.DataFrame:
+    """Per-batch resize: decode -> nearest-neighbor 1-D resample -> bytes.
+
+    The real decoder is stubbed (see decode_payload); the resample itself is
+    a genuine vectorized nearest-neighbor index over the sample array, so the
+    data path (sizes, dtypes, byte round-trip) is exercised for real.
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame({f.name: pd.Series(dtype="object") for f in RESIZE_SCHEMA.fields})
+    n_out = width * height
+    out_payloads = []
+    for payload, kind in zip(pdf["payload"], pdf["kind"]):
+        samples = decode_payload(bytes(payload or b""), kind, allow_fake=allow_fake)
+        if len(samples) == 0:
+            out_payloads.append(b"\x00" * n_out)
+            continue
+        idx = (np.arange(n_out, dtype=np.int64) * len(samples)) // n_out
+        out_payloads.append(samples[idx].tobytes())
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].to_numpy(),
+            "kind": pdf["kind"].to_numpy(),
+            "payload": out_payloads,
+            "out_width": np.full(len(pdf), width, dtype=np.int32),
+            "out_height": np.full(len(pdf), height, dtype=np.int32),
+        }
+    )
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32, *, allow_fake: bool = True) -> DataFrame:
+    """mapInPandas resize over the media table; output payloads are
+    exactly width*height bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield resize_batch(pdf, width, height, allow_fake=allow_fake)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def frame_sample_batch(pdf: pd.DataFrame, n_frames: int, *, allow_fake: bool = True) -> pd.DataFrame:
+    """Per-batch frame sampling: split each payload into n_frames equal
+    chunks ("frames"), emitting one output row per frame (explode shape)."""
+    if len(pdf) == 0:
+        return pd.DataFrame({f.name: pd.Series(dtype="object") for f in FRAME_SCHEMA.fields})
+    ids, indices, frames = [], [], []
+    for media_id, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
+        samples = decode_payload(bytes(payload or b""), kind, allow_fake=allow_fake)
+        bounds = (np.arange(n_frames + 1, dtype=np.int64) * len(samples)) // n_frames
+        for i in range(n_frames):
+            ids.append(media_id)
+            indices.append(i)
+            frames.append(samples[bounds[i] : bounds[i + 1]].tobytes())
+    return pd.DataFrame(
+        {"media_id": ids, "frame_index": pd.array(indices, dtype="int32"), "frame": frames}
+    )
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, *, allow_fake: bool = True) -> DataFrame:
+    """mapInPandas frame sampling: one row per (media, frame)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield frame_sample_batch(pdf, n_frames, allow_fake=allow_fake)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(gen, FRAME_SCHEMA)

@@ -123,3 +123,33 @@ def test_extract_features_batch_shapes_and_values():
     assert out["hist16"][2][15] == 5
     empty = extract_features_batch(pdf.iloc[0:0], allow_fake=True)
     assert len(empty) == 0
+
+
+def test_resize_batch_shapes():
+    from tersets_spark.multimodal import resize_batch
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "kind": ["image", "audio"],
+            "payload": [bytes(range(100)), b"\x07"],
+        }
+    )
+    out = resize_batch(pdf, 8, 4)
+    assert list(out["media_id"]) == [1, 2]
+    assert all(len(p) == 32 for p in out["payload"])
+    # nearest-neighbor preserves first/last-ish samples
+    assert out["payload"][0][0] == 0 and out["payload"][0][-1] >= 90
+    assert out["payload"][1] == b"\x07" * 32  # single sample broadcast
+    assert len(resize_batch(pdf.iloc[0:0], 8, 4)) == 0
+
+
+def test_frame_sample_batch_shapes():
+    from tersets_spark.multimodal import frame_sample_batch
+
+    pdf = pd.DataFrame(
+        {"media_id": [9], "kind": ["video"], "payload": [bytes(range(10))]}
+    )
+    out = frame_sample_batch(pdf, 4)
+    assert list(out["frame_index"]) == [0, 1, 2, 3]
+    assert b"".join(out["frame"]) == bytes(range(10))  # frames partition payload

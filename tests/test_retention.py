@@ -88,3 +88,16 @@ def test_knn_plan_broadcasts_probes(spark):
     df = entry.queries()["knn_bruteforce"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan, "probe side not broadcast"
+
+
+def test_multimodal_resize_and_frames_through_spark(spark):
+    from tersets_spark.multimodal import frame_sample, resize_media, synthesize_media_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = synthesize_media_from_documents(docs)
+    resized = resize_media(media, 16, 16).collect()
+    assert len(resized) == 20
+    assert all(len(r.payload) == 256 for r in resized)
+    frames = frame_sample(media, n_frames=3)
+    assert frames.count() == 60
+    assert frames.groupBy("media_id").count().filter("count != 3").count() == 0
