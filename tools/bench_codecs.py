@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Per-codec single-core throughput microbenchmark -> BENCH/CODECS.md.
+
+Context for the "match the reference's single-node throughput" goal: the
+reference (Zig) publishes no numbers (BASELINE.md), so this records OUR
+per-codec tokens/sec on the engine's real token data, separating the
+vectorized hot path (PMC/Gorilla/DoD — what the cascade runs) from the
+faithful per-point Python codecs (Swing..MixPiece — parity-grade, used for
+coverage queries, never the throughput path).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from tersets_spark import Method, compress, decompress
+from tersets_spark.codecs import delta_of_delta
+from tersets_spark.tables import ensure_sequences
+
+EB = {
+    Method.SimPiece: 1.0,
+    Method.MixPiece: 1.0,
+    Method.PiecewiseConstantHistogram: 64.0,
+    Method.PiecewiseLinearHistogram: 16.0,
+}
+SLOW = {
+    Method.SlideFilter,
+    Method.SimPiece,
+    Method.MixPiece,
+    Method.PiecewiseConstantHistogram,
+    Method.PiecewiseLinearHistogram,
+    Method.ABCLinearApproximation,
+    Method.VisvalingamWhyatt,
+    Method.SlidingWindow,
+    Method.BottomUp,
+    Method.SwingFilter,
+    Method.SwingFilterDisconnected,
+}
+
+
+def main() -> None:
+    table = pq.read_table(ensure_sequences("sf0.01"), columns=["tokens"])
+    col = table.column("tokens").combine_chunks()
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    flat = np.asarray(col.values, dtype=np.int64)[: offsets[-1]]
+    rows = [(flat[s:e].astype(np.float64)) for s, e in zip(offsets[:-1], offsets[1:])]
+
+    lines = [
+        "# BENCH/CODECS — per-codec single-core throughput",
+        "",
+        f"Input: real engine token series (sf0.01 slice), {len(rows[:512])} series.",
+        "Compress+decompress round trip; tokens/sec single core. The cascade's",
+        "hot path is the vectorized group (PMC / Gorilla / DoD, plus the batched",
+        "multi-block DoD encoder); the per-point Python codecs are parity-grade",
+        "coverage, bounded per series (<= 4k tokens) and parallelized by Spark.",
+        "",
+        "| codec | tokens/sec (1 core) | note |",
+        "|---|---|---|",
+    ]
+
+    for method in sorted(Method, key=int):
+        eb = EB.get(method, 0.0)
+        subset = rows[:64] if method in SLOW else rows[:512]
+        total = sum(len(r) for r in subset)
+        t0 = time.perf_counter()
+        for r in subset:
+            decompress(compress(r, method, eb))
+        dt = time.perf_counter() - t0
+        note = "vectorized" if method not in SLOW else "per-point python (parity)"
+        lines.append(f"| {method.name} | {total / dt:,.0f} | {note} |")
+        print(f"{method.name}: {total / dt:,.0f} tokens/s", file=sys.stderr)
+
+    # batched multi-block encoder at the cascade's real Arrow batch size
+    # (256 rows: cache-resident — see BENCH/BASELINE.md)
+    batch_rows = 256
+    t0 = time.perf_counter()
+    n_blobs = 0
+    for i in range(0, len(offsets) - 1, batch_rows):
+        seg = offsets[i : i + batch_rows + 1]
+        base = seg[0]
+        n_blobs += len(
+            delta_of_delta.compress_blocks(
+                flat[base : seg[-1]], seg[:-1] - base, seg[1:] - base
+            )
+        )
+    dt = time.perf_counter() - t0
+    lines.append(
+        f"| DeltaOfDelta (batched multi-block, 256-row batches) | {offsets[-1] / dt:,.0f} "
+        "| cascade hot path |"
+    )
+    print(f"DoD batched: {offsets[-1] / dt:,.0f} tokens/s", file=sys.stderr)
+    assert n_blobs == len(offsets) - 1
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/CODECS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCH/CODECS.md")
+
+
+if __name__ == "__main__":
+    main()
