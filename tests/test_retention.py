@@ -101,3 +101,35 @@ def test_multimodal_resize_and_frames_through_spark(spark):
     frames = frame_sample(media, n_frames=3)
     assert frames.count() == 60
     assert frames.groupBy("media_id").count().filter("count != 3").count() == 0
+
+
+def test_salted_repartition_balances_zipf_source_key(spark):
+    from tersets_spark.rollup import salted_repartition, salted_source_stats
+    from tersets_spark.tables import ensure_sequences
+
+    seq = spark.read.parquet(ensure_sequences("sf0.001"))
+
+    # Unsalted repartition by the zipf source key: the hottest partition
+    # carries ~40% of all rows (12 keys, a=1.5).
+    def partition_counts(df):
+        return [
+            r[1] for r in df.select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count().collect()
+        ]
+
+    unsalted = partition_counts(seq.repartition(16, F.col("source")))
+    salted = partition_counts(salted_repartition(seq, 16, "source"))
+    total = seq.count()
+    assert max(unsalted) > 0.3 * total, "fixture no longer skewed; update test"
+    assert max(salted) < 0.15 * total, f"salting failed to spread: {sorted(salted)}"
+
+    # And the salted two-phase aggregation is exact vs a naive groupBy.
+    from tersets_spark.rollup import TIERS, rollup_raw
+
+    m1 = rollup_raw(seq, TIERS["1m"]).cache()
+    naive = {
+        r.source: (r[1], r[2])
+        for r in m1.groupBy("source").agg(F.count(F.lit(1)), F.sum("sum")).collect()
+    }
+    salted_stats = {r.source: (r.buckets, r["sum"]) for r in salted_source_stats(m1).collect()}
+    assert naive == salted_stats
