@@ -511,6 +511,21 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup (sign-LSH blocking + exact verify) self-report:
+    pairs found vs brute force, per threshold (rows-only — LSH recall at
+    these near-orthogonal similarities is probabilistic by design)."""
+    from tersets_spark.dedup import embedding_near_dup, embedding_near_dup_lsh
+
+    emb = _embs(spark, sf_dir)
+    brute = embedding_near_dup(emb, threshold=0.4).count()
+    lsh = embedding_near_dup_lsh(emb, threshold=0.4, planes=3, tables=24).count()
+    return spark.createDataFrame(
+        [(int(lsh), int(brute), int((lsh * 1000) // max(brute, 1)))],
+        "pairs_lsh long, pairs_brute long, recall_milli long",
+    )
+
+
 def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.similarity import knn_bruteforce
 
@@ -532,6 +547,20 @@ def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tables gives ~90% expected recall at this angular distance.
     exact = knn_bruteforce(emb, probes, k=10)
     approx = knn_lsh(emb, probes, k=10, planes=4, tables=16)
+    return ann_recall(exact, approx).select(
+        F.col("probe_id").cast("long").alias("probe_id"), "k", "hits", "recall_milli"
+    )
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF (k-means inverted-file) ANN path vs brute force
+    (rows-only check)."""
+    from tersets_spark.similarity import ann_recall, knn_bruteforce, knn_ivf
+
+    emb = _embs(spark, sf_dir)
+    probes = list(range(10))
+    exact = knn_bruteforce(emb, probes, k=10)
+    approx = knn_ivf(emb, probes, k=10, n_centroids=16, n_probe=6)
     return ann_recall(exact, approx).select(
         F.col("probe_id").cast("long").alias("probe_id"), "k", "hits", "recall_milli"
     )
@@ -588,8 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "knn_bruteforce": _q_knn_bruteforce,
         "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "lang_id_dist": _q_lang_id_dist,
         "media_feature_stats": _q_media_feature_stats,
     }

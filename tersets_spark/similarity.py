@@ -142,3 +142,116 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
         )
         .withColumn("recall_milli", F.expr("(hits * 1000) DIV k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probed clusters
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: Lloyd iterations over the DataFrame.
+
+    Init = the vectors with the ``n_centroids`` smallest ids (deterministic,
+    seed-free). Each iteration assigns every vector to its nearest centroid
+    (vectorized pandas UDF) and recomputes means JVM-side (posexplode +
+    groupBy(cluster, dim) — the standard distributed k-means shape). The
+    centroid table is tiny (k x dim) and lives on the driver between rounds.
+    """
+    init_rows = (
+        emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in init_rows])
+
+    for _ in range(iterations):
+        assign = _assign_udf(centroids)
+        assigned = emb.select(F.col(vec_col).alias("vec"), assign(F.col(vec_col)).alias("cluster"))
+        sums = (
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in sums:
+            new[r.cluster, r.dim] = r.s / r.n
+            counts[r.cluster] = r.n
+        # empty clusters keep their previous centroid
+        centroids = np.where(counts[:, None] > 0, new, centroids)
+    return centroids
+
+
+def _assign_udf(centroids: np.ndarray):
+    cents = centroids  # closure copy ships with the UDF
+
+    @F.pandas_udf(LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # nearest by L2: argmin ||x-c||^2 = argmin(-2xc + ||c||^2)
+        scores = -2.0 * mat @ cents.T + (cents * cents).sum(axis=1)[None, :]
+        return pd.Series(scores.argmin(axis=1).astype(np.int64))
+
+    return assign
+
+
+def knn_ivf(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign vectors to coarse clusters, search the ``n_probe``
+    nearest clusters per probe, exact cosine re-rank. Same output schema as
+    :func:`knn_bruteforce`.
+
+    Scale: the index assignment is one map pass; a query touches
+    n_probe/n_centroids of the data — the classic IVF trade measured by
+    :func:`ann_recall`.
+    """
+    centroids = train_ivf_centroids(emb, n_centroids, iterations, id_col, vec_col)
+    assign = _assign_udf(centroids)
+    indexed = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+    )
+    # n_probe nearest clusters per probe, computed driver-side (tiny).
+    probe_rows = probes.collect()
+    probe_clusters = []
+    for r in probe_rows:
+        v = np.asarray(r.pvec, dtype=np.float64)
+        d = ((centroids - v) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:n_probe]:
+            probe_clusters.append((r.probe_id, int(c)))
+    pc = F.broadcast(
+        probes.sparkSession.createDataFrame(probe_clusters, "probe_id long, cluster long")
+    )
+    candidates = (
+        indexed.join(pc, "cluster")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", "vec")
+        .distinct()
+    )
+    scored = candidates.join(F.broadcast(probes), "probe_id").select(
+        "probe_id", "neighbor_id", cosine_expr(F.col("pvec"), F.col("vec")).alias("cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+    )
