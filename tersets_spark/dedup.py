@@ -123,34 +123,69 @@ def _perm_coeffs(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def _hash_shingles(shingles: list[str]) -> np.ndarray:
-    """FNV-1a 64-bit over utf-8 shingle bytes, vectorized per shingle."""
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+    """FNV-1a 64-bit over utf-8 shingle bytes — vectorized column-Horner.
+
+    The byte loop runs over the PADDED BYTE MATRIX column-by-column (max
+    string length iterations of whole-batch NumPy ops), never per byte in
+    Python. Output is bit-identical to the scalar FNV-1a recurrence, which
+    the DuckDB oracle reproduces in SQL (HUGEINT mod-2^64 arithmetic).
+    """
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [s.encode("utf-8") for s in shingles]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+    width = max(int(lens.max()), 1)
+    mat = np.zeros((len(encoded), width), dtype=np.uint8)
+    for i, b in enumerate(encoded):
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    out = np.full(len(encoded), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(width):
+        active = np.flatnonzero(lens > j)
+        # (h ^ byte) * prime, mod 2^64 via uint64 wraparound
+        out[active] = (out[active] ^ mat[active, j].astype(np.uint64)) * _FNV_PRIME
     return out
 
 
-def minhash_signature(shingles: list[str], num_perm: int = 128) -> np.ndarray:
-    """MinHash signature: min over shingles of (a*h + b) mod 2^61-1, per perm."""
+def _signature_from_hashes(hashes: np.ndarray, num_perm: int) -> np.ndarray:
+    """MinHash signature from 64-bit shingle hashes: min over shingles of
+    (a*h + b) mod 2^61-1 per permutation (products wrap mod 2^64 first —
+    deterministic, engine-wide)."""
     a, b = _perm_coeffs(num_perm)
-    if not shingles:
+    if hashes.size == 0:
         return np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
-    hashes = _hash_shingles(shingles)
-    # (P, S) permuted hash matrix in uint64 mod arithmetic
     prod = (a[:, None] * hashes[None, :] + b[:, None]) % _MERSENNE
     return prod.min(axis=1).astype(np.int64)
 
 
+def minhash_signature(shingles: list[str], num_perm: int = 128) -> np.ndarray:
+    """MinHash signature over FNV-hashed shingle strings (driver-side and
+    test entry point; the Spark path hashes JVM-side instead, see
+    :func:`minhash_udf`)."""
+    return _signature_from_hashes(_hash_shingles(shingles).astype(np.uint64), num_perm)
+
+
 def minhash_udf(num_perm: int = 128):
+    """Signature UDF over PRE-HASHED shingles (array<long> from JVM-side
+    ``xxhash64``) — no string hashing in Python at all; the pandas UDF only
+    runs the (P, S) permuted-min matrix op per document."""
+
     @F.pandas_udf(ArrayType(LongType()))
-    def _minhash(shingle_lists: pd.Series) -> pd.Series:
-        return shingle_lists.map(
-            lambda sh: minhash_signature(list(sh) if sh is not None else [], num_perm).tolist()
-        )
+    def _minhash(hash_lists: pd.Series) -> pd.Series:
+        out = []
+        for hs in hash_lists:
+            if hs is None or len(hs) == 0:
+                out.append(
+                    np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64).tolist()
+                )
+                continue
+            hashes = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            out.append(_signature_from_hashes(hashes, num_perm).tolist())
+        return pd.Series(out)
 
     return _minhash
 
@@ -174,9 +209,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sh = shingle_table(df, k, id_col, text_col)
-    shingle_sets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shingles"))
+    # One groupBy collects BOTH the distinct shingle strings (for the exact
+    # per-candidate verify) and their JVM-side xxhash64 (for signatures):
+    # each shingle is hashed exactly once, inside whole-stage codegen.
+    shingle_sets = sh.groupBy("id").agg(
+        F.collect_list("shingle").alias("shingles"),
+        F.collect_list(F.xxhash64("shingle")).alias("hashes"),
+    ).cache()
     sigs = shingle_sets.select(
-        "id", minhash_udf(num_perm)(F.col("shingles")).alias("sig")
+        "id", minhash_udf(num_perm)(F.col("hashes")).alias("sig")
     )
     banded = sigs.select(
         "id",
@@ -194,24 +235,27 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # Exact verification of candidates only.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(candidates, ["id_a", "id_b"])  # restrict to LSH candidates
-    )
+    # Exact verification of candidates ONLY: the skinny candidate pair list
+    # joins each side's collected shingle set and intersects JVM-side
+    # (array_intersect). Work is O(sum of candidate-pair shingle sizes) —
+    # never the all-co-shingled-pairs self-join of ``jaccard_pairs``, so the
+    # scale path stays sub-quadratic end to end.
+    sets_a = shingle_sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sets_b = shingle_sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        candidates.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
         .filter(
             F.col("n_inter")
             >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )
-        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
     )
 
 
@@ -222,7 +266,14 @@ def minhash_lsh_pairs(
 
 @F.pandas_udf(LongType())
 def simhash_udf(token_lists: pd.Series) -> pd.Series:
-    """64-bit SimHash over FNV-hashed tokens (sign of per-bit vote sums)."""
+    """64-bit SimHash over FNV-hashed tokens (sign of per-bit vote sums).
+
+    FNV-1a is kept here DELIBERATELY (vs the MinHash path's JVM xxhash64):
+    it is reproducible in portable SQL, so the DuckDB oracle recomputes the
+    exact same simhash words (HUGEINT mod-2^64 arithmetic) and the pair
+    output is hash-checked end to end. The FNV itself is the vectorized
+    column-Horner in :func:`_hash_shingles` — no per-byte Python.
+    """
 
     def simhash(tokens) -> int:
         if tokens is None or len(tokens) == 0:
@@ -232,9 +283,10 @@ def simhash_udf(token_lists: pd.Series) -> pd.Series:
             np.int64
         )
         votes = (2 * bits - 1).sum(axis=0)
-        word = np.uint64(0)
-        for i in np.flatnonzero(votes > 0):
-            word |= np.uint64(1) << np.uint64(i)
+        # distinct powers of two, so sum == bitwise OR
+        word = (((votes > 0).astype(np.uint64)) << np.arange(64, dtype=np.uint64)).sum(
+            dtype=np.uint64
+        )
         return int(word.astype(np.int64))
 
     return token_lists.map(simhash)
@@ -378,6 +430,13 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     Scale: each round is one shuffle join on the edge list — the standard
     large-scale CC shape (a Spark-native stand-in for GraphX/GraphFrames).
     The canonical "keep one per cluster" policy is then: keep id == cluster.
+
+    Each round's labels are ``localCheckpoint``-ed (eager), so the plan stays
+    ONE join deep regardless of iteration count — without it the lineage
+    doubles per round and every convergence ``count()`` re-executes the whole
+    chain (quadratic work, and a driver stack hazard past ~15 rounds). On a
+    cluster where executor loss matters, swap ``localCheckpoint`` for a
+    reliable ``checkpoint()`` directory — same plan shape.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -389,6 +448,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -396,6 +456,8 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster").alias("nmin"))
         )
+        # Materialize once per round: the changed-count and the next round's
+        # labels both read the checkpointed blocks, not the join lineage.
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -405,6 +467,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 ),
                 "cluster",
             )
+            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_cluster") != F.col("cluster")).count()
         labels = updated.select("id", F.col("new_cluster").alias("cluster"))
