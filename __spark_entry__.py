@@ -110,6 +110,114 @@ _JACCARD_ORACLE = """
 """
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replica of textops.lang_id_udf: per-language marker-trigram
+    counts via non-overlapping replace() arithmetic (same semantics as
+    Python ``str.count``), argmax with first-in-profile-order tie-break,
+    'und' when no marker hits. Built from _LANG_PROFILES so the two stay
+    in sync by construction."""
+    from tersets_spark.textops import _LANG_PROFILES
+
+    def count_expr(marker: str) -> str:
+        return f"((length(low) - length(replace(low, '{marker}', ''))) // {len(marker)})"
+
+    score_cols = ",\n                   ".join(
+        "(" + " + ".join(count_expr(m) for m in markers) + f") AS s_{lang}"
+        for lang, markers in _LANG_PROFILES.items()
+    )
+    langs = list(_LANG_PROFILES)
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = "\n                        ".join(
+        f"WHEN s_{lang} = g THEN '{lang}'" for lang in langs
+    )
+    return f"""
+        WITH low AS (SELECT lower(text) AS low FROM documents),
+        scored AS (SELECT low,
+                   {score_cols}
+                   FROM low),
+        gg AS (SELECT *, {g} AS g FROM scored),
+        pred AS (
+            SELECT CASE WHEN low IS NULL OR low = '' THEN 'und'
+                        WHEN g = 0 THEN 'und'
+                        {whens}
+                   END AS pred_lang
+            FROM gg)
+        SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS docs FROM pred GROUP BY 1
+    """
+
+
+#: DuckDB replica of dedup.simhash_pairs: FNV-1a 64 over each whitespace
+#: token (HUGEINT mod-2^64 arithmetic, bit-identical to the NumPy
+#: column-Horner in dedup._hash_shingles), per-bit term-frequency votes,
+#: 16-bit pigeonhole banding, Hamming <= 3 via bit_count(xor).
+_SIMHASH_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(range(1, length(tok)+1),
+                                  i -> ord(substr(tok, i, 1))::HUGEINT)),
+                 (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                           % 18446744073709551616::HUGEINT
+               ) AS fnv
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.range AS bit,
+               SUM(CASE WHEN (fnv >> CAST(b.range AS INT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS vote
+        FROM th CROSS JOIN range(64) b
+        GROUP BY 1, 2
+    ),
+    words AS (
+        SELECT doc_id,
+               COALESCE(SUM(CASE WHEN vote > 0
+                                 THEN (1::HUGEINT << CAST(bit AS INT))
+                                 ELSE 0::HUGEINT END), 0::HUGEINT) AS word
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, word, b.range AS band,
+               (word >> CAST(16 * b.range AS INT)) % 65536 AS chunk
+        FROM words CROSS JOIN range(4) b
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               bit_count(xor(x.word, y.word)) AS hamming
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming, CAST(COUNT(*) AS BIGINT) AS pairs
+    FROM pairs WHERE hamming <= 3 GROUP BY hamming
+"""
+
+#: DuckDB replica of the multimodal fake-decode feature path: payload =
+#: utf-8 text bytes (documents are ASCII, so ord == byte — asserted by the
+#: oracle matching octet_length), kind cycles by doc_id, hist bin 7 counts
+#: bytes with high nibble 0x7.
+_MEDIA_ORACLE = """
+    WITH feats AS (
+        SELECT CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+               CAST(len(list_filter(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1))), c -> c // 16 = 7)) AS BIGINT) AS hist_bin7
+        FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           CAST(SUM(byte_sum) AS BIGINT) AS byte_sum,
+           CAST(SUM(hist_bin7) AS BIGINT) AS hist_bin7
+    FROM feats GROUP BY kind
+"""
+
+
 def _epoch_seconds() -> F.Column:
     """TZ-independent wall-clock epoch seconds for the events NTZ timestamps.
 
@@ -863,6 +971,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_ORACLE,
         # MinHash+LSH must recover exactly the brute-force Jaccard pairs
         "dedup_minhash_lsh": _JACCARD_ORACLE,
+        # independent FNV-1a + banding + Hamming recomputation in SQL
+        "dedup_simhash": _SIMHASH_ORACLE,
+        "lang_id_dist": _lang_id_oracle_sql(),
+        "media_feature_stats": _MEDIA_ORACLE,
         # connected components over the same pairs, via recursive CTE
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),

@@ -58,10 +58,7 @@ ROWS_ONLY = {
     "ann_lsh_recall",      # LSH recall report (seeded hyperplanes)
     "ann_ivf_recall",      # IVF recall report (k-means quantizer)
     "codec_footprint",     # blob sizes are codec-defined
-    "dedup_simhash",       # 64-bit simhash banding
     "embedding_near_dup_lsh",  # probabilistic recall self-report vs brute
-    "lang_id_dist",        # n-gram classifier output
-    "media_feature_stats", # mapInPandas over binary payloads
 }
 
 
