@@ -369,14 +369,12 @@ def _q_pwlh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PWLH (Min-Merge + convex-hull MABR) holds min(n_tok, 16) buckets;
     triplet blob layout (24 bytes/bucket, histogram_compression.zig:120-141).
 
-    Restricted to short series: the faithful per-insert hull-merge + MABR
-    recompute (histogram_compression.zig:403-420) is O(n*h^2) and the point
-    here is layout/cap verification, not throughput.
+    Full-length series (no n_tok cap): the C Min-Merge kernel
+    (codecs/_histogram_native.c, bit-identical to the Python path) runs
+    ~55k tokens/s/core, so the whole PLA slice is validated.
     """
     max_buckets = 16
-    seq = _sequences(spark, sf_dir).filter(
-        F.col("source").isin(*_PLA_SOURCES) & (F.col("n_tok") <= 128)
-    )
+    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES))
     blob = compress_udf(Method.PiecewiseLinearHistogram, float(max_buckets))(F.col("tokens"))
     return (
         seq.select("source", "n_tok", ((F.octet_length(blob) - 1) / 24).cast("long").alias("buckets"))
@@ -814,7 +812,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS docs,
                    CAST(SUM(LEAST(CAST(n_tok AS BIGINT), 16)) AS BIGINT) AS buckets
             FROM read_parquet('{seq}')
-            WHERE source IN {_pla_sources_sql()} AND n_tok <= 128
+            WHERE source IN {_pla_sources_sql()}
             GROUP BY source
         """,
         # PWCH holds exactly min(n_tok, 64) buckets after Min-Merge

@@ -1,23 +1,38 @@
-"""Iceberg-style tier catalog: partitioned parquet + checkpoint manifest.
+"""Iceberg-style tier catalog: immutable run directories + a manifest log
+whose append is the COMMIT POINT.
 
 No Iceberg runtime jar ships with the sandbox's pyspark (verified in
-SURVEY.md §7), so this module implements the same layout contract —
-tier tables partitioned by source, idempotent per-partition writes, and a
-manifest that records per-partition lineage + throughput metrics — over
-plain parquet. The writer interface is Iceberg-shaped: on a real cluster,
-swapping ``format("parquet")`` for ``format("iceberg")`` + a catalog name is
-a config change, not a code change.
+SURVEY.md §7), so this module implements the same commit contract over
+plain parquet:
+
+* every partition write lands in a fresh, never-renamed run directory
+  ``<tier>/source=<p>/run=<hex>/`` — data files are immutable once written
+  (object-store-safe: no rename is ever relied on for atomicity);
+* a write becomes visible ONLY when its manifest record (carrying the run
+  path, lineage and throughput metrics) is appended — readers resolve the
+  current run per partition from the manifest, so a crash before the
+  append leaves an invisible orphan directory, never a torn table;
+* superseded / orphaned run directories are removed by :meth:`vacuum`
+  (called by committers here; an object-store deployment would delay it
+  past reader grace, exactly like Iceberg's ``expire_snapshots``).
+
+The layout keeps ``source``/``run`` as Hive-style key=value segments, so a
+plain ``spark.read.parquet`` over a vacuumed table sees the same rows as
+:meth:`read_tier` — the manifest is authoritative, the directory tree is
+merely consistent with it after vacuum.
 
 Resumability (north_rule): a job enumerates its partitions, anti-joins the
-manifest's completed set, and processes only the remainder; each partition
-write is an atomic directory replace, so a killed job resumes with no
-duplicate or missing partitions (tested in tests/test_checkpoint.py).
+manifest's completed set, and processes only the remainder; re-processing
+a partition commits a new run that supersedes the old one, so a killed job
+resumes with no duplicate or missing partitions (tests/test_checkpoint.py,
+including a crash injected inside the commit window).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -33,19 +48,21 @@ class TierCatalog:
     # -- manifest ----------------------------------------------------------
     def completed(self, tier: str) -> set[str]:
         done: set[str] = set()
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    if rec["tier"] == tier and rec["status"] == "done":
-                        done.add(rec["partition"])
+        for rec in self.metrics():
+            if rec["tier"] == tier and rec["status"] == "done":
+                done.add(rec["partition"])
         return done
 
-    def record(self, tier: str, partition: str, **metrics) -> None:
+    def record(self, tier: str, partition: str, status: str = "done", **metrics) -> None:
+        """Append one manifest record — THE commit point for a run dir.
+
+        POSIX appends of one JSONL line are atomic; an object-store port
+        would put one immutable manifest object per commit instead (the
+        record shape already carries everything needed)."""
         rec = {
             "tier": tier,
             "partition": partition,
-            "status": "done",
+            "status": status,
             "wall_clock_unix": time.time(),
             **metrics,
         }
@@ -58,32 +75,102 @@ class TierCatalog:
         with open(self.manifest_path) as f:
             return [json.loads(line) for line in f]
 
-    # -- partition-atomic writes -------------------------------------------
+    def current_runs(self, tier: str) -> dict[str, str | None]:
+        """partition -> current run path (relative to the tier dir), or
+        None when the partition's latest commit deleted it. Later records
+        supersede earlier ones — snapshot-log semantics."""
+        current: dict[str, str | None] = {}
+        for rec in self.metrics():
+            if rec["tier"] == tier and "path" in rec:
+                current[rec["partition"]] = rec["path"]
+        return current
+
+    # -- immutable run commits ---------------------------------------------
     def partition_dir(self, tier: str, partition: str) -> str:
+        """Partition ROOT (holds run=<hex> children)."""
         return os.path.join(self.base_dir, tier, f"source={partition}")
 
+    def _new_run_dir(self, tier: str, partition: str) -> tuple[str, str]:
+        rel = os.path.join(f"source={partition}", f"run={uuid.uuid4().hex[:8]}")
+        return rel, os.path.join(self.base_dir, tier, rel)
+
+    def commit_moved_partition(
+        self, tier: str, partition: str, tmp_part_dir: str,
+        status: str = "done", **metrics,
+    ) -> str:
+        """Move an already-written partition directory into a fresh run dir
+        and commit it. The move needs NO atomicity: until the manifest
+        append lands, the run dir is invisible to readers."""
+        rel, dest = self._new_run_dir(tier, partition)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(tmp_part_dir, dest)
+        bytes_out = _dir_bytes(dest)
+        self.record(tier, partition, status=status, path=rel,
+                    bytes_out=bytes_out, **metrics)
+        self.vacuum(tier, partitions=[partition])
+        return dest
+
+    def delete_partition(self, tier: str, partition: str, status: str = "done",
+                         **metrics) -> None:
+        """Commit a partition deletion (path=None supersedes prior runs)."""
+        self.record(tier, partition, status=status, path=None, **metrics)
+        self.vacuum(tier, partitions=[partition])
+
     def write_partition(self, df: DataFrame, tier: str, partition: str, **metrics) -> None:
-        """Idempotently (re)write one source partition of a tier table."""
-        final = self.partition_dir(tier, partition)
-        tmp = final + f".inprogress-{uuid.uuid4().hex[:8]}"
+        """Write one partition straight into its immutable run dir, then
+        commit. The object-store-native shape: data files are written once
+        to their final location; visibility comes from the manifest."""
+        rel, dest = self._new_run_dir(tier, partition)
         t0 = time.monotonic()
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(final):
-            _rmtree(final)
-        os.replace(tmp, final)
-        bytes_out = _dir_bytes(final)
+        df.write.mode("overwrite").parquet(dest)
         self.record(
-            tier,
-            partition,
+            tier, partition, path=rel,
             wall_ms=round((time.monotonic() - t0) * 1000, 1),
-            bytes_out=bytes_out,
+            bytes_out=_dir_bytes(dest),
             **metrics,
         )
+        self.vacuum(tier, partitions=[partition])
 
+    def vacuum(self, tier: str, partitions: list[str] | None = None) -> int:
+        """Delete run dirs not referenced by the manifest (superseded
+        commits and crash orphans). Returns the number removed. On POSIX
+        this runs right after each commit; an object store would delay it."""
+        current = self.current_runs(tier)
+        tier_dir = os.path.join(self.base_dir, tier)
+        if not os.path.isdir(tier_dir):
+            return 0
+        removed = 0
+        for entry in sorted(os.listdir(tier_dir)):
+            if not entry.startswith("source="):
+                continue
+            part = entry.split("=", 1)[1]
+            if partitions is not None and part not in partitions:
+                continue
+            part_root = os.path.join(tier_dir, entry)
+            keep = current.get(part)
+            keep_abs = os.path.join(tier_dir, keep) if keep else None
+            for run in sorted(os.listdir(part_root)):
+                run_dir = os.path.join(part_root, run)
+                if run_dir != keep_abs:
+                    shutil.rmtree(run_dir, ignore_errors=True)
+                    removed += 1
+            if not os.listdir(part_root):
+                os.rmdir(part_root)
+        return removed
+
+    # -- reads -------------------------------------------------------------
     def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
+        """Manifest-resolved read: the union of each partition's CURRENT
+        run dir — immune to uncommitted/superseded directories."""
         base = os.path.join(self.base_dir, tier)
-        df = spark.read.option("basePath", base).parquet(os.path.join(base, "source=*"))
-        return df
+        dirs = [
+            os.path.join(base, rel)
+            for rel in self.current_runs(tier).values()
+            if rel is not None
+        ]
+        if not dirs:
+            raise FileNotFoundError(f"tier {tier!r} has no committed runs")
+        return spark.read.option("basePath", base).parquet(*dirs).drop("run")
 
 
 def _dir_bytes(path: str) -> int:
@@ -92,9 +179,3 @@ def _dir_bytes(path: str) -> int:
         for name in files:
             total += os.path.getsize(os.path.join(root, name))
     return total
-
-
-def _rmtree(path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path)

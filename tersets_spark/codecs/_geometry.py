@@ -89,12 +89,20 @@ class ConvexHull:
         return total - 2
 
     def at(self, index: int):
-        """Combined indexing with wraparound (zig :305-315)."""
+        """Combined indexing with wraparound (zig :283-315)."""
         n = len(self)
         index = index % n
         if index < len(self.lower):
             return self.lower[index]
         return self.upper[index - len(self.lower) + 1]
+
+    def combined_points(self) -> list:
+        """``[at(0), ..., at(n-1)]`` in one pass (lower chain, then the
+        upper chain's interior) — avoids the per-index arithmetic when a
+        whole-hull scan is needed."""
+        if len(self.lower) + len(self.upper) <= 2:
+            return list(self.lower[:1])
+        return self.lower + self.upper[1:-1]
 
     def all_points_sorted(self) -> list:
         """Time-ordered merge of the two chains, endpoints once (zig :339-380)."""
@@ -112,6 +120,59 @@ class ConvexHull:
         out.extend(upper[ui : len(upper) - 1])
         return out
 
+    def _arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(t, v) float64 arrays of the combined hull points."""
+        points = self.combined_points()
+        n = len(points)
+        t_arr = np.fromiter((float(p[0]) for p in points), np.float64, n)
+        v_arr = np.fromiter((p[1] for p in points), np.float64, n)
+        return t_arr, v_arr
+
+    @staticmethod
+    def _mabr(t_arr: np.ndarray, v_arr: np.ndarray):
+        """MABR line over the hull arrays (n >= 3 branch).
+
+        Vectorized edges x points rotation. ``atan2``/``tan`` stay SCALAR
+        (numpy's differ from libm bit-wise — measured), while cos/sin ARE
+        numpy (measured bit-identical to math.cos/math.sin, including the
+        cos(-x)=cos(x) / sin(-x)=-sin(x) sign symmetry the scalar code
+        relied on). The rotate + min/max fold is the same IEEE op per
+        element and min/max are order-insensitive, so the result is
+        bit-identical to the reference's scalar loop. The reference's
+        floatMin(f64) max-init quirk (zig :147,149) is preserved by folding
+        the reductions against the same initial values.
+        """
+        n = t_arr.shape[0]
+        dy = np.empty(n, np.float64)
+        dx = np.empty(n, np.float64)
+        dy[:-1] = v_arr[1:] - v_arr[:-1]
+        dy[-1] = v_arr[0] - v_arr[-1]
+        dx[:-1] = t_arr[1:] - t_arr[:-1]
+        dx[-1] = t_arr[0] - t_arr[-1]
+        angles = np.fromiter(
+            (math.atan2(dy[i], dx[i]) for i in range(n)), np.float64, n
+        )
+        cos_a = np.cos(angles)  # == cos(-angle) bit-wise
+        sin_a = np.sin(-angles)
+        rx = t_arr[None, :] * cos_a[:, None] - v_arr[None, :] * sin_a[:, None]
+        ry = t_arr[None, :] * sin_a[:, None] + v_arr[None, :] * cos_a[:, None]
+        min_x = np.minimum(rx.min(axis=1), _F64_MAX)
+        max_x = np.maximum(rx.max(axis=1), _F64_MIN)
+        min_y = np.minimum(ry.min(axis=1), _F64_MAX)
+        max_y = np.maximum(ry.max(axis=1), _F64_MIN)
+        areas = (max_x - min_x) * (max_y - min_y)
+        # first-occurrence argmin == the scalar loop's strict `<` update
+        i = int(np.argmin(areas))
+        angle = float(angles[i])
+        min_slope = math.tan(angle)
+        center_x = (float(min_x[i]) + float(max_x[i])) / 2.0
+        center_y = (float(min_y[i]) + float(max_y[i])) / 2.0
+        cos_b = float(cos_a[i])  # cos(angle) == cos(-angle)
+        sin_b = -float(sin_a[i])  # sin(angle) == -sin(-angle), exact
+        back_x = center_x * cos_b - center_y * sin_b
+        back_y = center_x * sin_b + center_y * cos_b
+        return min_slope, back_y - min_slope * back_x
+
     def compute_mabr_linear_function(self):
         """Minimum-area bounding rectangle bisector line (zig :107-192)."""
         n = len(self)
@@ -122,62 +183,56 @@ class ConvexHull:
             delta_time = float(p1[0] - p0[0])
             slope = (p1[1] - p0[1]) / delta_time
             return slope, p0[1] - slope * float(p0[0])
+        return self._mabr(*self._arrays())
 
-        points = [self.at(i) for i in range(n)]
-        min_area = _F64_MAX
-        min_slope = 0.0
-        min_intercept = 0.0
-        for i in range(n):
-            first = points[i]
-            second = points[(i + 1) % n]
-            angle = math.atan2(second[1] - first[1], float(second[0]) - float(first[0]))
-            cos_a = math.cos(-angle)
-            sin_a = math.sin(-angle)
-            min_x = _F64_MAX
-            max_x = _F64_MIN
-            min_y = _F64_MAX
-            max_y = _F64_MIN
-            for t, v in points:
-                rx = float(t) * cos_a - v * sin_a
-                ry = float(t) * sin_a + v * cos_a
-                min_x = min(min_x, rx)
-                max_x = max(max_x, rx)
-                min_y = min(min_y, ry)
-                max_y = max(max_y, ry)
-            area = (max_x - min_x) * (max_y - min_y)
-            if area < min_area:
-                min_area = area
-                min_slope = math.tan(angle)
-                center_x = (min_x + max_x) / 2.0
-                center_y = (min_y + max_y) / 2.0
-                cos_b = math.cos(angle)
-                sin_b = math.sin(angle)
-                back_x = center_x * cos_b - center_y * sin_b
-                back_y = center_x * sin_b + center_y * cos_b
-                min_intercept = back_y - min_slope * back_x
-        return min_slope, min_intercept
+    @staticmethod
+    def _max_error_from_arrays(
+        t_arr: np.ndarray, v_arr: np.ndarray, slope: float, intercept: float
+    ) -> float:
+        # float64 -> f80 conversion is exact, so these are the same f80 ops
+        # per point as the reference's scalar loop; max is order-insensitive
+        # and the scalar loop's 0.0 start is preserved by the final fold
+        errors = np.abs(
+            np.longdouble(slope) * t_arr.astype(np.longdouble)
+            + np.longdouble(intercept)
+            - v_arr.astype(np.longdouble)
+        )
+        return float(np.float64(np.maximum(errors.max(), np.longdouble(0.0))))
 
     def compute_max_error(self, slope: float, intercept: float) -> float:
         """L-inf error of the line over the hull, f80 accumulation (zig :254-280)."""
+        if len(self) == 0:
+            raise EmptyConvexHullError("empty convex hull")
+        t_arr, v_arr = self._arrays()
+        return self._max_error_from_arrays(t_arr, v_arr, slope, intercept)
+
+    def mabr_max_error(self) -> float:
+        """Fused MABR fit + f80 max-error in ONE hull scan — the PWLH
+        per-insert merge-error evaluation (histogram_compression.zig
+        :403-420 computes exactly this pair back to back)."""
         n = len(self)
         if n == 0:
             raise EmptyConvexHullError("empty convex hull")
-        slope_ld = np.longdouble(slope)
-        intercept_ld = np.longdouble(intercept)
-        max_error = np.longdouble(0.0)
-        for i in range(n):
-            t, v = self.at(i)
-            predicted = slope_ld * np.longdouble(t) + intercept_ld
-            current = abs(predicted - np.longdouble(v))
-            if current > max_error:
-                max_error = current
-        return float(np.float64(max_error))
+        if n == 1:
+            slope, intercept = 0.0, self.at(0)[1]
+            t_arr, v_arr = self._arrays()
+        elif n == 2:
+            slope, intercept = self.compute_mabr_linear_function()
+            t_arr, v_arr = self._arrays()
+        else:
+            t_arr, v_arr = self._arrays()
+            slope, intercept = self._mabr(t_arr, v_arr)
+        return self._max_error_from_arrays(t_arr, v_arr, slope, intercept)
 
     def merge(self, other: "ConvexHull", merged: "ConvexHull | None" = None) -> None:
         """Union with another hull, in-place or into ``merged`` (zig :197-250)."""
         if merged is not None:
-            for point in self.all_points_sorted():
-                merged.add(point)
+            # Direct chain copy — equivalent to re-adding all_points_sorted()
+            # through the Graham scan (the points are already the hull's
+            # vertices in strictly-increasing time order, so the scan keeps
+            # every one and rebuilds identical chains), but O(n) C-level.
+            merged.lower = list(self.lower)
+            merged.upper = list(self.upper)
         target = merged if merged is not None else self
 
         if len(other) == 1:

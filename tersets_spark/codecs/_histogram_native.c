@@ -1,0 +1,502 @@
+/* Min-Merge histogram kernel (PWCH/PWLH fast path) — C transcription of
+ * histogram.py + _geometry.py + _heap.py, which are themselves semantics-
+ * parity reimplementations of the reference's
+ * src/functional/histogram_compression.zig, src/utilities/convex_hull.zig
+ * and src/utilities/hashed_priority_queue.zig.
+ *
+ * Bit-exactness contract with the Python path (enforced by
+ * tests/test_native_histogram.py differential suite):
+ *  - all double arithmetic is the same IEEE-754 ops in the same order;
+ *    compiled with -ffp-contract=off and no fast-math so no fma fusion;
+ *  - trig (atan2/cos/sin/tan) comes from the same libm CPython's math
+ *    module calls;
+ *  - the f80 max-error accumulation uses x86 long double, the same type
+ *    as np.longdouble on this platform;
+ *  - every reference quirk is preserved: floatMin(f64) max-init in the
+ *    MABR fold, the heap's no-resift-on-equal-index update, sentinel
+ *    renames (max_buckets+10, 1e16), and tangent merges that mutate the
+ *    first hull.
+ */
+
+#include <math.h>
+#include <float.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* geometry                                                           */
+/* ------------------------------------------------------------------ */
+
+typedef struct { long t; double v; } Point;
+
+typedef struct {
+    Point *pts;
+    long n, cap;
+} Chain;
+
+typedef struct {
+    Chain lower, upper;
+} Hull;
+
+#define TURN_RIGHT 0
+#define TURN_LEFT 1
+#define TURN_COLLINEAR 2
+
+static int chain_reserve(Chain *c, long need) {
+    if (need <= c->cap) return 0;
+    long cap = c->cap ? c->cap * 2 : 8;
+    while (cap < need) cap *= 2;
+    Point *p = (Point *)realloc(c->pts, (size_t)cap * sizeof(Point));
+    if (!p) return -1;
+    c->pts = p; c->cap = cap;
+    return 0;
+}
+
+static int chain_push(Chain *c, Point p) {
+    if (chain_reserve(c, c->n + 1)) return -1;
+    c->pts[c->n++] = p;
+    return 0;
+}
+
+static int compute_turn(Point first, Point middle, Point last) {
+    double cross = (middle.v - first.v) * (double)(last.t - middle.t)
+                 - (last.v - middle.v) * (double)(middle.t - first.t);
+    if (cross == 0.0) return TURN_COLLINEAR;
+    return cross > 0.0 ? TURN_RIGHT : TURN_LEFT;
+}
+
+static int add_to_chain(Chain *c, int turn, Point p) {
+    if (c->n < 2) return chain_push(c, p);
+    long top = c->n - 1;
+    while (top > 0 && compute_turn(c->pts[top - 1], c->pts[top], p) != turn) {
+        c->n--; top--;
+    }
+    return chain_push(c, p);
+}
+
+static int hull_add(Hull *h, Point p) {
+    if (add_to_chain(&h->upper, TURN_RIGHT, p)) return -1;
+    if (add_to_chain(&h->lower, TURN_LEFT, p)) return -1;
+    return 0;
+}
+
+static long hull_len(const Hull *h) {
+    long total = h->lower.n + h->upper.n;
+    if (total == 0) return 0;
+    if (total == 2) return 1;
+    return total - 2;
+}
+
+static Point hull_at0(const Hull *h) { return h->lower.pts[0]; }
+
+/* time-ordered merge of the chains, endpoints once (all_points_sorted) */
+static long hull_sorted(const Hull *h, Point *out) {
+    long li = 0, ui = 1, k = 0;
+    const Chain *lo = &h->lower, *up = &h->upper;
+    while (li < lo->n && ui < up->n - 1) {
+        if (lo->pts[li].t <= up->pts[ui].t) out[k++] = lo->pts[li++];
+        else out[k++] = up->pts[ui++];
+    }
+    while (li < lo->n) out[k++] = lo->pts[li++];
+    while (ui < up->n - 1) out[k++] = up->pts[ui++];
+    return k;
+}
+
+/* combined at(0..n-1) order: lower chain, then upper interior */
+static long hull_combined(const Hull *h, Point *out) {
+    long k = 0;
+    if (h->lower.n + h->upper.n <= 2) {
+        if (h->lower.n > 0) out[k++] = h->lower.pts[0];
+        return k;
+    }
+    for (long i = 0; i < h->lower.n; i++) out[k++] = h->lower.pts[i];
+    for (long i = 1; i < h->upper.n - 1; i++) out[k++] = h->upper.pts[i];
+    return k;
+}
+
+/* outer tangent; pops violators from hull_one (mutates!) */
+static long find_tangent(Chain *one, const Chain *two, int upper) {
+    int violation = upper ? TURN_LEFT : TURN_RIGHT;
+    long one_idx = one->n - 1;
+    long two_idx = 0;
+    for (;;) {
+        if (two_idx != two->n - 1) {
+            int turn = compute_turn(one->pts[one_idx], two->pts[two_idx],
+                                    two->pts[two_idx + 1]);
+            if (turn == violation) { two_idx++; continue; }
+        }
+        if (one_idx != 0) {
+            int turn = compute_turn(one->pts[one_idx - 1], one->pts[one_idx],
+                                    two->pts[two_idx]);
+            if (turn == violation) { one_idx--; one->n--; continue; }
+        }
+        break;
+    }
+    return two_idx;
+}
+
+/* merge `other` into `target` (the merged==None / in-place path, and the
+ * merged-scratch path after the caller chain-copies self into target) */
+static int hull_merge_into(Hull *target, const Hull *other, Point *scratch) {
+    if (hull_len(other) == 1) return hull_add(target, hull_at0(other));
+    if (hull_len(target) == 1) {
+        long n = hull_sorted(other, scratch);
+        for (long i = 0; i < n; i++)
+            if (hull_add(target, scratch[i])) return -1;
+        return 0;
+    }
+    long up2 = find_tangent(&target->upper, &other->upper, 1);
+    long lo2 = find_tangent(&target->lower, &other->lower, 0);
+    for (long i = up2; i < other->upper.n; i++)
+        if (chain_push(&target->upper, other->upper.pts[i])) return -1;
+    for (long i = lo2; i < other->lower.n; i++)
+        if (chain_push(&target->lower, other->lower.pts[i])) return -1;
+    return 0;
+}
+
+static int hull_copy(Hull *dst, const Hull *src) {
+    if (chain_reserve(&dst->lower, src->lower.n)) return -1;
+    if (chain_reserve(&dst->upper, src->upper.n)) return -1;
+    memcpy(dst->lower.pts, src->lower.pts, (size_t)src->lower.n * sizeof(Point));
+    memcpy(dst->upper.pts, src->upper.pts, (size_t)src->upper.n * sizeof(Point));
+    dst->lower.n = src->lower.n;
+    dst->upper.n = src->upper.n;
+    return 0;
+}
+
+/* MABR bisector line over `points[0..n-1]` — scalar loop, zig :107-192.
+ * DBL_MIN is std.math.floatMin(f64): the reference's max-init quirk. */
+static void mabr_line(const Point *points, long n, double *out_slope,
+                      double *out_intercept) {
+    if (n == 1) { *out_slope = 0.0; *out_intercept = points[0].v; return; }
+    if (n == 2) {
+        double delta_time = (double)(points[1].t - points[0].t);
+        double slope = (points[1].v - points[0].v) / delta_time;
+        *out_slope = slope;
+        *out_intercept = points[0].v - slope * (double)points[0].t;
+        return;
+    }
+    double min_area = DBL_MAX, min_slope = 0.0, min_intercept = 0.0;
+    for (long i = 0; i < n; i++) {
+        Point first = points[i];
+        Point second = points[(i + 1) % n];
+        double angle = atan2(second.v - first.v, (double)(second.t - first.t));
+        double cos_a = cos(-angle);
+        double sin_a = sin(-angle);
+        double min_x = DBL_MAX, max_x = DBL_MIN, min_y = DBL_MAX, max_y = DBL_MIN;
+        for (long j = 0; j < n; j++) {
+            double rx = (double)points[j].t * cos_a - points[j].v * sin_a;
+            double ry = (double)points[j].t * sin_a + points[j].v * cos_a;
+            if (rx < min_x) min_x = rx;
+            if (rx > max_x) max_x = rx;
+            if (ry < min_y) min_y = ry;
+            if (ry > max_y) max_y = ry;
+        }
+        double area = (max_x - min_x) * (max_y - min_y);
+        if (area < min_area) {
+            min_area = area;
+            min_slope = tan(angle);
+            double center_x = (min_x + max_x) / 2.0;
+            double center_y = (min_y + max_y) / 2.0;
+            double cos_b = cos(angle);
+            double sin_b = sin(angle);
+            double back_x = center_x * cos_b - center_y * sin_b;
+            double back_y = center_x * sin_b + center_y * cos_b;
+            min_intercept = back_y - min_slope * back_x;
+        }
+    }
+    *out_slope = min_slope;
+    *out_intercept = min_intercept;
+}
+
+/* f80 L-inf error of the line over the points (zig :254-280) */
+static double max_error_f80(const Point *points, long n, double slope,
+                            double intercept) {
+    long double slope_ld = (long double)slope;
+    long double intercept_ld = (long double)intercept;
+    long double max_error = 0.0L;
+    for (long i = 0; i < n; i++) {
+        long double predicted = slope_ld * (long double)points[i].t + intercept_ld;
+        long double current = fabsl(predicted - (long double)points[i].v);
+        if (current > max_error) max_error = current;
+    }
+    return (double)max_error;
+}
+
+/* ------------------------------------------------------------------ */
+/* hashed heap (mirror of _heap.py / hashed_priority_queue.zig)       */
+/* ------------------------------------------------------------------ */
+
+typedef struct { long index; double merge_error; } MergeError;
+
+typedef struct {
+    MergeError *items;
+    long n, cap;
+    long *pos_of_key;   /* direct-address map: key -> position, -1 absent */
+    long key_cap;
+} Heap;
+
+static int me_compare(MergeError a, MergeError b) {
+    if (a.index == b.index) return 0;
+    if (a.merge_error > b.merge_error) return 1;
+    if (a.merge_error < b.merge_error) return -1;
+    return 0;
+}
+
+static void heap_sift_up(Heap *h, long start) {
+    MergeError child = h->items[start];
+    long child_index = start;
+    while (child_index > 0) {
+        long parent_index = (child_index - 1) >> 1;
+        MergeError parent = h->items[parent_index];
+        if (me_compare(child, parent) >= 0) break;
+        h->items[child_index] = parent;
+        h->pos_of_key[parent.index] = child_index;
+        child_index = parent_index;
+    }
+    h->items[child_index] = child;
+    h->pos_of_key[child.index] = child_index;
+}
+
+static void heap_sift_down(Heap *h, long start) {
+    long n = h->n;
+    MergeError target = h->items[start];
+    long index = start;
+    for (;;) {
+        long lesser = (index * 2) | 1;
+        if (lesser >= n) break;
+        long nxt = lesser + 1;
+        if (nxt < n && me_compare(h->items[nxt], h->items[lesser]) < 0) lesser = nxt;
+        if (me_compare(target, h->items[lesser]) < 0) break;
+        h->items[index] = h->items[lesser];
+        h->pos_of_key[h->items[index].index] = index;
+        index = lesser;
+    }
+    h->items[index] = target;
+    h->pos_of_key[target.index] = index;
+}
+
+static int heap_add(Heap *h, MergeError e) {
+    if (h->n + 1 > h->cap) {
+        long cap = h->cap ? h->cap * 2 : 16;
+        MergeError *it = (MergeError *)realloc(h->items, (size_t)cap * sizeof(MergeError));
+        if (!it) return -1;
+        h->items = it; h->cap = cap;
+    }
+    h->items[h->n] = e;
+    h->pos_of_key[e.index] = h->n;
+    h->n++;
+    heap_sift_up(h, h->n - 1);
+    return 0;
+}
+
+/* remove_index(0) — pop */
+static MergeError heap_pop(Heap *h) {
+    MergeError item = h->items[0];
+    MergeError last = h->items[--h->n];
+    if (0 < h->n) {
+        h->items[0] = last;
+        heap_sift_down(h, 0);
+    }
+    /* index_map.pop(key(item)) AFTER the sift, unconditionally — mirroring
+     * _heap.py (dict.pop even clobbers a same-key sentinel the sift just
+     * re-placed, exactly like the reference's HashMap) */
+    h->pos_of_key[item.index] = -1;
+    return item;
+}
+
+/* update(old identified by key old.index) -> new */
+static int heap_update(Heap *h, MergeError old_key, MergeError new_elem) {
+    long pos = h->pos_of_key[old_key.index];
+    if (pos < 0) return -1;
+    MergeError old_elem = h->items[pos];
+    h->pos_of_key[old_key.index] = -1;
+    h->pos_of_key[new_elem.index] = pos;
+    h->items[pos] = new_elem;
+    int order = me_compare(new_elem, old_elem);
+    if (order < 0) heap_sift_up(h, pos);
+    else if (order > 0) heap_sift_down(h, pos);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* histogram                                                          */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    long begin, end;
+    double min_val, max_val;
+    Hull hull;
+} Bucket;
+
+typedef struct {
+    int approximation;     /* 0 constant, 1 linear */
+    long max_buckets;
+    Bucket *buckets;
+    long n_buckets;
+    Heap queue;
+    Hull scratch;          /* merged-hull scratch for merge errors */
+    Point *pbuf;           /* combined/sorted point scratch */
+    long pbuf_cap;
+} Histogram;
+
+static int pbuf_reserve(Histogram *hg, long need) {
+    if (need <= hg->pbuf_cap) return 0;
+    long cap = hg->pbuf_cap ? hg->pbuf_cap * 2 : 64;
+    while (cap < need) cap *= 2;
+    Point *p = (Point *)realloc(hg->pbuf, (size_t)cap * sizeof(Point));
+    if (!p) return -1;
+    hg->pbuf = p; hg->pbuf_cap = cap;
+    return 0;
+}
+
+static double merge_error(Histogram *hg, long index, int *err) {
+    Bucket *one = &hg->buckets[index];
+    Bucket *two = &hg->buckets[index + 1];
+    if (hg->approximation == 0) {
+        double mx = one->max_val > two->max_val ? one->max_val : two->max_val;
+        double mn = one->min_val < two->min_val ? one->min_val : two->min_val;
+        return (mx - mn) / 2.0;
+    }
+    /* merged = copy(one.hull); merged.merge(two.hull) */
+    hg->scratch.lower.n = 0;
+    hg->scratch.upper.n = 0;
+    if (hull_copy(&hg->scratch, &one->hull)) { *err = 1; return 0.0; }
+    if (pbuf_reserve(hg, two->hull.lower.n + two->hull.upper.n + 4)) { *err = 1; return 0.0; }
+    if (hull_merge_into(&hg->scratch, &two->hull, hg->pbuf)) { *err = 1; return 0.0; }
+    long total = hg->scratch.lower.n + hg->scratch.upper.n;
+    if (pbuf_reserve(hg, total + 4)) { *err = 1; return 0.0; }
+    long n = hull_combined(&hg->scratch, hg->pbuf);
+    double slope, intercept;
+    mabr_line(hg->pbuf, n, &slope, &intercept);
+    return max_error_f80(hg->pbuf, n, slope, intercept);
+}
+
+static int update_all_index(Histogram *hg, long from) {
+    for (long i = from; i < hg->n_buckets; i++) {
+        long pos = hg->queue.pos_of_key[i];
+        if (pos < 0) return -1;
+        MergeError old = hg->queue.items[pos];
+        MergeError nw;
+        if (i == from) {
+            nw.index = hg->max_buckets + 10;  /* logical removal sentinel */
+            nw.merge_error = 1e16;
+        } else {
+            nw.index = old.index - 1;
+            nw.merge_error = old.merge_error;
+        }
+        if (heap_update(&hg->queue, old, nw)) return -1;
+    }
+    return 0;
+}
+
+static int min_merge(Histogram *hg) {
+    int err = 0;
+    MergeError mm = heap_pop(&hg->queue);
+    long index = mm.index;
+    Bucket *one = &hg->buckets[index];
+    Bucket *two = &hg->buckets[index + 1];
+    one->end = two->end;
+    if (two->min_val < one->min_val) one->min_val = two->min_val;
+    if (two->max_val > one->max_val) one->max_val = two->max_val;
+    if (hg->approximation == 1) {
+        if (pbuf_reserve(hg, two->hull.lower.n + two->hull.upper.n + 4)) return -1;
+        if (hull_merge_into(&one->hull, &two->hull, hg->pbuf)) return -1;
+    }
+    /* del buckets[index+1] */
+    free(two->hull.lower.pts);
+    free(two->hull.upper.pts);
+    memmove(&hg->buckets[index + 1], &hg->buckets[index + 2],
+            (size_t)(hg->n_buckets - index - 2) * sizeof(Bucket));
+    hg->n_buckets--;
+
+    if (index < hg->n_buckets - 1) {
+        MergeError e = { index, merge_error(hg, index, &err) };
+        if (err) return -1;
+        if (heap_add(&hg->queue, e)) return -1;
+        if (index > 0) {
+            MergeError oldk = { index - 1, -1.0 };
+            MergeError nw = { index - 1, merge_error(hg, index - 1, &err) };
+            if (err) return -1;
+            if (heap_update(&hg->queue, oldk, nw)) return -1;
+        }
+        if (update_all_index(hg, index + 1)) return -1;
+    }
+    return 0;
+}
+
+static int hist_insert(Histogram *hg, long index, double value) {
+    int err = 0;
+    Bucket *b = &hg->buckets[hg->n_buckets];
+    memset(b, 0, sizeof(Bucket));
+    b->begin = b->end = index;
+    b->min_val = b->max_val = value;
+    Point p = { index, value };
+    if (hull_add(&b->hull, p)) return -1;
+    hg->n_buckets++;
+    if (hg->n_buckets > 1) {
+        long last = hg->n_buckets - 1;
+        MergeError e = { last - 1, merge_error(hg, last - 1, &err) };
+        if (err) return -1;
+        if (heap_add(&hg->queue, e)) return -1;
+    }
+    if (hg->n_buckets > hg->max_buckets) {
+        if (min_merge(hg)) return -1;
+    }
+    return 0;
+}
+
+/* Public entry: returns bucket count >= 0 on success,
+ * -1 = allocation/internal failure, -2 = non-finite input.
+ * out arrays must hold max_buckets entries each; slope/intercept are
+ * filled for the LINEAR variant (MABR of each final bucket hull). */
+long tersets_histogram(const double *values, long n, long max_buckets,
+                       int approximation, long *out_begin, long *out_end,
+                       double *out_min, double *out_max, double *out_slope,
+                       double *out_intercept) {
+    Histogram hg;
+    memset(&hg, 0, sizeof(hg));
+    hg.approximation = approximation;
+    hg.max_buckets = max_buckets;
+    hg.buckets = (Bucket *)calloc((size_t)(max_buckets + 2), sizeof(Bucket));
+    hg.queue.pos_of_key = (long *)malloc((size_t)(max_buckets + 16) * sizeof(long));
+    long rc = -1;
+    if (!hg.buckets || !hg.queue.pos_of_key) goto done;
+    for (long i = 0; i < max_buckets + 16; i++) hg.queue.pos_of_key[i] = -1;
+
+    for (long i = 0; i < n; i++) {
+        if (!isfinite(values[i])) { rc = -2; goto done; }
+        if (hist_insert(&hg, i, values[i])) goto done;
+    }
+
+    for (long i = 0; i < hg.n_buckets; i++) {
+        Bucket *b = &hg.buckets[i];
+        out_begin[i] = b->begin;
+        out_end[i] = b->end;
+        out_min[i] = b->min_val;
+        out_max[i] = b->max_val;
+        if (approximation == 1) {
+            long total = b->hull.lower.n + b->hull.upper.n;
+            if (pbuf_reserve(&hg, total + 4)) goto done;
+            long np = hull_combined(&b->hull, hg.pbuf);
+            mabr_line(hg.pbuf, np, &out_slope[i], &out_intercept[i]);
+        } else {
+            out_slope[i] = 0.0;
+            out_intercept[i] = 0.0;
+        }
+    }
+    rc = hg.n_buckets;
+
+done:
+    for (long i = 0; i < hg.n_buckets; i++) {
+        free(hg.buckets[i].hull.lower.pts);
+        free(hg.buckets[i].hull.upper.pts);
+    }
+    free(hg.buckets);
+    free(hg.queue.items);
+    free(hg.queue.pos_of_key);
+    free(hg.scratch.lower.pts);
+    free(hg.scratch.upper.pts);
+    free(hg.pbuf);
+    return rc;
+}

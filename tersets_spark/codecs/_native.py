@@ -1,0 +1,94 @@
+"""Compile-on-first-use loader for the C histogram kernel.
+
+The C source ships INSIDE the package (and inside the ``--py-files`` zip —
+shipping.py includes ``.c`` files), so any node that has a C compiler can
+build it locally; the build is cached in the system temp dir keyed by the
+source hash, with an atomic rename so concurrent Python workers race
+safely. No compiler, no ctypes, any failure at all -> ``None``, and the
+pure-Python path (histogram.py) serves identical results — the native
+kernel is a fast path, never a correctness dependency (differential suite:
+tests/test_native_histogram.py).
+
+Set ``TERSETS_SPARK_NO_NATIVE=1`` to force the Python path.
+
+Compile flags: ``-O2 -ffp-contract=off`` — contraction off is load-bearing
+(GCC would otherwise fuse a*b+c into fma and change results vs NumPy);
+no fast-math flags, so all arithmetic stays strict IEEE-754.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import shutil
+import subprocess
+import tempfile
+
+_SOURCE_NAME = "_histogram_native.c"
+
+
+def _read_source() -> bytes | None:
+    # importlib.resources works both from the filesystem and from the
+    # shipped zip (zipimport), unlike a plain open(__file__-relative).
+    try:
+        from importlib.resources import files
+
+        return files(__package__).joinpath(_SOURCE_NAME).read_bytes()
+    except Exception:
+        return None
+
+
+def _build(src: bytes) -> str | None:
+    digest = hashlib.sha256(src).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"tersets_hist_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        return None
+    tmpdir = tempfile.mkdtemp(prefix="tersets_hist_build_")
+    try:
+        c_path = os.path.join(tmpdir, _SOURCE_NAME)
+        with open(c_path, "wb") as f:
+            f.write(src)
+        tmp_so = os.path.join(tmpdir, "out.so")
+        proc = subprocess.run(
+            [cc, "-O2", "-ffp-contract=off", "-fPIC", "-shared", c_path,
+             "-o", tmp_so, "-lm"],
+            capture_output=True,
+            timeout=120,
+        )
+        if proc.returncode != 0:
+            return None
+        os.replace(tmp_so, so_path)  # atomic: concurrent builders converge
+        return so_path
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def load_histogram_kernel():
+    """Return a configured ctypes function or None (Python fallback)."""
+    if os.environ.get("TERSETS_SPARK_NO_NATIVE"):
+        return None
+    src = _read_source()
+    if src is None:
+        return None
+    so_path = _build(src)
+    if so_path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so_path)
+        fn = lib.tersets_histogram
+    except Exception:
+        return None
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_lp = ctypes.POINTER(ctypes.c_long)
+    fn.restype = ctypes.c_long
+    fn.argtypes = [
+        c_dp, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        c_lp, c_lp, c_dp, c_dp, c_dp, c_dp,
+    ]
+    return fn

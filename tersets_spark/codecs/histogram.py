@@ -35,6 +35,7 @@ Reference quirks reproduced faithfully (they shape the observable output):
 
 from __future__ import annotations
 
+import ctypes
 import math
 import struct
 
@@ -43,8 +44,13 @@ import numpy as np
 from ..errors import UnsupportedErrorBoundError, UnsupportedInputError
 from ._geometry import ConvexHull
 from ._heap import HashedHeap
+from ._native import load_histogram_kernel
 
 CONSTANT, LINEAR = 0, 1
+
+#: C fast path (None -> pure-Python). Same observable output bit-for-bit —
+#: differential suite in tests/test_native_histogram.py.
+_NATIVE = load_histogram_kernel()
 
 
 class _Bucket:
@@ -98,8 +104,7 @@ class _Histogram:
             return (max(one.max_val, two.max_val) - min(one.min_val, two.min_val)) / 2.0
         merged = ConvexHull()
         self.buckets[index].hull.merge(self.buckets[index + 1].hull, merged)
-        slope, intercept = merged.compute_mabr_linear_function()
-        return merged.compute_max_error(slope, intercept)
+        return merged.mabr_max_error()
 
     def _min_merge(self) -> None:
         min_merge = self.queue.pop()
@@ -135,12 +140,16 @@ class _Histogram:
             self.queue.update(old, new)
 
 
-def _check_and_buckets(values: np.ndarray, error_bound: float, approximation: int):
+def _max_buckets_for(error_bound: float) -> int:
     if np.float32(error_bound) <= 1.0:
         raise UnsupportedErrorBoundError(
             "histogram methods take the max bucket count (> 1) as error_bound"
         )
-    max_buckets = int(math.floor(np.float32(error_bound)))
+    return int(math.floor(np.float32(error_bound)))
+
+
+def _check_and_buckets(values: np.ndarray, error_bound: float, approximation: int):
+    max_buckets = _max_buckets_for(error_bound)
     histogram = _Histogram(max_buckets, approximation)
     for index, value in enumerate(values):
         value = float(value)
@@ -150,20 +159,68 @@ def _check_and_buckets(values: np.ndarray, error_bound: float, approximation: in
     return histogram.buckets
 
 
+def _buckets_native(values: np.ndarray, max_buckets: int, approximation: int):
+    """Run the C Min-Merge kernel; returns (n, begin, end, minv, maxv,
+    slope, intercept) arrays or None when the kernel is unavailable."""
+    if _NATIVE is None:
+        return None
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    n = vals.shape[0]
+    begin = np.empty(max_buckets + 2, dtype=np.int64)
+    end = np.empty(max_buckets + 2, dtype=np.int64)
+    minv = np.empty(max_buckets + 2, dtype=np.float64)
+    maxv = np.empty(max_buckets + 2, dtype=np.float64)
+    slope = np.empty(max_buckets + 2, dtype=np.float64)
+    intercept = np.empty(max_buckets + 2, dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lp = ctypes.POINTER(ctypes.c_long)
+    rc = _NATIVE(
+        vals.ctypes.data_as(dp), n, max_buckets, approximation,
+        begin.ctypes.data_as(lp), end.ctypes.data_as(lp),
+        minv.ctypes.data_as(dp), maxv.ctypes.data_as(dp),
+        slope.ctypes.data_as(dp), intercept.ctypes.data_as(dp),
+    )
+    if rc == -2:
+        raise UnsupportedInputError("non-finite input")
+    if rc < 0:  # allocation/internal failure: fall back to Python
+        return None
+    return int(rc), begin, end, minv, maxv, slope, intercept
+
+
 def compress_pwch(values: np.ndarray, error_bound: float) -> bytes:
     """PWCH (zig :57-90): (half_spread f64, end_exclusive u64) pairs."""
-    buckets = _check_and_buckets(values, error_bound, CONSTANT)
+    max_buckets = _max_buckets_for(error_bound)
+    native = _buckets_native(values, max_buckets, CONSTANT)
     out = bytearray()
-    for bucket in buckets:
+    if native is not None:
+        nb, _begin, end, minv, maxv, _s, _i = native
+        for i in range(nb):
+            out += struct.pack("<dQ", (maxv[i] - minv[i]) / 2.0, int(end[i]) + 1)
+        return bytes(out)
+    for bucket in _check_and_buckets(values, error_bound, CONSTANT):
         out += struct.pack("<dQ", (bucket.max_val - bucket.min_val) / 2.0, bucket.end + 1)
     return bytes(out)
 
 
 def compress_pwlh(values: np.ndarray, error_bound: float) -> bytes:
     """PWLH (zig :95-142): (begin_value, end_value + 1, end_exclusive) triplets."""
-    buckets = _check_and_buckets(values, error_bound, LINEAR)
+    max_buckets = _max_buckets_for(error_bound)
+    native = _buckets_native(values, max_buckets, LINEAR)
     out = bytearray()
-    for bucket in buckets:
+    if native is not None:
+        nb, begin, end, _minv, _maxv, slopes, intercepts = native
+        for i in range(nb):
+            b, e = int(begin[i]), int(end[i])
+            if e - b > 1:
+                slope, intercept = float(slopes[i]), float(intercepts[i])
+                begin_value = slope * float(b) + intercept
+                end_value = slope * float(e) + intercept
+                out += struct.pack("<dd", begin_value, end_value + 1)  # zig :134
+            else:
+                out += struct.pack("<dd", float(values[b]), float(values[e]))
+            out += struct.pack("<Q", e + 1)
+        return bytes(out)
+    for bucket in _check_and_buckets(values, error_bound, LINEAR):
         slope, intercept = bucket.hull.compute_mabr_linear_function()
         if bucket.end - bucket.begin > 1:
             begin_value = slope * float(bucket.begin) + intercept
@@ -195,7 +252,7 @@ def decompress_pwlh(blob: bytes) -> np.ndarray:
         raise UnsupportedInputError("PWLH blob length must be a multiple of 24")
     words = np.frombuffer(blob, dtype="<f8")
     ends = words.view("<u8")
-    out: list[float] = []
+    chunks: list[np.ndarray] = []
     first_t = 0
     index = 0
     while index < len(words):
@@ -206,13 +263,17 @@ def decompress_pwlh(blob: bytes) -> np.ndarray:
             duration = float(end_t - first_t)
             slope = (end_v - start_v) / duration
             intercept = start_v - slope * float(first_t)
-            out.append(start_v)
-            for t in range(first_t + 1, end_t):
-                out.append(slope * float(t) + intercept)
-            out.append(end_v)
+            seg = np.empty(end_t - first_t + 1, dtype=np.float64)
+            seg[0] = start_v
+            # same IEEE ops per interior point as the scalar loop
+            seg[1:-1] = slope * np.arange(first_t + 1, end_t, dtype=np.float64) + intercept
+            seg[-1] = end_v
+            chunks.append(seg)
             first_t = end_t + 1
         else:
-            out.append(start_v)
+            chunks.append(np.array([start_v], dtype=np.float64))
             first_t += 1
         index += 3
-    return np.asarray(out, dtype=np.float64)
+    if not chunks:
+        return np.empty(0, dtype=np.float64)
+    return np.concatenate(chunks)

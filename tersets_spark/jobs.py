@@ -32,6 +32,9 @@ from .shipping import ensure_shipped
 def _move_partitions_and_record(
     catalog: TierCatalog, tier: str, tmp_dir: str, sources: list[str], t0: float
 ) -> None:
+    """Commit each written source partition as an immutable run dir; the
+    manifest append inside ``commit_moved_partition`` is the commit point
+    (object-store-safe: no rename atomicity relied on — see catalog.py)."""
     import shutil
 
     wall_ms = round((time.monotonic() - t0) * 1000, 1)
@@ -39,16 +42,8 @@ def _move_partitions_and_record(
         tmp_part = os.path.join(tmp_dir, f"source={src}")
         if not os.path.exists(tmp_part):
             continue
-        final = catalog.partition_dir(tier, src)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        os.replace(tmp_part, final)
-        ds = pa_ds.dataset(final, format="parquet")
-        rows = ds.count_rows()
-        bytes_out = sum(os.path.getsize(os.path.join(r, f))
-                        for r, _d, fs in os.walk(final) for f in fs)
-        catalog.record(tier, src, rows=rows, bytes_out=bytes_out, wall_ms=wall_ms)
+        rows = pa_ds.dataset(tmp_part, format="parquet").count_rows()
+        catalog.commit_moved_partition(tier, src, tmp_part, rows=rows, wall_ms=wall_ms)
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
@@ -166,18 +161,27 @@ def apply_retention(
 ) -> dict[str, int]:
     """Expire tier data older than the policy's horizon, per tier.
 
-    Row-level expiry on the bucket time axis: each kept source partition is
-    rewritten atomically without the expired buckets (raw rows expire on
-    ``ts0``); partitions whose data expires entirely are deleted. Every
-    expiry is recorded in the manifest (`status=retention`) with the dropped
-    row count, so lineage shows what was removed and when. Returns
-    tier -> rows dropped.
+    Row-level expiry on the bucket time axis (raw rows expire on ``ts0``).
+    TWO Spark jobs per tier, regardless of partition count:
 
-    Scale note: the rewrite filter is bucket_ts >= horizon — a pushed-down
-    min/max row-group prune on the time axis, so only row groups straddling
-    the horizon are actually read.
+    1. one aggregation computes per-source expired-row counts (this is also
+       the lineage: each affected source gets a ``status=retention``
+       manifest record with its dropped count);
+    2. one partitioned write rewrites ONLY the affected sources without
+       their expired rows; each rewritten partition directory is then
+       swapped in atomically, and partitions whose data expired entirely
+       are deleted.
+
+    The previous design ran a count + rewrite job per partition from a
+    driver loop — at thousands of (source x tier) partitions the driver
+    serializes the cluster. On Iceberg proper this whole function is a
+    metadata ``DELETE WHERE ts < horizon``; the two-job shape here is the
+    plain-parquet equivalent with the same per-partition lineage.
+
+    Scale note: both jobs filter on the time axis — a pushed-down min/max
+    row-group prune, so only row groups straddling the horizon are read.
     """
-    import json
+    import shutil
 
     from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
 
@@ -192,39 +196,40 @@ def apply_retention(
             continue
         horizon = now_ts - keep_seconds
         ts_col = "ts0" if tier == "raw" else "bucket_ts"
-        tier_dropped = 0
-        for entry in sorted(os.listdir(tier_dir)):
-            if not entry.startswith("source="):
-                continue
-            part_dir = os.path.join(tier_dir, entry)
-            part = spark.read.parquet(part_dir)
-            n_expired = part.filter(F.col(ts_col) < horizon).count()
-            if n_expired == 0:
-                continue
-            kept = part.filter(F.col(ts_col) >= horizon)
-            tmp = part_dir + ".retention-tmp"
-            kept.write.mode("overwrite").parquet(tmp)
-            import shutil
-
-            shutil.rmtree(part_dir)
-            if spark.read.parquet(tmp).count() == 0:
-                shutil.rmtree(tmp)
-            else:
-                os.replace(tmp, part_dir)
-            tier_dropped += n_expired
-            with open(catalog.manifest_path, "a") as f:
-                f.write(
-                    json.dumps(
-                        {
-                            "tier": tier,
-                            "partition": entry.split("=", 1)[1],
-                            "status": "retention",
-                            "dropped_rows": n_expired,
-                            "horizon_ts": horizon,
-                            "wall_clock_unix": time.time(),
-                        }
-                    )
-                    + "\n"
+        tier_df = catalog.read_tier(spark, tier)
+        # job 1: per-source expired counts (drives lineage + the rewrite set)
+        expired = {
+            r["source"]: r["n"]
+            for r in tier_df.filter(F.col(ts_col) < horizon)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not expired:
+            dropped[tier] = 0
+            continue
+        affected = sorted(expired)
+        # job 2: one partitioned rewrite of only the affected sources
+        tmp_dir = os.path.join(out_dir, f"_retention_{tier}_{os.getpid()}")
+        (
+            tier_df.filter(F.col("source").isin(affected) & (F.col(ts_col) >= horizon))
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(tmp_dir)
+        )
+        for src in affected:
+            tmp_part = os.path.join(tmp_dir, f"source={src}")
+            if os.path.exists(tmp_part):
+                catalog.commit_moved_partition(
+                    tier, src, tmp_part, status="retention",
+                    dropped_rows=expired[src], horizon_ts=horizon,
                 )
-        dropped[tier] = tier_dropped
+            else:
+                # every row of this source expired -> commit the deletion
+                catalog.delete_partition(
+                    tier, src, status="retention",
+                    dropped_rows=expired[src], horizon_ts=horizon,
+                )
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        dropped[tier] = sum(expired.values())
     return dropped

@@ -30,7 +30,9 @@ def _build_zip() -> str:
             if "__pycache__" in root:
                 continue
             for name in files:
-                if not name.endswith(".py"):
+                # .c rides along so workers can build the native histogram
+                # fast path locally (codecs/_native.py, zip-safe loader)
+                if not name.endswith((".py", ".c")):
                     continue
                 full = os.path.join(root, name)
                 rel = os.path.join("tersets_spark", os.path.relpath(full, pkg_dir))

@@ -70,7 +70,11 @@ def stream_sequences_to_tier(
         # subdirectory, never another batch's.
         batch_dir = os.path.join(catalog.base_dir, tier, f"batch={batch_id}")
         rolled.write.mode("overwrite").parquet(batch_dir)
-        rows = spark.read.parquet(batch_dir).count()
+        # row count from parquet footers (driver-local metadata read) — no
+        # second Spark job re-scanning the batch output
+        import pyarrow.dataset as pa_ds
+
+        rows = pa_ds.dataset(batch_dir, format="parquet").count_rows()
         catalog.record(tier, f"batch={batch_id}", rows=rows, bytes_out=0)
 
     return (
