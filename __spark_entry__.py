@@ -672,6 +672,103 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the timeseries join Spark lacks natively): for every
+    click, the most recent purchase-second at-or-before it per user, voided
+    past a 1h tolerance. Union + running-window plan — ONE shuffle on the
+    by-key, no join node at all; oracle is DuckDB's native ASOF JOIN."""
+    from tersets_spark.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    ts_sec = _epoch_seconds()
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", ts_sec.alias("ts_sec")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", ts_sec.alias("ts_sec"))
+        .agg(F.sum(cents).alias("p_cents"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts_sec", by=["user_id"],
+        value_cols=["p_cents"], tolerance=3600, direction="backward",
+    )
+    return joined.select(
+        "user_id", "ts_sec",
+        F.col("ts_sec_right").alias("purchase_ts"),
+        F.col("p_cents_right").alias("purchase_cents"),
+    )
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: per purchase, the clicks in the following 24h
+    (half-open). Equi-join on coarse time buckets + exact filter — a
+    shuffled hash join, never a nested-loop scan."""
+    from tersets_spark.asof import range_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    ts_sec = _epoch_seconds()
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", ts_sec.alias("ts_sec"), cents.alias("cents")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_sec.alias("ts_sec"))
+        .distinct()
+    )
+    pairs = range_join(
+        purchases, clicks, on="ts_sec", by=["user_id"], lower=1, upper=86401
+    )
+    return pairs.groupBy("user_id", "ts_sec").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.sum("cents_right").alias("follow_cents"),
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the event stream per user —
+    batch twin of the applyInPandasWithState streaming operator."""
+    from tersets_spark.streaming import sessionize_batch
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    evs = ev.select(
+        "user_id",
+        _epoch_seconds().alias("ts_sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return sessionize_batch(evs, gap_seconds=1800)
+
+
+def _q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling structural invariants per source: output length is
+    exactly min(n_tok, 64) and the first/last points are kept verbatim
+    (triangle selection itself is pinned by tests/test_downsample.py)."""
+    from tersets_spark.downsample import lttb_udf
+
+    k = 64
+    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES))
+    ds = lttb_udf(k)(F.col("tokens"))
+    rows = seq.select(
+        "source",
+        "n_tok",
+        F.size(ds).cast("long").alias("n_out"),
+        (F.element_at(ds, 1) == F.element_at("tokens", 1).cast("double"))
+        .cast("long")
+        .alias("first_ok"),
+        (F.element_at(ds, -1) == F.element_at("tokens", -1).cast("double"))
+        .cast("long")
+        .alias("last_ok"),
+    )
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_out").alias("points_out"),
+        F.sum("first_ok").alias("first_kept"),
+        F.sum("last_ok").alias("last_kept"),
+    )
+
+
 def _q_lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram language-ID prediction distribution (rows-only check)."""
     from tersets_spark.textops import lang_id_udf
@@ -717,6 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_1m": _q_events_rollup_1m,
         "top_users_by_value": _q_top_users_by_value,
         "text_stats_by_lang": _q_text_stats_by_lang,
+        "events_asof_join": _q_events_asof_join,
+        "events_sessionize": _q_events_sessionize,
+        "events_range_join": _q_events_range_join,
+        "lttb_downsample": _q_lttb_downsample,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -969,6 +1070,78 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_ORACLE,
         # MinHash+LSH must recover exactly the brute-force Jaccard pairs
         "dedup_minhash_lsh": _JACCARD_ORACLE,
+        # DuckDB's NATIVE ASOF JOIN is the oracle for the Spark as-of
+        # (union + running-window) implementation
+        "events_asof_join": """
+            WITH ev AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                       event_type, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            clicks AS (SELECT user_id, ts_sec FROM ev WHERE event_type = 'click'),
+            purch AS (
+                SELECT user_id, ts_sec, CAST(SUM(cents) AS BIGINT) AS p_cents
+                FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.user_id, c.ts_sec,
+                   CASE WHEN c.ts_sec - p.ts_sec <= 3600 THEN p.ts_sec END AS purchase_ts,
+                   CASE WHEN c.ts_sec - p.ts_sec <= 3600 THEN p.p_cents END AS purchase_cents
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts_sec >= p.ts_sec
+        """,
+        "events_range_join": """
+            WITH ev AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                       event_type, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            clicks AS (SELECT user_id, ts_sec, cents FROM ev WHERE event_type = 'click'),
+            purch AS (SELECT DISTINCT user_id, ts_sec FROM ev WHERE event_type = 'purchase')
+            SELECT p.user_id, p.ts_sec,
+                   CAST(COUNT(*) AS BIGINT) AS n_follow,
+                   CAST(SUM(c.cents) AS BIGINT) AS follow_cents
+            FROM purch p JOIN clicks c
+              ON p.user_id = c.user_id
+             AND c.ts_sec >= p.ts_sec + 1 AND c.ts_sec < p.ts_sec + 86401
+            GROUP BY 1, 2
+        """,
+        # lag + running cumulative-flag sessionization, replicated in SQL
+        "events_sessionize": """
+            WITH ev AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            flags AS (
+                SELECT *, CASE WHEN LAG(ts_sec) OVER w IS NULL
+                                 OR ts_sec - LAG(ts_sec) OVER w > 1800
+                               THEN 1 ELSE 0 END AS is_new
+                FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)
+            ),
+            ids AS (
+                SELECT *, SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts_sec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM flags
+            )
+            SELECT user_id,
+                   CAST(MIN(ts_sec) AS BIGINT) AS session_start,
+                   CAST(MAX(ts_sec) AS BIGINT) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM ids GROUP BY user_id, sid
+        """,
+        # LTTB structural invariants: |out| == min(n_tok, 64), endpoints kept
+        "lttb_downsample": f"""
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(LEAST(CAST(n_tok AS BIGINT), 64)) AS BIGINT) AS points_out,
+                   CAST(COUNT(*) AS BIGINT) AS first_kept,
+                   CAST(COUNT(*) AS BIGINT) AS last_kept
+            FROM read_parquet('{seq}')
+            WHERE source IN {_pla_sources_sql()}
+            GROUP BY source
+        """,
         # independent FNV-1a + banding + Hamming recomputation in SQL
         "dedup_simhash": _SIMHASH_ORACLE,
         "lang_id_dist": _lang_id_oracle_sql(),

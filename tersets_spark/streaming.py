@@ -121,3 +121,119 @@ def windowed_event_rollup(
             "max_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionization: batch (JVM window ops) + custom stateful streaming operator
+# ---------------------------------------------------------------------------
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization, fully JVM-side (the classic lag + running
+    cumulative-flag pattern): events with the same ``user_id`` belong to one
+    session while consecutive gaps are <= ``gap_seconds``.
+
+    Input: (user_id, ts_sec, cents). Output one row per session:
+    (user_id, session_start, session_end, n_events, cents).
+
+    Scale: one shuffle on user_id + one sort; both windows are RUNNING
+    frames (never unbounded-following). Ties on ts_sec are safe: a zero gap
+    can't open a session, so the cumulative session id is order-insensitive
+    within a tie group.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_sec")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = (
+        F.col("ts_sec") - F.lag("ts_sec").over(w) > F.lit(gap_seconds)
+    ).cast("long")
+    with_ids = events.withColumn(
+        "__new", F.coalesce(is_new, F.lit(1))
+    ).withColumn("__session", F.sum("__new").over(run))
+    return (
+        with_ids.groupBy("user_id", "__session")
+        .agg(
+            F.min("ts_sec").alias("session_start"),
+            F.max("ts_sec").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        .drop("__session")
+    )
+
+
+def sessionize_stream(events, gap_seconds: int = 1800):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user open-session state carried across micro-batches; a session is
+    EMITTED (append mode) once a later event exceeds the gap. The batch
+    twin is :func:`sessionize_batch`; their parity on closed sessions is
+    pinned by tests/test_streaming.py.
+
+    The per-batch work is vectorized NumPy (gap split via flatnonzero +
+    reduceat-style segment sums), not a per-event Python loop.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("end", LongType()),
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values("ts_sec", kind="mergesort")
+        ts = rows["ts_sec"].to_numpy(dtype=np.int64)
+        cents = rows["cents"].to_numpy(dtype=np.int64)
+        if state.exists:
+            s_start, s_end, s_n, s_cents = state.get
+        else:
+            s_start = s_end = None
+            s_n = s_cents = 0
+        # segment boundaries where the gap is exceeded
+        breaks = np.flatnonzero(np.diff(ts) > gap_seconds) + 1
+        starts = np.concatenate(([0], breaks))
+        ends = np.concatenate((breaks, [len(ts)]))
+        closed = []
+        for lo, hi in zip(starts, ends):
+            seg = (int(ts[lo]), int(ts[hi - 1]), int(hi - lo),
+                   int(cents[lo:hi].sum()))
+            if s_start is not None and seg[0] - s_end <= gap_seconds:
+                # merge into the carried-over open session
+                seg = (s_start, seg[1], s_n + seg[2], s_cents + seg[3])
+            elif s_start is not None:
+                closed.append((user_id, s_start, s_end, s_n, s_cents))
+            s_start, s_end, s_n, s_cents = seg
+        state.update((int(s_start), int(s_end), int(s_n), int(s_cents)))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "cents"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

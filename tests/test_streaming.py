@@ -112,3 +112,62 @@ def test_windowed_rollup_batch_stream_parity(spark, tmp_path):
             ), key
             matched += 1
     assert matched == len(s)
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions closed by
+    the stream equal the batch sessionization minus each user's final
+    (still-open) session. Events arrive across two micro-batch files in
+    non-session order to exercise cross-batch state carry."""
+    import pandas as pd
+
+    from tersets_spark.streaming import sessionize_batch, sessionize_stream
+
+    gap = 100
+    rows = []
+    for uid in range(6):
+        t = uid * 10_000
+        for s in range(4):  # 4 sessions per user
+            for i in range(3):
+                rows.append((uid, t + i * 10, 7))
+            t += gap + 50 + s  # gap > 100 closes the session
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_sec", "cents"])
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # split mid-session so state must carry across micro-batches
+    cut = len(pdf) // 2 + 1
+    spark.createDataFrame(pdf.iloc[:cut]).coalesce(1).write.parquet(in_dir + "/a")
+    spark.createDataFrame(pdf.iloc[cut:]).coalesce(1).write.parquet(in_dir + "/b")
+
+    schema = spark.read.parquet(in_dir + "/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        sessionize_stream(stream, gap_seconds=gap)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    batch = sessionize_batch(spark.createDataFrame(pdf), gap_seconds=gap)
+    # drop each user's LAST session (still open in the stream's state)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    closed_expected = batch.withColumn(
+        "_max_start", F.max("session_start").over(w)
+    ).filter(F.col("session_start") < F.col("_max_start")).drop("_max_start")
+
+    cols = ["user_id", "session_start", "session_end", "n_events", "cents"]
+    assert got.count() == closed_expected.count() == 6 * 3
+    assert got.select(cols).exceptAll(closed_expected.select(cols)).count() == 0
+    assert closed_expected.select(cols).exceptAll(got.select(cols)).count() == 0
