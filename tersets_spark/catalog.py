@@ -40,8 +40,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class TierCatalog:
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, auto_vacuum: bool = True):
+        """``auto_vacuum=False`` keeps superseded run dirs on disk, which
+        makes every manifest prefix a readable SNAPSHOT (time travel via
+        ``read_tier(..., as_of=n)``) until an explicit :meth:`vacuum` —
+        the same trade Iceberg's ``expire_snapshots`` makes."""
         self.base_dir = base_dir
+        self.auto_vacuum = auto_vacuum
         os.makedirs(base_dir, exist_ok=True)
         self.manifest_path = os.path.join(base_dir, "_manifest.jsonl")
 
@@ -75,12 +80,21 @@ class TierCatalog:
         with open(self.manifest_path) as f:
             return [json.loads(line) for line in f]
 
-    def current_runs(self, tier: str) -> dict[str, str | None]:
+    def snapshot(self) -> int:
+        """Current snapshot id == number of manifest records; pass to
+        ``read_tier(as_of=...)`` for a consistent historical read (valid
+        while superseded run dirs exist, i.e. before vacuum)."""
+        return len(self.metrics())
+
+    def current_runs(self, tier: str, as_of: int | None = None) -> dict[str, str | None]:
         """partition -> current run path (relative to the tier dir), or
         None when the partition's latest commit deleted it. Later records
-        supersede earlier ones — snapshot-log semantics."""
+        supersede earlier ones — snapshot-log semantics. ``as_of`` caps
+        the log prefix considered (time travel)."""
         current: dict[str, str | None] = {}
-        for rec in self.metrics():
+        for i, rec in enumerate(self.metrics()):
+            if as_of is not None and i >= as_of:
+                break
             if rec["tier"] == tier and "path" in rec:
                 current[rec["partition"]] = rec["path"]
         return current
@@ -107,14 +121,16 @@ class TierCatalog:
         bytes_out = _dir_bytes(dest)
         self.record(tier, partition, status=status, path=rel,
                     bytes_out=bytes_out, **metrics)
-        self.vacuum(tier, partitions=[partition])
+        if self.auto_vacuum:
+            self.vacuum(tier, partitions=[partition])
         return dest
 
     def delete_partition(self, tier: str, partition: str, status: str = "done",
                          **metrics) -> None:
         """Commit a partition deletion (path=None supersedes prior runs)."""
         self.record(tier, partition, status=status, path=None, **metrics)
-        self.vacuum(tier, partitions=[partition])
+        if self.auto_vacuum:
+            self.vacuum(tier, partitions=[partition])
 
     def write_partition(self, df: DataFrame, tier: str, partition: str, **metrics) -> None:
         """Write one partition straight into its immutable run dir, then
@@ -129,7 +145,8 @@ class TierCatalog:
             bytes_out=_dir_bytes(dest),
             **metrics,
         )
-        self.vacuum(tier, partitions=[partition])
+        if self.auto_vacuum:
+            self.vacuum(tier, partitions=[partition])
 
     def vacuum(self, tier: str, partitions: list[str] | None = None) -> int:
         """Delete run dirs not referenced by the manifest (superseded
@@ -159,13 +176,18 @@ class TierCatalog:
         return removed
 
     # -- reads -------------------------------------------------------------
-    def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
+    def read_tier(
+        self, spark: SparkSession, tier: str, as_of: int | None = None
+    ) -> DataFrame:
         """Manifest-resolved read: the union of each partition's CURRENT
-        run dir — immune to uncommitted/superseded directories."""
+        run dir — immune to uncommitted/superseded directories. ``as_of``
+        (a :meth:`snapshot` id) reads the table as of that manifest prefix
+        — valid while superseded runs exist (``auto_vacuum=False`` or
+        before an explicit vacuum)."""
         base = os.path.join(self.base_dir, tier)
         dirs = [
             os.path.join(base, rel)
-            for rel in self.current_runs(tier).values()
+            for rel in self.current_runs(tier, as_of=as_of).values()
             if rel is not None
         ]
         if not dirs:

@@ -86,6 +86,13 @@ def run_cascade(
     """
     ensure_shipped(spark)
     catalog = TierCatalog(out_dir)
+    # sweep staging dirs a killed run left behind (committed data lives in
+    # manifest-referenced run dirs; anything _tmp_*/_retention_* is garbage)
+    import shutil
+
+    for entry in os.listdir(out_dir):
+        if entry.startswith(("_tmp_", "_retention_")):
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     seq = spark.read.parquet(sequences_path)
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2

@@ -136,3 +136,22 @@ def test_torn_copy_is_invisible_and_vacuumed(spark, seq_path, tmp_path):
     assert cat.vacuum("1m") == 1
     assert not os.path.exists(torn)
     assert cat.read_tier(spark, "1m").count() == before
+
+
+def test_time_travel_reads_with_vacuum_disabled(spark, tmp_path):
+    """Snapshot semantics: with auto_vacuum off, every manifest prefix is a
+    readable table state; vacuum() then expires history (Iceberg's
+    expire_snapshots trade)."""
+    from tersets_spark.catalog import TierCatalog
+
+    cat = TierCatalog(str(tmp_path / "t"), auto_vacuum=False)
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    df2 = spark.range(100, 103).withColumnRenamed("id", "v")
+    cat.write_partition(df1, "1m", "src_a")
+    snap1 = cat.snapshot()
+    cat.write_partition(df2, "1m", "src_a")  # supersedes df1
+
+    assert cat.read_tier(spark, "1m").count() == 3
+    assert cat.read_tier(spark, "1m", as_of=snap1).count() == 10  # time travel
+    assert cat.vacuum("1m") == 1  # expire the superseded run
+    assert cat.read_tier(spark, "1m").count() == 3
