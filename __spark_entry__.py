@@ -552,6 +552,27 @@ def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline over the documents table: exact dedup
+    (keep min doc_id per fingerprint) -> integer quality gate -> per-lang
+    kept/total counts and kept-token stats. One composed DataFrame job:
+    dedup is a groupBy + semi-join, the gates are JVM column predicates."""
+    from tersets_spark.dedup import exact_dedup
+    from tersets_spark.textops import quality_score, text_stats
+
+    docs = _docs(spark, sf_dir)
+    keep_ids = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(F.broadcast(keep_ids), "doc_id", "left_semi")
+    scored = quality_score(text_stats(kept))
+    passed = scored.filter(F.col("quality_milli") >= 500)
+    return passed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_ws_tokens").alias("tokens_kept"),
+        F.sum("quality_milli").alias("quality_milli"),
+        F.min("quality_milli").alias("min_quality"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.dedup import exact_dedup
 
@@ -818,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_range_join": _q_events_range_join,
         "lttb_downsample": _q_lttb_downsample,
+        "corpus_curation": _q_corpus_curation,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1060,6 +1082,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(token_chars) AS BIGINT) AS token_chars,
                    CAST(SUM(q) AS BIGINT) AS quality_milli
             FROM scored GROUP BY lang
+        """,
+        "corpus_curation": f"""
+            WITH keep AS (
+                SELECT MIN(doc_id) AS doc_id
+                FROM documents
+                GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ),
+            kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+            stats AS (
+                SELECT lang,
+                       CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+                       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t IN {_stopwords_sql()})) AS BIGINT) AS n_stop,
+                       CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z_\\s]', '', 'g'))
+                            AS BIGINT) AS n_punct,
+                       n_chars
+                FROM kept
+            ),
+            scored AS (
+                SELECT lang, n_ws, greatest(0, least(1000,
+                           500 + (n_stop * 1000) // greatest(n_ws, 1)
+                               - 2 * ((n_punct * 1000) // greatest(n_chars, 1)))) AS q
+                FROM stats
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS docs_kept,
+                   CAST(SUM(n_ws) AS BIGINT) AS tokens_kept,
+                   CAST(SUM(q) AS BIGINT) AS quality_milli,
+                   CAST(MIN(q) AS BIGINT) AS min_quality
+            FROM scored WHERE q >= 500 GROUP BY lang
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,

@@ -25,31 +25,28 @@ import shutil
 import subprocess
 import tempfile
 
-_SOURCE_NAME = "_histogram_native.c"
-
-
-def _read_source() -> bytes | None:
+def _read_source(source_name: str) -> bytes | None:
     # importlib.resources works both from the filesystem and from the
     # shipped zip (zipimport), unlike a plain open(__file__-relative).
     try:
         from importlib.resources import files
 
-        return files(__package__).joinpath(_SOURCE_NAME).read_bytes()
+        return files(__package__).joinpath(source_name).read_bytes()
     except Exception:
         return None
 
 
-def _build(src: bytes) -> str | None:
+def _build(src: bytes, source_name: str) -> str | None:
     digest = hashlib.sha256(src).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"tersets_hist_{digest}.so")
+    so_path = os.path.join(tempfile.gettempdir(), f"tersets_{digest}.so")
     if os.path.exists(so_path):
         return so_path
     cc = shutil.which("cc") or shutil.which("gcc")
     if cc is None:
         return None
-    tmpdir = tempfile.mkdtemp(prefix="tersets_hist_build_")
+    tmpdir = tempfile.mkdtemp(prefix="tersets_build_")
     try:
-        c_path = os.path.join(tmpdir, _SOURCE_NAME)
+        c_path = os.path.join(tmpdir, source_name)
         with open(c_path, "wb") as f:
             f.write(src)
         tmp_so = os.path.join(tmpdir, "out.so")
@@ -69,20 +66,26 @@ def _build(src: bytes) -> str | None:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
-def load_histogram_kernel():
-    """Return a configured ctypes function or None (Python fallback)."""
+def _load(source_name: str, func_name: str):
     if os.environ.get("TERSETS_SPARK_NO_NATIVE"):
         return None
-    src = _read_source()
+    src = _read_source(source_name)
     if src is None:
         return None
-    so_path = _build(src)
+    so_path = _build(src, source_name)
     if so_path is None:
         return None
     try:
         lib = ctypes.CDLL(so_path)
-        fn = lib.tersets_histogram
+        return getattr(lib, func_name)
     except Exception:
+        return None
+
+
+def load_histogram_kernel():
+    """Return the configured Min-Merge kernel or None (Python fallback)."""
+    fn = _load("_histogram_native.c", "tersets_histogram")
+    if fn is None:
         return None
     c_dp = ctypes.POINTER(ctypes.c_double)
     c_lp = ctypes.POINTER(ctypes.c_long)
@@ -90,5 +93,18 @@ def load_histogram_kernel():
     fn.argtypes = [
         c_dp, ctypes.c_long, ctypes.c_long, ctypes.c_int,
         c_lp, c_lp, c_dp, c_dp, c_dp, c_dp,
+    ]
+    return fn
+
+
+def load_swing_kernel():
+    """Return the configured Swing/Slide kernel or None (Python fallback)."""
+    fn = _load("_swing_native.c", "tersets_swing")
+    if fn is None:
+        return None
+    fn.restype = ctypes.c_long
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_double,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
     ]
     return fn

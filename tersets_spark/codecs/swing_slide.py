@@ -39,6 +39,7 @@ at eb=0 is unconditional only for inputs where line evaluations are exact
 
 from __future__ import annotations
 
+import ctypes
 import math
 import struct
 
@@ -46,8 +47,35 @@ import numpy as np
 
 from ..errors import UnsupportedInputError
 from ._geometry import ConvexHull
+from ._native import load_swing_kernel
 
 _MARGIN32 = np.float32(1e-7)  # shared_structs.zig:23
+
+#: C fast path (None -> pure-Python). Bit-identical output — differential
+#: suite in tests/test_native_histogram.py.
+_NATIVE = load_swing_kernel()
+
+
+def _compress_native(values: np.ndarray, error_bound: float, variant: int) -> bytes | None:
+    """Run the C kernel; None when unavailable (Python path serves)."""
+    if _NATIVE is None:
+        return None
+    if len(values) < 2:
+        raise UnsupportedInputError("swing/slide filter needs >= 2 values")
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    out = np.empty(24 * len(vals) + 16, dtype=np.uint8)
+    rc = _NATIVE(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(vals),
+        _adjusted_bound(error_bound),
+        variant,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc == -2:
+        raise UnsupportedInputError("non-finite input")
+    if rc < 0:  # allocation failure: fall back to Python
+        return None
+    return out[:rc].tobytes()
 
 
 def _adjusted_bound(error_bound: float) -> float:
@@ -84,6 +112,9 @@ def _optimal_swing_slope(slope_derivate, segment_size, upper_slope, lower_slope)
 
 
 def compress_swing(values: np.ndarray, error_bound: float) -> bytes:
+    native = _compress_native(values, error_bound, 0)
+    if native is not None:
+        return native
     if len(values) < 2:
         raise UnsupportedInputError("swing filter needs >= 2 values")
     adj = _adjusted_bound(error_bound)
@@ -151,6 +182,9 @@ def compress_swing(values: np.ndarray, error_bound: float) -> bytes:
 
 
 def compress_swing_disconnected(values: np.ndarray, error_bound: float) -> bytes:
+    native = _compress_native(values, error_bound, 1)
+    if native is not None:
+        return native
     if len(values) < 2:
         raise UnsupportedInputError("swing filter needs >= 2 values")
     adj = _adjusted_bound(error_bound)
@@ -234,6 +268,9 @@ def _interception_point(lb, ub):
 
 
 def compress_slide(values: np.ndarray, error_bound: float) -> bytes:
+    native = _compress_native(values, error_bound, 2)
+    if native is not None:
+        return native
     if len(values) < 2:
         raise UnsupportedInputError("slide filter needs >= 2 values")
     adj = _adjusted_bound(error_bound)
@@ -325,6 +362,34 @@ def decompress_swing(blob: bytes) -> np.ndarray:
         raise UnsupportedInputError("swing blob length must be 8 + 16k")
     words = np.frombuffer(blob, dtype="<f8")
     ends = words.view("<u8")
+    v0 = float(words[0])
+    ev = words[1::2]
+    et = ends[2::2].astype(np.int64) - 1
+    if len(ev) == 0:
+        return np.array([v0])
+    starts = np.concatenate(([0], et[:-1]))
+    if np.any(et <= starts):
+        # degenerate repeated-knot blob: scalar path (never produced by the
+        # compressor, kept for arbitrary-blob robustness)
+        return _decompress_swing_scalar(words, ends)
+    # segments tile (0, et[-1]]: one repeat + one fused line evaluation.
+    # slope/intercept per segment are the exact _swing_line(…, 0.0) ops
+    # ((end_v + 0.0) == end_v for every float, so ev - sv is identical),
+    # and interior values use the same slope*t + intercept per element.
+    sv = np.concatenate(([v0], ev[:-1]))
+    slopes = (ev - sv) / (et - starts).astype(np.float64)
+    intercepts = sv - slopes * starts.astype(np.float64)
+    n = int(et[-1]) + 1
+    widths = et - starts
+    out = np.empty(n, dtype=np.float64)
+    out[0] = v0
+    t = np.arange(1, n, dtype=np.float64)
+    out[1:] = np.repeat(slopes, widths) * t + np.repeat(intercepts, widths)
+    out[et] = ev  # knots stored verbatim
+    return out
+
+
+def _decompress_swing_scalar(words, ends) -> np.ndarray:
     out = [float(words[0])]
     start_t, start_v = 0, float(words[0])
     index = 0
@@ -352,22 +417,27 @@ def decompress_slide(blob: bytes) -> np.ndarray:
         raise UnsupportedInputError("slide blob length must be 24k")
     words = np.frombuffer(blob, dtype="<f8")
     ends = words.view("<u8")
-    out: list[float] = []
-    first_t = 0
-    index = 0
-    while index < len(words):
-        start_v = float(words[index])
-        seg_end_t = int(ends[index + 2]) - 1
-        seg_end_v = float(words[index + 1])
-        if first_t != seg_end_t:
-            slope, intercept = _swing_line(first_t, start_v, seg_end_t, seg_end_v, 0.0)
-            out.append(start_v)
-            for t in range(first_t + 1, seg_end_t):
-                out.append(_eval(slope, intercept, t))
-            out.append(seg_end_v)
-            first_t = seg_end_t + 1
-        else:
-            out.append(start_v)
-            first_t += 1
-        index += 3
-    return np.asarray(out, dtype=np.float64)
+    if len(words) == 0:
+        return np.empty(0, dtype=np.float64)
+    sv = words[0::3]
+    ev = words[1::3]
+    et = ends[2::3].astype(np.int64) - 1
+    # disjoint triplets tile [0, et[-1]]: first_t of segment i+1 is always
+    # et[i] + 1, for both the multi-point and single-point branches
+    firsts = np.concatenate(([0], et[:-1] + 1))
+    widths = et - firsts + 1
+    if np.any(widths < 1):
+        raise UnsupportedInputError("non-monotonic segment ends")
+    # per-segment line (exact _swing_line(…, 0.0) ops; (end_v + 0.0) == end_v)
+    denom = (et - firsts).astype(np.float64)
+    multi = widths > 1
+    slopes = np.zeros(len(sv), dtype=np.float64)
+    np.divide(ev - sv, denom, out=slopes, where=multi)
+    intercepts = sv - slopes * firsts.astype(np.float64)
+    n = int(et[-1]) + 1
+    out = np.repeat(slopes, widths) * np.arange(n, dtype=np.float64) + np.repeat(
+        intercepts, widths
+    )
+    out[firsts] = sv  # segment starts stored verbatim
+    out[et[multi]] = ev[multi]  # multi-point segment ends stored verbatim
+    return out
