@@ -108,3 +108,21 @@ def load_swing_kernel():
         ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
     ]
     return fn
+
+
+def load_linesimp_kernels():
+    """Return {name: fn} for the VW/SlidingWindow/BottomUp/ABC kernels, or
+    None (Python fallback). One shared object, four entry points."""
+    out = {}
+    for name in ("tersets_vw", "tersets_sliding_window", "tersets_bottom_up",
+                 "tersets_abc"):
+        fn = _load("_linesimp_native.c", name)
+        if fn is None:
+            return None
+        fn.restype = ctypes.c_long
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        out[name] = fn
+    return out

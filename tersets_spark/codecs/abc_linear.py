@@ -23,12 +23,18 @@ terminates with an x-external-left pivot; we compute the signed difference.
 
 from __future__ import annotations
 
+import ctypes
 import struct
 
 import numpy as np
 
 from ..errors import UnsupportedErrorBoundError, UnsupportedInputError
 from ._geometry import ConvexHull
+from ._native import load_linesimp_kernels
+
+#: C fast path (None -> pure-Python). Bit-identical output — differential
+#: suite in tests/test_native_linesimp.py.
+_NATIVE = load_linesimp_kernels()
 
 
 def _deviation(a, b, c) -> float:
@@ -103,6 +109,17 @@ def compress(values: np.ndarray, error_bound: float) -> bytes:
     if eb32 < 0.0:
         raise UnsupportedErrorBoundError("negative error bound")
     eb = float(eb32)
+    if _NATIVE is not None:
+        vals = np.ascontiguousarray(values, dtype=np.float64)
+        buf = np.empty(24 * len(vals) + 32, dtype=np.uint8)
+        rc = _NATIVE["tersets_abc"](
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(vals),
+            eb,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        if rc >= 0:
+            return buf[:rc].tobytes()
 
     out = bytearray()
     hull = ConvexHull()
@@ -147,6 +164,29 @@ def decompress(blob: bytes) -> np.ndarray:
         raise UnsupportedInputError("ABC blob length must be a multiple of 24")
     words = np.frombuffer(blob, dtype="<f8")
     ends = words.view("<u8")
+    if len(words) == 0:
+        return np.empty(0, dtype=np.float64)
+    et = ends[0::3].astype(np.int64)
+    slopes = words[1::3]
+    intercepts = words[2::3]
+    starts = np.concatenate(([0], et[:-1] + 1))
+    widths = et - starts + 1
+    if np.any(widths < 1):
+        return _decompress_scalar(words, ends)
+    # triplets tile [0, et[-1]]: every position evaluates its segment line
+    # (same slope*t + intercept op as the scalar loop); width-2 segments
+    # carry the two raw values in the slope/intercept slots instead
+    n = int(et[-1]) + 1
+    out = np.repeat(slopes, widths) * np.arange(n, dtype=np.float64) + np.repeat(
+        intercepts, widths
+    )
+    raw2 = widths == 2
+    out[starts[raw2]] = slopes[raw2]
+    out[et[raw2]] = intercepts[raw2]
+    return out
+
+
+def _decompress_scalar(words, ends) -> np.ndarray:
     out: list[float] = []
     seg_start = 0
     index = 0

@@ -41,6 +41,7 @@ where the reference reads out of bounds (vw zig :56, bottom_up zig :66).
 
 from __future__ import annotations
 
+import ctypes
 import math
 import struct
 
@@ -48,8 +49,29 @@ import numpy as np
 
 from ..errors import UnsupportedErrorBoundError, UnsupportedInputError
 from ._heap import HashedHeap
+from ._native import load_linesimp_kernels
 
 _INF = math.inf
+
+#: C fast paths (None -> pure-Python). Bit-identical output — differential
+#: suite in tests/test_native_linesimp.py.
+_NATIVE = load_linesimp_kernels()
+
+
+def _run_native(name: str, values: np.ndarray, eb: float) -> bytes | None:
+    if _NATIVE is None:
+        return None
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    out = np.empty(24 * len(vals) + 32, dtype=np.uint8)
+    rc = _NATIVE[name](
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(vals),
+        eb,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc < 0:
+        return None  # allocation failure: python path serves
+    return out[:rc].tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +109,9 @@ def compress_vw(values: np.ndarray, error_bound: float) -> bytes:
     if np.float32(error_bound) < 0:
         raise UnsupportedInputError("negative error bound")  # zig :60-62
     eb = float(np.float32(error_bound))
+    native = _run_native("tersets_vw", v, eb)
+    if native is not None:
+        return native
 
     heap = HashedHeap(_compare_area, key=lambda p: p.index)
     n = len(v)
@@ -142,6 +167,31 @@ def decompress_vw(blob: bytes) -> np.ndarray:
         raise UnsupportedInputError("VW blob length must be 8 + 16k")
     words = np.frombuffer(blob, dtype="<f8")
     indices = words.view("<u8")
+    v0 = float(words[0])
+    et = indices[1::2].astype(np.int64)
+    ev = words[2::2]
+    if len(et) == 0:
+        return np.array([v0])
+    starts = np.concatenate(([0], et[:-1]))
+    if np.any(et <= starts):
+        return _decompress_vw_scalar(words, indices)
+    # kept knots tile (0, et[-1]]: one repeat + one fused line evaluation;
+    # same per-element slope*t + intercept ops as the scalar loop, knots
+    # stored verbatim
+    sv = np.concatenate(([v0], ev[:-1]))
+    slopes = (ev - sv) / (et - starts).astype(np.float64)
+    intercepts = sv - slopes * starts.astype(np.float64)
+    n = int(et[-1]) + 1
+    out = np.empty(n, dtype=np.float64)
+    out[0] = v0
+    t = np.arange(1, n, dtype=np.float64)
+    widths = et - starts
+    out[1:] = np.repeat(slopes, widths) * t + np.repeat(intercepts, widths)
+    out[et] = ev
+    return out
+
+
+def _decompress_vw_scalar(words, indices) -> np.ndarray:
     out = [float(words[0])]
     start_t, start_v = 0, float(words[0])
     index = 0
@@ -184,6 +234,9 @@ def compress_sliding_window(values: np.ndarray, error_bound: float) -> bytes:
         raise UnsupportedErrorBoundError("negative error bound")
     eb = float(np.float32(error_bound))
     v = values
+    native = _run_native("tersets_sliding_window", v, eb)
+    if native is not None:
+        return native
     n = len(v)
     out = bytearray()
     seg_start = 0
@@ -209,6 +262,34 @@ def _decompress_keogh(blob: bytes) -> np.ndarray:
         raise UnsupportedInputError("blob length must be a multiple of 24")
     words = np.frombuffer(blob, dtype="<f8")
     ends = words.view("<u8")
+    if len(words) == 0:
+        return np.empty(0, dtype=np.float64)
+    sv = words[0::3]
+    et = ends[1::3].astype(np.int64)
+    ev = words[2::3]
+    firsts = np.concatenate(([0], et[:-1] + 1))
+    widths = et - firsts + 1
+    if np.any(widths < 1) or np.any(widths[:-1] == 1):
+        # a lone-point (width-1) segment is only ever the trailing one; a
+        # mid-blob lone marker means an arbitrary blob -> scalar semantics
+        return _decompress_keogh_scalar(words, ends)
+    # disjoint triplets tile [0, et[-1]] (same vectorization as
+    # decompress_slide; per-element ops identical to the scalar loop)
+    denom = (et - firsts).astype(np.float64)
+    multi = widths > 1
+    slopes = np.zeros(len(sv), dtype=np.float64)
+    np.divide(ev - sv, denom, out=slopes, where=multi)
+    intercepts = sv - slopes * firsts.astype(np.float64)
+    n = int(et[-1]) + 1
+    out = np.repeat(slopes, widths) * np.arange(n, dtype=np.float64) + np.repeat(
+        intercepts, widths
+    )
+    out[firsts] = sv
+    out[et[multi]] = ev[multi]
+    return out
+
+
+def _decompress_keogh_scalar(words, ends) -> np.ndarray:
     out: list[float] = []
     first_t = 0
     index = 0
@@ -282,6 +363,9 @@ def compress_bottom_up(values: np.ndarray, error_bound: float) -> bytes:
     if n <= 2:
         return struct.pack("<dQd", float(v[0]), 1, float(v[1]))
     eb = float(np.float32(error_bound))
+    native = _run_native("tersets_bottom_up", v, eb)
+    if native is not None:
+        return native
 
     heap = HashedHeap(_compare_cost, key=lambda s: s.index)
 

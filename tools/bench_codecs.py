@@ -33,10 +33,6 @@ EB = {
 SLOW = {
     Method.SimPiece,
     Method.MixPiece,
-    Method.ABCLinearApproximation,
-    Method.VisvalingamWhyatt,
-    Method.SlidingWindow,
-    Method.BottomUp,
 }
 
 
@@ -86,6 +82,17 @@ def main() -> None:
                 if _SWING_NATIVE is not None
                 else "per-point python (parity)"
             )
+        elif method in (
+            Method.VisvalingamWhyatt, Method.SlidingWindow,
+            Method.BottomUp, Method.ABCLinearApproximation,
+        ):
+            from tersets_spark.codecs.line_simplification import _NATIVE as _LS_NATIVE
+
+            note = (
+                "native C kernel (bit-identical to python path)"
+                if _LS_NATIVE is not None
+                else "per-point python (parity)"
+            )
         else:
             note = "vectorized" if method not in SLOW else "per-point python (parity)"
         lines.append(f"| {method.name} | {total / dt:,.0f} | {note} |")
@@ -128,6 +135,9 @@ def main() -> None:
         "| Swing/SwingDisc/Slide: C filter kernel (codecs/_swing_native.c) "
         "+ fully vectorized decoders | 0.5-1.2M tok/s | see table (~10M "
         "roundtrip; compress alone 56-114M) |",
+        "| VW / SlidingWindow / BottomUp / ABC: C kernels "
+        "(codecs/_linesimp_native.c) + fully vectorized decoders | "
+        "73k-1.1M tok/s | see table (4-9M roundtrip) |",
     ]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/CODECS.md", "w") as f:
