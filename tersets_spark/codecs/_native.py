@@ -110,6 +110,22 @@ def load_swing_kernel():
     return fn
 
 
+def load_piece_kernels():
+    """Return {name: fn} for the Sim/Mix-Piece kernels, or None."""
+    out = {}
+    for name in ("tersets_sim_piece", "tersets_mix_piece"):
+        fn = _load("_piece_native.c", name)
+        if fn is None:
+            return None
+        fn.restype = ctypes.c_long
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        out[name] = fn
+    return out
+
+
 def load_linesimp_kernels():
     """Return {name: fn} for the VW/SlidingWindow/BottomUp/ABC kernels, or
     None (Python fallback). One shared object, four entry points."""

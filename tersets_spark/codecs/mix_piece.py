@@ -33,7 +33,11 @@ import struct
 import numpy as np
 
 from ..errors import UnsupportedErrorBoundError, UnsupportedInputError
-from .sim_piece import decompress_segments_to_values, serialize_groups
+from .sim_piece import (
+    decompress_segments_to_values,
+    run_piece_native,
+    serialize_groups,
+)
 
 _MARGIN = float(np.float32(1e-7))
 _F64_MAX = float(np.finfo(np.float64).max)
@@ -206,6 +210,9 @@ def merge_segments_metadata(segments: list):
 def compress(values: np.ndarray, error_bound: float) -> bytes:
     if np.float32(error_bound) <= 0.0:
         raise UnsupportedErrorBoundError("mix-piece requires error_bound > 0")
+    native = run_piece_native("tersets_mix_piece", values, error_bound)
+    if native is not None:
+        return native
     segments = compute_segments_metadata(values, error_bound)
     same_groups, cross_groups, ungrouped = merge_segments_metadata(segments)
 

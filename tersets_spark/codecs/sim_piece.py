@@ -28,14 +28,44 @@ making the decompressed output independent of serialization order.
 
 from __future__ import annotations
 
+import ctypes
 import math
 import struct
 
 import numpy as np
 
 from ..errors import UnsupportedErrorBoundError, UnsupportedInputError
+from ._native import load_piece_kernels
 
 _MARGIN = float(np.float32(1e-7))  # shared_structs.zig:23, promoted to f64
+
+#: C fast paths (None -> pure-Python). Bit-identical output — differential
+#: suite in tests/test_native_piece.py.
+_NATIVE = load_piece_kernels()
+
+
+def run_piece_native(name: str, values: np.ndarray, error_bound: float) -> bytes | None:
+    """Shared Sim/Mix-Piece kernel invocation (f32 bound math stays here)."""
+    if _NATIVE is None:
+        return None
+    eb32 = np.float32(error_bound)
+    adjusted = float(eb32 - np.float32(1e-7))
+    eb = float(eb32)
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    buf = np.empty(48 * len(vals) + 96, dtype=np.uint8)
+    rc = _NATIVE[name](
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(vals),
+        eb,
+        adjusted,
+        _MARGIN,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc == -2:
+        raise UnsupportedInputError("non-finite or out-of-range input")
+    if rc < 0:
+        return None
+    return buf[:rc].tobytes()
 _F64_MAX = float(np.finfo(np.float64).max)
 
 
@@ -141,6 +171,9 @@ def serialize_groups(outer: dict, out: bytearray) -> None:
 def compress(values: np.ndarray, error_bound: float) -> bytes:
     if np.float32(error_bound) <= 0.0:
         raise UnsupportedErrorBoundError("sim-piece requires error_bound > 0")
+    native = run_piece_native("tersets_sim_piece", values, error_bound)
+    if native is not None:
+        return native
     segments = compute_segments_metadata(values, error_bound)
     merged = merge_segments_metadata(segments)
     outer = group_segments(merged)
@@ -155,9 +188,27 @@ def decompress_segments_to_values(segments: list, last_timestamp: int) -> np.nda
 
     ``segments`` is [(start_time, intercept, slope)]; sorted by start time,
     each segment generates ``slope*(t - start) + intercept`` until the next
-    segment's start (zig decompressSegment :502-514).
+    segment's start (zig decompressSegment :502-514). Vectorized across
+    segments (same per-element ops as the scalar loop); falls back to the
+    scalar walk for non-monotonic boundaries in arbitrary blobs.
     """
     segments.sort(key=lambda s: s[0])
+    if not segments:
+        return np.empty(0, dtype=np.float64)
+    starts = np.fromiter((s[0] for s in segments), np.int64, len(segments))
+    intercepts = np.fromiter((s[1] for s in segments), np.float64, len(segments))
+    slopes = np.fromiter((s[2] for s in segments), np.float64, len(segments))
+    bounds = np.concatenate((starts[1:], [last_timestamp]))
+    currents = np.concatenate(([0], bounds[:-1]))
+    widths = bounds - currents
+    if np.any(widths < 0) or last_timestamp < 0:
+        return _decompress_segments_scalar(segments, last_timestamp)
+    t_all = np.arange(int(last_timestamp), dtype=np.int64)
+    offsets = (t_all - np.repeat(starts, widths)).astype(np.float64)
+    return np.repeat(slopes, widths) * offsets + np.repeat(intercepts, widths)
+
+
+def _decompress_segments_scalar(segments: list, last_timestamp: int) -> np.ndarray:
     out: list[float] = []
     current_t = 0
     for i, (seg_start, intercept, slope) in enumerate(segments):
