@@ -38,8 +38,9 @@ _LOSSLESS_METHODS = [
 
 #: Sequential per-series codecs, lossless at eb=0 (reference's own lossless
 #: list, bindings/python/tests/__init__.py:52-57, plus the line-simplification
-#: family whose eb=0 behavior degenerates to exact storage). Checked on a
-#: source-filtered subset to bound the Python-loop cost at sf0.01.
+#: family whose eb=0 behavior degenerates to exact storage). Checked on the
+#: FULL table: every sequential codec runs a bit-identical C kernel, so the
+#: old source-filtered cost cap is gone.
 _LOSSLESS_PLA_METHODS = [
     Method.SwingFilter,
     Method.SwingFilterDisconnected,
@@ -295,8 +296,9 @@ def _q_roundtrip_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_roundtrip_lossless_pla(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-array equality at eb=0 for the per-series PLA/simplification codecs."""
-    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES)).select("tokens")
+    """Token-array equality at eb=0 for the per-series PLA/simplification
+    codecs — every row of every source (native codec kernels)."""
+    seq = _sequences(spark, sf_dir).select("tokens")
     parts = []
     for m in _LOSSLESS_PLA_METHODS:
         rt = decompress_tokens_udf(compress_udf(m, 0.0)(F.col("tokens")))
@@ -319,9 +321,10 @@ def _q_within_bound_linf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises the lossy path of Swing/Slide/ABC/Sim-Piece/Mix-Piece through
     the Spark kernels; the oracle is the guarantee itself (n_ok == n_rows).
     The bound comparison happens JVM-side (zip_with + forall), not in Python.
+    Full table — no source cap (native codec kernels).
     """
     eb = 0.5
-    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES)).select("tokens")
+    seq = _sequences(spark, sf_dir).select("tokens")
     parts = []
     for m in _LINF_METHODS:
         dec = decompress_udf(compress_udf(m, eb)(F.col("tokens")))
@@ -915,18 +918,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "roundtrip_lossless_pla": f"""
             SELECT m.method,
-                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
-                    WHERE source IN {_pla_sources_sql()}) AS n_rows,
-                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
-                    WHERE source IN {_pla_sources_sql()}) AS n_exact
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')) AS n_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')) AS n_exact
             FROM (VALUES {pla_methods_values}) AS m(method)
         """,
         "within_bound_linf": f"""
             SELECT m.method,
-                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
-                    WHERE source IN {_pla_sources_sql()}) AS n_rows,
-                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')
-                    WHERE source IN {_pla_sources_sql()}) AS n_ok
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')) AS n_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet('{seq}')) AS n_ok
             FROM (VALUES {linf_methods_values}) AS m(method)
         """,
         # PWLH holds exactly min(n_tok, 16) buckets after Min-Merge
