@@ -356,7 +356,7 @@ def _q_pwch_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (histogram_compression.zig:82-89), so the bucket count is SQL-checkable.
     """
     max_buckets = 64
-    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES))
+    seq = _sequences(spark, sf_dir)  # full table (native Min-Merge kernel)
     blob = compress_udf(Method.PiecewiseConstantHistogram, float(max_buckets))(F.col("tokens"))
     return (
         seq.select("source", "n_tok", ((F.octet_length(blob) - 1) / 16).cast("long").alias("buckets"))
@@ -473,7 +473,7 @@ def _q_blocks_roundtrip_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta blocks remain exactly queryable)."""
     from tersets_spark.rollup import rollup_raw as rollup_raw_blocks
 
-    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES))
+    seq = _sequences(spark, sf_dir)  # full table
     m1 = rollup_raw_blocks(seq, TIERS["1m"], with_blocks=True)
     dec = decompress_udf(F.col("block"))
     ok = (
@@ -772,7 +772,7 @@ def _q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.downsample import lttb_udf
 
     k = 64
-    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES))
+    seq = _sequences(spark, sf_dir)  # full table
     ds = lttb_udf(k)(F.col("tokens"))
     rows = seq.select(
         "source",
@@ -943,7 +943,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS docs,
                    CAST(SUM(LEAST(CAST(n_tok AS BIGINT), 64)) AS BIGINT) AS buckets
             FROM read_parquet('{seq}')
-            WHERE source IN {_pla_sources_sql()}
             GROUP BY source
         """,
         # PMC-MR at eb=0 emits exactly one segment per run of equal values
@@ -1035,7 +1034,7 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS ({pts}),
             b AS (
                 SELECT doc_id, source, (ts // 60) * 60 AS bucket_ts
-                FROM pts WHERE source IN {_pla_sources_sql()} GROUP BY 1, 2, 3
+                FROM pts GROUP BY 1, 2, 3
             )
             SELECT source,
                    CAST(COUNT(*) AS BIGINT) AS buckets,
@@ -1190,7 +1189,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS first_kept,
                    CAST(COUNT(*) AS BIGINT) AS last_kept
             FROM read_parquet('{seq}')
-            WHERE source IN {_pla_sources_sql()}
             GROUP BY source
         """,
         # independent FNV-1a + banding + Hamming recomputation in SQL
