@@ -203,7 +203,10 @@ def apply_retention(
             continue
         horizon = now_ts - keep_seconds
         ts_col = "ts0" if tier == "raw" else "bucket_ts"
-        tier_df = catalog.read_tier(spark, tier)
+        try:
+            tier_df = catalog.read_tier(spark, tier)
+        except FileNotFoundError:  # tier dir exists but nothing committed
+            continue
         # job 1: per-source expired counts (drives lineage + the rewrite set)
         expired = {
             r["source"]: r["n"]
