@@ -61,9 +61,6 @@ _LINF_METHODS = [
     Method.MixPiece,
 ]
 
-_PLA_SOURCES = ("src_06", "src_07")  # ~5% of rows: keeps the subset cheap
-
-
 def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)  # workers need the package regardless of driver cwd
     return spark.read.parquet(ensure_sequences(sf_name_from_dir(sf_dir)))
@@ -72,10 +69,6 @@ def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _seq_path_sql() -> str:
     """Path the oracle reads — the driver compares at sf0.01."""
     return ensure_sequences("sf0.01")
-
-
-def _pla_sources_sql() -> str:
-    return "(" + ", ".join(f"'{s}'" for s in _PLA_SOURCES) + ")"
 
 
 def _stopwords_sql() -> str:
@@ -372,12 +365,13 @@ def _q_pwlh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PWLH (Min-Merge + convex-hull MABR) holds min(n_tok, 16) buckets;
     triplet blob layout (24 bytes/bucket, histogram_compression.zig:120-141).
 
-    Full-length series (no n_tok cap): the C Min-Merge kernel
-    (codecs/_histogram_native.c, bit-identical to the Python path) runs
-    ~55k tokens/s/core, so the whole PLA slice is validated.
+    FULL table, full-length series: the candidate-pruned MABR in the C
+    Min-Merge kernel (codecs/_histogram_native.c, bit-identical to the
+    faithful Python path per tests/test_native_histogram.py) runs
+    ~350k+ tokens/s/core on the real corpus, so no source slice is needed.
     """
     max_buckets = 16
-    seq = _sequences(spark, sf_dir).filter(F.col("source").isin(*_PLA_SOURCES))
+    seq = _sequences(spark, sf_dir)
     blob = compress_udf(Method.PiecewiseLinearHistogram, float(max_buckets))(F.col("tokens"))
     return (
         seq.select("source", "n_tok", ((F.octet_length(blob) - 1) / 24).cast("long").alias("buckets"))
@@ -934,7 +928,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS docs,
                    CAST(SUM(LEAST(CAST(n_tok AS BIGINT), 16)) AS BIGINT) AS buckets
             FROM read_parquet('{seq}')
-            WHERE source IN {_pla_sources_sql()}
             GROUP BY source
         """,
         # PWCH holds exactly min(n_tok, 64) buckets after Min-Merge

@@ -164,49 +164,272 @@ static int hull_copy(Hull *dst, const Hull *src) {
     return 0;
 }
 
-/* MABR bisector line over `points[0..n-1]` — scalar loop, zig :107-192.
- * DBL_MIN is std.math.floatMin(f64): the reference's max-init quirk. */
-static void mabr_line(const Point *points, long n, double *out_slope,
-                      double *out_intercept) {
-    if (n == 1) { *out_slope = 0.0; *out_intercept = points[0].v; return; }
+/* Exact per-edge MABR evaluation — the reference's inner block verbatim
+ * (zig :107-192): same IEEE ops in the same order, including the
+ * DBL_MIN (std.math.floatMin(f64)) max-init quirk. */
+static double mabr_edge_exact(const Point *points, long n, long i,
+                              double *out_angle, double *out_min_x,
+                              double *out_max_x, double *out_min_y,
+                              double *out_max_y) {
+    Point first = points[i];
+    Point second = points[(i + 1) % n];
+    double angle = atan2(second.v - first.v, (double)(second.t - first.t));
+    double cos_a = cos(-angle);
+    double sin_a = sin(-angle);
+    double min_x = DBL_MAX, max_x = DBL_MIN, min_y = DBL_MAX, max_y = DBL_MIN;
+    for (long j = 0; j < n; j++) {
+        double rx = (double)points[j].t * cos_a - points[j].v * sin_a;
+        double ry = (double)points[j].t * sin_a + points[j].v * cos_a;
+        if (rx < min_x) min_x = rx;
+        if (rx > max_x) max_x = rx;
+        if (ry < min_y) min_y = ry;
+        if (ry > max_y) max_y = ry;
+    }
+    *out_angle = angle;
+    *out_min_x = min_x; *out_max_x = max_x;
+    *out_min_y = min_y; *out_max_y = max_y;
+    return (max_x - min_x) * (max_y - min_y);
+}
+
+/* running-min improvement block — identical ops to the reference's branch */
+static void mabr_improve(double area, double angle, double min_x, double max_x,
+                         double min_y, double max_y, double *min_area,
+                         double *min_slope, double *min_intercept) {
+    if (area < *min_area) {
+        *min_area = area;
+        *min_slope = tan(angle);
+        double center_x = (min_x + max_x) / 2.0;
+        double center_y = (min_y + max_y) / 2.0;
+        double cos_b = cos(angle);
+        double sin_b = sin(angle);
+        double back_x = center_x * cos_b - center_y * sin_b;
+        double back_y = center_x * sin_b + center_y * cos_b;
+        *min_intercept = back_y - *min_slope * back_x;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* Fast MABR: candidate-pruned exact evaluation.                      */
+/*                                                                    */
+/* The reference scans every "edge" (consecutive pair in combined     */
+/* order) and for each rotates ALL hull points — O(p^2) with 3 trig   */
+/* calls per edge.  This path computes, per edge, a conservative      */
+/* [lo, hi] interval around the exact computed area using trig-free   */
+/* support-function extremes (rx*len = dot(p, e), ry*len = cross(e,p))*/
+/* then exactly evaluates ONLY the edges whose interval can contain   */
+/* the global minimum.  The winner's floats come from the exact scan, */
+/* so the result is bit-identical to the full scan:                   */
+/*   - every edge e has exact_area(e) in [lo_e, hi_e] (error budget   */
+/*     3e-14 * magnitude covers value rounding, the trig-vs-dot/len   */
+/*     discrepancy, and the walk's <= 2-ulp extreme slack);           */
+/*   - hence the first edge attaining the global min is always a      */
+/*     candidate, and iterating candidates in combined order with     */
+/*     the same strict-< rule picks exactly that edge.                */
+/*                                                                    */
+/* Support extremes use warm-started walks over the convex cycle      */
+/* (lower chain L->R then upper interior R->L).  The support function */
+/* of a convex polygon is (weakly) unimodal over that cycle, so a     */
+/* tolerance-guarded walk (advance while next >= cur - tol, with      */
+/* tol >= 2 value-rounding ulps) can never break before visiting the  */
+/* true extreme vertex: on the nondecreasing stretch toward the peak  */
+/* every computed step is >= -2ulp >= -tol.  One of the two walk      */
+/* directions contains the peak, so max(best of both) is exact within */
+/* value rounding.  Amortized O(1) steps per edge for slowly rotating */
+/* edge directions; worst case O(p) (<= full-scan cost).              */
+/* ------------------------------------------------------------------ */
+
+static int g_mabr_force_exact = 0;
+
+/* Differential-test hook: force the O(p^2) full scan. */
+void tersets_histogram_set_mabr_exact(int flag) { g_mabr_force_exact = flag; }
+
+static _Thread_local long *g_cyc = NULL;
+static _Thread_local long g_cyc_cap = 0;
+static _Thread_local double *g_lo = NULL;
+static _Thread_local long g_lo_cap = 0;
+static _Thread_local unsigned long long *g_dirh = NULL; /* open-address set */
+static _Thread_local long g_dirh_cap = 0;
+
+static int mabr_scratch_reserve(long n) {
+    if (n > g_cyc_cap) {
+        long cap = g_cyc_cap ? g_cyc_cap : 64;
+        while (cap < n) cap *= 2;
+        long *p = (long *)realloc(g_cyc, (size_t)cap * sizeof(long));
+        if (!p) return -1;
+        g_cyc = p; g_cyc_cap = cap;
+    }
+    if (n > g_lo_cap) {
+        long cap = g_lo_cap ? g_lo_cap : 64;
+        while (cap < n) cap *= 2;
+        double *p = (double *)realloc(g_lo, (size_t)cap * sizeof(double));
+        if (!p) return -1;
+        g_lo = p; g_lo_cap = cap;
+    }
+    long want = 64;
+    while (want < 4 * n) want *= 2; /* load factor <= 0.5 */
+    if (want > g_dirh_cap) {
+        unsigned long long *p = (unsigned long long *)realloc(
+            g_dirh, (size_t)want * 2 * sizeof(unsigned long long));
+        if (!p) return -1;
+        g_dirh = p; g_dirh_cap = want;
+    }
+    return 0;
+}
+
+/* Exact-direction dedup: edges with bitwise-identical (ex, ey) produce
+ * bitwise-identical angle -> cos/sin -> extremes -> area, so under the
+ * strict-< running min only the FIRST occurrence can ever win.  Returns
+ * 1 if (ex, ey) was already seen in this call, else records it and
+ * returns 0.  Cells store the exact (bx, by) bit patterns — the empty
+ * marker is the -NaN pattern, which ex (an integer-valued double from a
+ * finite t diff) can never be. */
+#define DIR_EMPTY 0xFFFFFFFFFFFFFFFFULL
+
+static int dir_seen(double ex, double ey, long mask) {
+    unsigned long long bx, by;
+    memcpy(&bx, &ex, 8);
+    memcpy(&by, &ey, 8);
+    unsigned long long key = (bx * 0x9E3779B97F4A7C15ULL) ^
+                             (by + 0x165667B19E3779F9ULL);
+    key ^= key >> 29; key *= 0xBF58476D1CE4E5B9ULL; key ^= key >> 32;
+    unsigned long long probe = key & (unsigned long long)mask;
+    for (;;) {
+        unsigned long long *cell = &g_dirh[probe * 2];
+        if (cell[0] == DIR_EMPTY) { cell[0] = bx; cell[1] = by; return 0; }
+        if (cell[0] == bx && cell[1] == by) return 1;
+        probe = (probe + 1) & (unsigned long long)mask;
+    }
+}
+
+static double supp_f(const Point *pts, const long *cyc, long pos, double a,
+                     double b) {
+    const Point p = pts[cyc[pos]];
+    return a * (double)p.t + b * p.v;
+}
+
+/* Tolerant max of a*t + b*v over the convex cycle; the true argmax vertex
+ * is always visited (see block comment above). Updates *warm in place. */
+static double cyc_max(const Point *pts, const long *cyc, long n, double a,
+                      double b, long *warm, double tol) {
+    long start = *warm;
+    double best = supp_f(pts, cyc, start, a, b);
+    long bestpos = start;
+    double cur = best;
+    long pos = start;
+    long fwd_end = start;
+    for (long steps = 0; steps < n; steps++) {
+        long nxt = pos + 1 == n ? 0 : pos + 1;
+        if (nxt == start) break;
+        double fv = supp_f(pts, cyc, nxt, a, b);
+        if (fv < cur - tol) break;
+        pos = nxt; cur = fv;
+        if (fv > best) { best = fv; bestpos = pos; }
+    }
+    fwd_end = pos;
+    cur = supp_f(pts, cyc, start, a, b);
+    pos = start;
+    for (long steps = 0; steps < n; steps++) {
+        long prv = pos == 0 ? n - 1 : pos - 1;
+        if (prv == fwd_end) break;
+        double fv = supp_f(pts, cyc, prv, a, b);
+        if (fv < cur - tol) break;
+        pos = prv; cur = fv;
+        if (fv > best) { best = fv; bestpos = pos; }
+    }
+    *warm = bestpos;
+    return best;
+}
+
+/* MABR bisector line over `points[0..n-1]` in combined order, with
+ * `n_lower` = length of the lower-chain prefix (<= 0 when unknown:
+ * falls back to the full scan). Output is bit-identical to the full
+ * scan in all modes. */
+static int mabr_line(const Point *points, long n, long n_lower,
+                     double *out_slope, double *out_intercept) {
+    if (n == 1) { *out_slope = 0.0; *out_intercept = points[0].v; return 0; }
     if (n == 2) {
         double delta_time = (double)(points[1].t - points[0].t);
         double slope = (points[1].v - points[0].v) / delta_time;
         *out_slope = slope;
         *out_intercept = points[0].v - slope * (double)points[0].t;
-        return;
+        return 0;
     }
     double min_area = DBL_MAX, min_slope = 0.0, min_intercept = 0.0;
+    double angle, min_x, max_x, min_y, max_y;
+
+    if (g_mabr_force_exact || n <= 24 || n_lower < 2 || n_lower > n) {
+        for (long i = 0; i < n; i++) {
+            double area = mabr_edge_exact(points, n, i, &angle, &min_x, &max_x,
+                                          &min_y, &max_y);
+            mabr_improve(area, angle, min_x, max_x, min_y, max_y, &min_area,
+                         &min_slope, &min_intercept);
+        }
+        *out_slope = min_slope;
+        *out_intercept = min_intercept;
+        return 0;
+    }
+
+    if (mabr_scratch_reserve(n)) return -1;
+    /* convex cycle: lower chain L->R, then upper interior R->L */
+    for (long i = 0; i < n_lower; i++) g_cyc[i] = i;
+    for (long k = 0; k < n - n_lower; k++) g_cyc[n_lower + k] = n - 1 - k;
+
+    double t_mag = 0.0, v_mag = 0.0;
+    for (long j = 0; j < n; j++) {
+        double at = fabs((double)points[j].t), av = fabs(points[j].v);
+        if (at > t_mag) t_mag = at;
+        if (av > v_mag) v_mag = av;
+    }
+
+    long hmask = g_dirh_cap - 1;
+    for (long i = 0; i < g_dirh_cap * 2; i++) g_dirh[i] = DIR_EMPTY;
+
+    long w_dmax = 0, w_dmin = 0, w_cmax = 0, w_cmin = 0;
+    double min_hi = DBL_MAX;
     for (long i = 0; i < n; i++) {
         Point first = points[i];
         Point second = points[(i + 1) % n];
-        double angle = atan2(second.v - first.v, (double)(second.t - first.t));
-        double cos_a = cos(-angle);
-        double sin_a = sin(-angle);
-        double min_x = DBL_MAX, max_x = DBL_MIN, min_y = DBL_MAX, max_y = DBL_MIN;
-        for (long j = 0; j < n; j++) {
-            double rx = (double)points[j].t * cos_a - points[j].v * sin_a;
-            double ry = (double)points[j].t * sin_a + points[j].v * cos_a;
-            if (rx < min_x) min_x = rx;
-            if (rx > max_x) max_x = rx;
-            if (ry < min_y) min_y = ry;
-            if (ry > max_y) max_y = ry;
+        double ex = (double)(second.t - first.t);
+        double ey = second.v - first.v;
+        if (dir_seen(ex, ey, hmask)) {
+            /* bitwise-identical direction as an earlier edge: identical
+             * exact area, can never strictly improve -> not a candidate */
+            g_lo[i] = DBL_MAX;
+            continue;
         }
-        double area = (max_x - min_x) * (max_y - min_y);
-        if (area < min_area) {
-            min_area = area;
-            min_slope = tan(angle);
-            double center_x = (min_x + max_x) / 2.0;
-            double center_y = (min_y + max_y) / 2.0;
-            double cos_b = cos(angle);
-            double sin_b = sin(angle);
-            double back_x = center_x * cos_b - center_y * sin_b;
-            double back_y = center_x * sin_b + center_y * cos_b;
-            min_intercept = back_y - min_slope * back_x;
-        }
+        double len = sqrt(ex * ex + ey * ey);
+        double mag_d = fabs(ex) * t_mag + fabs(ey) * v_mag;
+        double mag_c = fabs(ey) * t_mag + fabs(ex) * v_mag;
+        double tol_d = 1e-13 * mag_d, tol_c = 1e-13 * mag_c;
+        double dmax = cyc_max(points, g_cyc, n, ex, ey, &w_dmax, tol_d);
+        double dmin = -cyc_max(points, g_cyc, n, -ex, -ey, &w_dmin, tol_d);
+        double cmax = cyc_max(points, g_cyc, n, -ey, ex, &w_cmax, tol_c);
+        double cmin = -cyc_max(points, g_cyc, n, ey, -ex, &w_cmin, tol_c);
+        double err_d = 3e-14 * mag_d + 1e-300;
+        double err_c = 3e-14 * mag_c + 1e-300;
+        double quirk = DBL_MIN * len; /* len * max-init quirk, dot domain */
+        double sx_hi = fmax(dmax + err_d, quirk) - (dmin - err_d);
+        double sx_lo = fmax(dmax - err_d, quirk) - (dmin + err_d);
+        double sy_hi = fmax(cmax + err_c, quirk) - (cmin - err_c);
+        double sy_lo = fmax(cmax - err_c, quirk) - (cmin + err_c);
+        if (sx_lo < 0.0) sx_lo = 0.0;
+        if (sy_lo < 0.0) sy_lo = 0.0;
+        double hi = (sx_hi / len) * (sy_hi / len) * (1.0 + 1e-12) + 1e-300;
+        double lo = (sx_lo / len) * (sy_lo / len) * (1.0 - 1e-12);
+        g_lo[i] = lo;
+        if (hi < min_hi) min_hi = hi;
+    }
+
+    for (long i = 0; i < n; i++) {
+        if (g_lo[i] > min_hi) continue;
+        double area = mabr_edge_exact(points, n, i, &angle, &min_x, &max_x,
+                                      &min_y, &max_y);
+        mabr_improve(area, angle, min_x, max_x, min_y, max_y, &min_area,
+                     &min_slope, &min_intercept);
     }
     *out_slope = min_slope;
     *out_intercept = min_intercept;
+    return 0;
 }
 
 /* f80 L-inf error of the line over the points (zig :254-280) */
@@ -368,7 +591,9 @@ static double merge_error(Histogram *hg, long index, int *err) {
     if (pbuf_reserve(hg, total + 4)) { *err = 1; return 0.0; }
     long n = hull_combined(&hg->scratch, hg->pbuf);
     double slope, intercept;
-    mabr_line(hg->pbuf, n, &slope, &intercept);
+    if (mabr_line(hg->pbuf, n, hg->scratch.lower.n, &slope, &intercept)) {
+        *err = 1; return 0.0;
+    }
     return max_error_f80(hg->pbuf, n, slope, intercept);
 }
 
@@ -479,7 +704,8 @@ long tersets_histogram(const double *values, long n, long max_buckets,
             long total = b->hull.lower.n + b->hull.upper.n;
             if (pbuf_reserve(&hg, total + 4)) goto done;
             long np = hull_combined(&b->hull, hg.pbuf);
-            mabr_line(hg.pbuf, np, &out_slope[i], &out_intercept[i]);
+            if (mabr_line(hg.pbuf, np, b->hull.lower.n, &out_slope[i],
+                          &out_intercept[i])) goto done;
         } else {
             out_slope[i] = 0.0;
             out_intercept[i] = 0.0;

@@ -36,11 +36,38 @@ def _read_source(source_name: str) -> bytes | None:
         return None
 
 
+def _cache_dir() -> str | None:
+    """Per-user 0700 cache dir; refuse dirs we don't own or that others can
+    write (a world-shared predictable path would let another local user
+    plant a malicious .so that we then ctypes.CDLL)."""
+    path = os.path.join(tempfile.gettempdir(), f"tersets-{os.getuid()}")
+    try:
+        os.makedirs(path, mode=0o700, exist_ok=True)
+        st = os.stat(path)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            return None
+    except OSError:
+        return None
+    return path
+
+
+def _safe_to_load(so_path: str) -> bool:
+    """Only CDLL cache files we own and nobody else can write."""
+    try:
+        st = os.stat(so_path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
+
+
 def _build(src: bytes, source_name: str) -> str | None:
     digest = hashlib.sha256(src).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"tersets_{digest}.so")
+    cache = _cache_dir()
+    if cache is None:
+        return None
+    so_path = os.path.join(cache, f"tersets_{digest}.so")
     if os.path.exists(so_path):
-        return so_path
+        return so_path if _safe_to_load(so_path) else None
     cc = shutil.which("cc") or shutil.which("gcc")
     if cc is None:
         return None
@@ -94,6 +121,18 @@ def load_histogram_kernel():
         c_dp, ctypes.c_long, ctypes.c_long, ctypes.c_int,
         c_lp, c_lp, c_dp, c_dp, c_dp, c_dp,
     ]
+    return fn
+
+
+def load_histogram_mabr_setter():
+    """Return the kernel's MABR-mode setter (1 = force the O(p^2) exact
+    scan, 0 = candidate-pruned fast path) or None. Differential tests use
+    it to pin fast-vs-exact bit-identity inside the same binary."""
+    fn = _load("_histogram_native.c", "tersets_histogram_set_mabr_exact")
+    if fn is None:
+        return None
+    fn.restype = None
+    fn.argtypes = [ctypes.c_int]
     return fn
 
 

@@ -80,10 +80,56 @@ def test_native_nonfinite_raises_like_python():
         _python_path(H.compress_pwlh, vals, 4.0)
 
 
+# Adversarial shapes for the candidate-pruned MABR fast path: big smooth
+# hulls (every point a hull vertex), exact lattice staircases (runs of
+# bitwise-identical edge directions -> exactly tied areas), the trend
+# shape that dominated the real-corpus profile, and near-circular data.
+_T = np.arange(3000, dtype=np.float64)
+ADVERSARIAL = [
+    np.sin(_T / 500.0) * 1000.0,                          # smooth convex arcs
+    np.round(0.5 * _T + 700.0),                           # exact staircase
+    np.round(0.5 * _T + 700.0 + RNG.uniform(-1, 1, 3000)),  # worst real doc
+    1e6 * np.sin(_T * 2 * np.pi / 3000) + _T,             # near-circle
+    np.floor(_T / 97.0) * 97.0 + np.round(np.sin(_T / 7.0) * 3.0),  # mixed
+]
+
+
+@pytest.mark.parametrize("eb", [4.0, 64.0])
+@pytest.mark.parametrize("idx", range(len(ADVERSARIAL)))
+def test_native_matches_python_adversarial(eb, idx):
+    values = ADVERSARIAL[idx]
+    for fn in (H.compress_pwch, H.compress_pwlh):
+        assert fn(values, eb) == _python_path(fn, values, eb)
+
+
+def test_fast_mabr_matches_forced_exact_scan():
+    """Pin the candidate-pruned MABR against the O(p^2) full scan inside the
+    same C binary (tersets_histogram_set_mabr_exact hook): byte-identical
+    blobs on every adversarial shape and a random sweep."""
+    from tersets_spark.codecs._native import load_histogram_mabr_setter
+
+    setter = load_histogram_mabr_setter()
+    assert setter is not None
+    cases = list(ADVERSARIAL) + [
+        RNG.uniform(-1e8, 1e8, 2500),
+        np.repeat(RNG.uniform(0, 100, 50), 60),  # long exact plateaus
+    ]
+    try:
+        for values in cases:
+            for eb in (3.0, 32.0, 200.0):
+                setter(0)
+                fast = H.compress_pwlh(values, eb)
+                setter(1)
+                exact = H.compress_pwlh(values, eb)
+                assert fast == exact
+    finally:
+        setter(0)
+
+
 def test_pwlh_throughput_floor():
-    """Perf regression gate: the native path must stay >= 20k tokens/s/core
-    on trend-shaped data (measured ~55k on real series; generous margin for
-    a noisy multi-tenant host)."""
+    """Perf regression gate: the native path must stay >= 100k tokens/s/core
+    on trend-shaped data (measured ~1.4M post-candidate-pruning; generous
+    margin for a noisy multi-tenant host)."""
     import time
 
     n = 4000
@@ -92,4 +138,4 @@ def test_pwlh_throughput_floor():
     t0 = time.monotonic()
     H.compress_pwlh(vals, 16.0)
     rate = n / (time.monotonic() - t0)
-    assert rate > 20_000, f"PWLH native path at {rate:,.0f} tokens/s"
+    assert rate > 100_000, f"PWLH native path at {rate:,.0f} tokens/s"
