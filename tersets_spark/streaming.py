@@ -85,10 +85,131 @@ def stream_sequences_to_tier(
     )
 
 
-def read_streamed_tier(spark: SparkSession, out_dir: str, tier: str = "1m") -> DataFrame:
-    """Read all micro-batch appends of a streamed tier as one DataFrame."""
+def _rollup_up_partial(tier_df: DataFrame, tier_seconds: int) -> DataFrame:
+    """Like rollup.rollup_up, but emits RE-AGGREGABLE partials: first/last
+    carry their anchor timestamps (``first_ts``/``last_ts`` = the finer
+    bucket the value came from), so partials of the same coarse bucket
+    written by different micro-batches can later be combined exactly —
+    min/max over (anchor_ts, value) structs is associative, while plain
+    first/last values are not (TimescaleDB-style continuous-aggregate
+    partials). Accepts either a finest-tier frame (anchors = bucket_ts) or
+    a partial frame (anchors carried through)."""
+    has_anchors = "first_ts" in tier_df.columns
+    f_ts = F.col("first_ts") if has_anchors else F.col("bucket_ts")
+    l_ts = F.col("last_ts") if has_anchors else F.col("bucket_ts")
+    bucket = (F.floor(F.col("bucket_ts") / tier_seconds) * tier_seconds).cast("long")
+    agg = (
+        tier_df.groupBy("doc_id", "source", bucket.alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.min(F.struct(f_ts.alias("ts"), F.col("first").alias("v"))).alias("_f"),
+            F.max(F.struct(l_ts.alias("ts"), F.col("last").alias("v"))).alias("_l"),
+        )
+    )
+    return agg.select(
+        "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax",
+        F.col("_f.v").alias("first"), F.col("_l.v").alias("last"),
+        F.col("_f.ts").alias("first_ts"), F.col("_l.ts").alias("last_ts"),
+    )
+
+
+def stream_cascade_to_tiers(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    with_blocks: bool = True,
+    block_method: Method = Method.DeltaOfDelta,
+    schema=None,
+    max_files_per_trigger: int = 8,
+):
+    """Streamed FULL cascade: each micro-batch ingests raw sequences into the
+    1m tier AND cascades its own contribution up into 1h and 1d, so all three
+    retention tiers stay continuously materialized (north_rule "continuous
+    aggregates" over streams, not just batch).
+
+    The coarse tiers hold per-batch PARTIALS (see _rollup_up_partial): a
+    1h bucket touched by several micro-batches has several rows, combined
+    exactly at read time by ``read_streamed_tier(..., finalize=True)``.
+    With unique doc_ids each doc's rows land in one batch, so partials are
+    already final; finalize also covers re-ingested doc_ids.
+
+    Plan shape per batch: one Arrow kernel pass (raw->1m, map-only), then
+    two tiny JVM hash aggregations over the batch's rolled output read back
+    from the just-written parquet (re-scan of the small 1m output beats
+    re-running the kernel via lineage). Idempotent per-batch dirs give
+    restart-safe effectively-once appends, same as stream_sequences_to_tier.
+    """
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    catalog = TierCatalog(out_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import pyarrow.dataset as pa_ds
+
+        rolled = rollup_raw(batch_df, TIERS["1m"], with_blocks, block_method)
+        dir_1m = os.path.join(catalog.base_dir, "1m", f"batch={batch_id}")
+        rolled.write.mode("overwrite").parquet(dir_1m)
+        catalog.record(
+            "1m", f"batch={batch_id}",
+            rows=pa_ds.dataset(dir_1m, format="parquet").count_rows(), bytes_out=0,
+        )
+        base = spark.read.parquet(dir_1m)
+        if with_blocks:
+            base = base.drop("block")
+        up = _rollup_up_partial(base, TIERS["1h"])
+        dir_1h = os.path.join(catalog.base_dir, "1h", f"batch={batch_id}")
+        up.write.mode("overwrite").parquet(dir_1h)
+        catalog.record(
+            "1h", f"batch={batch_id}",
+            rows=pa_ds.dataset(dir_1h, format="parquet").count_rows(), bytes_out=0,
+        )
+        day = _rollup_up_partial(spark.read.parquet(dir_1h), TIERS["1d"])
+        dir_1d = os.path.join(catalog.base_dir, "1d", f"batch={batch_id}")
+        day.write.mode("overwrite").parquet(dir_1d)
+        catalog.record(
+            "1d", f"batch={batch_id}",
+            rows=pa_ds.dataset(dir_1d, format="parquet").count_rows(), bytes_out=0,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_streamed_tier(
+    spark: SparkSession, out_dir: str, tier: str = "1m", finalize: bool = False
+) -> DataFrame:
+    """Read all micro-batch appends of a streamed tier as one DataFrame.
+
+    ``finalize=True`` (coarse tiers from stream_cascade_to_tiers) combines
+    cross-batch partials of the same (doc_id, source, bucket_ts) exactly —
+    anchor-aware first/last — and drops the anchor columns, yielding the
+    same schema and values as the batch cascade's tier."""
     base = os.path.join(out_dir, tier)
-    return spark.read.option("basePath", base).parquet(os.path.join(base, "batch=*"))
+    df = spark.read.option("basePath", base).parquet(os.path.join(base, "batch=*"))
+    if not finalize:
+        return df
+    if "first_ts" not in df.columns:
+        return df  # finest tier: rows are already final
+    # same-tier combine: floor(bucket_ts / 1) keeps the bucket; reuse the
+    # anchor-aware partial combine then drop the anchors
+    return _rollup_up_partial(df.drop("batch"), 1).drop("first_ts", "last_ts")
 
 
 def windowed_event_rollup(
@@ -172,6 +293,13 @@ def sessionize_stream(events, gap_seconds: int = 1800):
 
     The per-batch work is vectorized NumPy (gap split via flatnonzero +
     reduceat-style segment sums), not a per-event Python loop.
+
+    Semantics notes: a session is only emitted when a LATER event closes it,
+    so each user's final open session stays in state until more data arrives
+    (NoTimeout — matching the batch twin requires knowing the stream ended,
+    which append mode can't; production flushes would add a processing-time
+    timeout). Cross-batch out-of-order segments merge conservatively into
+    the open session (interval union), never splitting it retroactively.
     """
     import numpy as np
     import pandas as pd
@@ -222,8 +350,14 @@ def sessionize_stream(events, gap_seconds: int = 1800):
             seg = (int(ts[lo]), int(ts[hi - 1]), int(hi - lo),
                    int(cents[lo:hi].sum()))
             if s_start is not None and seg[0] - s_end <= gap_seconds:
-                # merge into the carried-over open session
-                seg = (s_start, seg[1], s_n + seg[2], s_cents + seg[3])
+                # Merge into the carried-over open session. min/max (not
+                # blind replace) keeps start <= end even when a late batch
+                # delivers a segment that PRECEDES the open session —
+                # cross-batch disorder merges conservatively (one session)
+                # rather than corrupting the interval; within a batch,
+                # events are sorted, so segments are exact.
+                seg = (min(s_start, seg[0]), max(s_end, seg[1]),
+                       s_n + seg[2], s_cents + seg[3])
             elif s_start is not None:
                 closed.append((user_id, s_start, s_end, s_n, s_cents))
             s_start, s_end, s_n, s_cents = seg

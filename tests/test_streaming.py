@@ -171,3 +171,79 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     assert got.count() == closed_expected.count() == 6 * 3
     assert got.select(cols).exceptAll(closed_expected.select(cols)).count() == 0
     assert closed_expected.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_stream_full_cascade_matches_batch_all_tiers(spark, staged_input, tmp_path):
+    """Streamed 1m/1h/1d (per-batch partials + exact finalize combine) must
+    equal the batch cascade tier-for-tier — the north_rule continuous-
+    aggregate contract extended to the streaming path."""
+    from tersets_spark.rollup import cascade
+    from tersets_spark.streaming import stream_cascade_to_tiers
+
+    out = str(tmp_path / "tiers")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_cascade_to_tiers(
+        spark, staged_input, out, ckpt, max_files_per_trigger=2, with_blocks=False
+    )
+    q.awaitTermination()
+
+    batch_tiers = cascade(spark.read.parquet(staged_input), with_blocks=False)
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    for tier in ("1m", "1h", "1d"):
+        streamed = read_streamed_tier(spark, out, tier, finalize=True).select(cols)
+        batch = batch_tiers[tier].select(cols)
+        n_s, n_b = streamed.count(), batch.count()
+        assert n_s == n_b, f"{tier}: {n_s} streamed vs {n_b} batch rows"
+        assert streamed.exceptAll(batch).count() == 0, f"{tier}: values differ"
+
+
+def test_stream_cascade_partials_finalize_across_batches(spark, tmp_path):
+    """Force a coarse bucket to span micro-batches (same doc_id re-ingested
+    in a second file) and pin that finalize combines partials exactly —
+    including anchor-aware first/last, which plain min/max of values would
+    get wrong."""
+    import pyarrow as pa
+
+    from tersets_spark.rollup import cascade
+    from tersets_spark.streaming import stream_cascade_to_tiers
+
+    # one doc whose two halves land in different batches: first half covers
+    # the early 1h bucket minutes with DESCENDING values, second half later
+    # minutes with ASCENDING values -> the true 1h first comes from file 0,
+    # the true last from file 1, and vmin/vmax straddle both.
+    stage = tmp_path / "in"
+    stage.mkdir()
+    tok_a = list(range(4000, 4000 - 120 * 5, -5))  # 120 tokens, descending
+    tok_b = list(range(100, 100 + 240 * 3, 3))     # 240 tokens, ascending
+    for name, toks in (("part-0.parquet", tok_a), ("part-1.parquet", tok_b)):
+        offset = 0 if name == "part-0.parquet" else len(tok_a)
+        tab = pa.table(
+            {
+                "doc_id": ["doc_x"],
+                "tokens": [toks],
+                "n_tok": pa.array([len(toks)], type=pa.int32()),
+                "source": ["src_00"],
+                "ts0": pa.array([1_700_000_000 + offset], type=pa.int64()),
+            }
+        )
+        pq.write_table(tab, str(stage / name))
+
+    out = str(tmp_path / "tiers")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_cascade_to_tiers(
+        spark, str(stage), out, ckpt, max_files_per_trigger=1, with_blocks=False
+    )
+    q.awaitTermination()
+
+    # raw partials: the 1h tier must hold >1 row for the shared bucket
+    raw_1h = read_streamed_tier(spark, out, "1h", finalize=False)
+    shared = raw_1h.groupBy("bucket_ts").count().filter(F.col("count") > 1)
+    assert shared.count() > 0, "test setup failed to split a 1h bucket across batches"
+
+    batch_tiers = cascade(spark.read.parquet(str(stage)), with_blocks=False)
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    for tier in ("1h", "1d"):
+        streamed = read_streamed_tier(spark, out, tier, finalize=True).select(cols)
+        batch = batch_tiers[tier].select(cols)
+        assert streamed.count() == batch.count()
+        assert streamed.exceptAll(batch).count() == 0, f"{tier}: partial combine wrong"
