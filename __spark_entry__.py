@@ -788,12 +788,15 @@ def _q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram language-ID prediction distribution (rows-only check)."""
-    from tersets_spark.textops import lang_id_udf
+    """n-gram language-ID prediction distribution, fully JVM-side
+    (textops.lang_id_col: replace-arithmetic marker counts inside
+    whole-stage codegen — no Python worker in this plan; the pandas-UDF
+    twin lang_id_udf is parity-pinned in tests/test_pipeline_ops.py)."""
+    from tersets_spark.textops import lang_id_col
 
     return (
         _docs(spark, sf_dir)
-        .select(lang_id_udf(F.col("text")).alias("pred_lang"))
+        .select(lang_id_col(F.col("text")).alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count(F.lit(1)).alias("docs"))
     )

@@ -153,3 +153,27 @@ def test_frame_sample_batch_shapes():
     out = frame_sample_batch(pdf, 4)
     assert list(out["frame_index"]) == [0, 1, 2, 3]
     assert b"".join(out["frame"]) == bytes(range(10))  # frames partition payload
+
+
+def test_lang_id_col_matches_udf(spark):
+    """JVM replace-arithmetic scoring (lang_id_col, the hot path) must agree
+    with the pandas-UDF twin doc-for-doc, including und/tie-break cases."""
+    from pyspark.sql import functions as F
+
+    from tersets_spark.textops import lang_id_col, lang_id_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [("", ), (None,), ("the der les de los 的",), ("zzzz qqqq",),
+         ("the the der der",)],  # en/de tie -> first profile order (en)
+        ["text"],
+    )
+    both = (
+        docs.select("text").unionByName(extra)
+        .select(
+            lang_id_col(F.col("text")).alias("jvm"),
+            lang_id_udf(F.col("text")).alias("py"),
+        )
+    )
+    assert both.filter(F.col("jvm") != F.col("py")).count() == 0
+    assert both.filter(F.col("jvm") == "und").count() > 0
