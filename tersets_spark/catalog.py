@@ -40,13 +40,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class TierCatalog:
-    def __init__(self, base_dir: str, auto_vacuum: bool = True):
+    def __init__(
+        self, base_dir: str, auto_vacuum: bool = True,
+        orphan_grace_sec: float = 600.0,
+    ):
         """``auto_vacuum=False`` keeps superseded run dirs on disk, which
         makes every manifest prefix a readable SNAPSHOT (time travel via
         ``read_tier(..., as_of=n)``) until an explicit :meth:`vacuum` —
-        the same trade Iceberg's ``expire_snapshots`` makes."""
+        the same trade Iceberg's ``expire_snapshots`` makes.
+
+        ``orphan_grace_sec``: a run dir the manifest has NEVER referenced is
+        indistinguishable from another writer's in-flight commit (between
+        its dir move and its manifest append), so vacuum only deletes such
+        orphans once they are older than this grace window. Runs that ARE
+        in the manifest but superseded are deleted immediately — they were
+        committed, so no writer is still mid-commit on them. This is what
+        makes two cascades racing on one catalog safe (Iceberg's
+        remove_orphan_files makes the identical time-based trade)."""
         self.base_dir = base_dir
         self.auto_vacuum = auto_vacuum
+        self.orphan_grace_sec = orphan_grace_sec
         os.makedirs(base_dir, exist_ok=True)
         self.manifest_path = os.path.join(base_dir, "_manifest.jsonl")
 
@@ -149,14 +162,27 @@ class TierCatalog:
             self.vacuum(tier, partitions=[partition])
 
     def vacuum(self, tier: str, partitions: list[str] | None = None) -> int:
-        """Delete run dirs not referenced by the manifest (superseded
-        commits and crash orphans). Returns the number removed. On POSIX
-        this runs right after each commit; an object store would delay it."""
+        """Delete run dirs not CURRENT in the manifest. Two classes:
+
+        * superseded runs (referenced by some manifest record, replaced by
+          a later one) — deleted immediately; their commit finished.
+        * never-referenced dirs — possibly a concurrent writer's commit in
+          flight (dir moved, manifest append pending), so deleted only when
+          older than ``orphan_grace_sec`` (true crash orphans age out).
+
+        Returns the number removed. On POSIX this runs right after each
+        commit; an object store would delay it past reader grace."""
         current = self.current_runs(tier)
+        ever_referenced = {
+            rec["path"]
+            for rec in self.metrics()
+            if rec["tier"] == tier and rec.get("path") is not None
+        }
         tier_dir = os.path.join(self.base_dir, tier)
         if not os.path.isdir(tier_dir):
             return 0
         removed = 0
+        now = time.time()
         for entry in sorted(os.listdir(tier_dir)):
             if not entry.startswith("source="):
                 continue
@@ -168,11 +194,22 @@ class TierCatalog:
             keep_abs = os.path.join(tier_dir, keep) if keep else None
             for run in sorted(os.listdir(part_root)):
                 run_dir = os.path.join(part_root, run)
-                if run_dir != keep_abs:
-                    shutil.rmtree(run_dir, ignore_errors=True)
-                    removed += 1
+                if run_dir == keep_abs:
+                    continue
+                if os.path.join(entry, run) not in ever_referenced:
+                    try:
+                        age = now - os.path.getmtime(run_dir)
+                    except OSError:
+                        continue  # concurrently committed/removed: leave it
+                    if age < self.orphan_grace_sec:
+                        continue  # possibly another writer's in-flight commit
+                shutil.rmtree(run_dir, ignore_errors=True)
+                removed += 1
             if not os.listdir(part_root):
-                os.rmdir(part_root)
+                try:
+                    os.rmdir(part_root)
+                except OSError:
+                    pass  # a concurrent writer just created a run in it
         return removed
 
     # -- reads -------------------------------------------------------------

