@@ -148,6 +148,28 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
 # IVF (inverted-file) ANN: coarse k-means quantizer + probed clusters
 # ---------------------------------------------------------------------------
 
+#: Quantization grid for the coarse quantizer: embeddings are snapped to
+#: integers (floor(x * 4096 + 0.5)) before Lloyd iterations, so ALL k-means
+#: state is exact int64 — sums are order-independent (Spark's aggregation
+#: order no longer matters), reruns/resumes are bit-stable, and an
+#: independent SQL engine reproduces the identical clustering (the
+#: ann_ivf_recall DuckDB oracle replays the same integer arithmetic).
+#: The candidate re-rank still uses the ORIGINAL float embeddings, so the
+#: quantization only moves coarse-cluster boundaries by <2^-12.
+QUANT_SCALE = 4096
+
+
+def quantized_col(vec_col):
+    """array<float> -> array<long> on the QUANT_SCALE grid, JVM-side.
+    floor(x*scale + 0.5) (not round()) so Spark and SQL replicas share one
+    well-defined half-rule across engines."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
 
 def train_ivf_centroids(
     emb: DataFrame,
@@ -156,47 +178,49 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: Lloyd iterations over the DataFrame.
+    """Deterministic INTEGER-EXACT coarse quantizer; returns quantized
+    centroids as int64 (n_centroids x dim).
 
-    Init = the vectors with the ``n_centroids`` smallest ids (deterministic,
-    seed-free). Each iteration assigns every vector to its nearest centroid
-    (vectorized pandas UDF) and recomputes means JVM-side (posexplode +
-    groupBy(cluster, dim) — the standard distributed k-means shape). The
-    centroid table is tiny (k x dim) and lives on the driver between rounds.
+    Init = the quantized vectors with the ``n_centroids`` smallest ids
+    (deterministic, seed-free). Each Lloyd iteration assigns every vector to
+    its nearest centroid (vectorized pandas UDF, exact int64 distances,
+    ties to the smallest cluster id) and recomputes centroids JVM-side
+    (posexplode + groupBy(cluster, dim) sum over LONGS — exact, shuffle-
+    order-independent). New centroid element = round-half-up of the mean,
+    computed as floor((2*s + n) / (2*n)) in exact integer arithmetic.
+    Empty clusters keep their previous centroid.
     """
-    init_rows = (
-        emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    )
-    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in init_rows])
+    q = emb.select(F.col(id_col).alias("vid"), quantized_col(F.col(vec_col)).alias("qvec"))
+    init_rows = q.orderBy("vid").limit(n_centroids).select("qvec").collect()
+    centroids = np.stack([np.asarray(r[0], dtype=np.int64) for r in init_rows])
 
     for _ in range(iterations):
         assign = _assign_udf(centroids)
-        assigned = emb.select(F.col(vec_col).alias("vec"), assign(F.col(vec_col)).alias("cluster"))
+        assigned = q.select(F.col("qvec").alias("vec"), assign(F.col("qvec")).alias("cluster"))
         sums = (
             assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new = centroids.copy()
-        counts = np.zeros(len(centroids), dtype=np.int64)
         for r in sums:
-            new[r.cluster, r.dim] = r.s / r.n
-            counts[r.cluster] = r.n
-        # empty clusters keep their previous centroid
-        centroids = np.where(counts[:, None] > 0, new, centroids)
+            s, n = int(r.s), int(r.n)
+            new[r.cluster, r.dim] = (2 * s + n) // (2 * n)  # floor: exact round-half-up
+        centroids = new  # absent (cluster, dim) rows = empty cluster: unchanged
     return centroids
 
 
 def _assign_udf(centroids: np.ndarray):
-    cents = centroids  # closure copy ships with the UDF
+    cents = np.asarray(centroids, dtype=np.int64)  # closure copy ships with the UDF
 
     @F.pandas_udf(LongType())
     def assign(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        # nearest by L2: argmin ||x-c||^2 = argmin(-2xc + ||c||^2)
-        scores = -2.0 * mat @ cents.T + (cents * cents).sum(axis=1)[None, :]
-        return pd.Series(scores.argmin(axis=1).astype(np.int64))
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
+        # exact int64 squared L2; values bounded ~dim*(2*scale)^2 << 2^63.
+        # np.argmin ties -> first (smallest cluster id), matching the oracle.
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
 
     return assign
 
@@ -224,19 +248,23 @@ def knn_ivf(
     indexed = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        assign(F.col(vec_col)).alias("cluster"),
+        assign(quantized_col(F.col(vec_col))).alias("cluster"),
     )
     probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pvec"),
+        quantized_col(F.col(vec_col)).alias("qpvec"),
     )
-    # n_probe nearest clusters per probe, computed driver-side (tiny).
+    # n_probe nearest clusters per probe, computed driver-side (tiny);
+    # exact int64 distances, stable sort so ties go to the smaller cluster.
     probe_rows = probes.collect()
     probe_clusters = []
     for r in probe_rows:
-        v = np.asarray(r.pvec, dtype=np.float64)
+        v = np.asarray(r.qpvec, dtype=np.int64)
         d = ((centroids - v) ** 2).sum(axis=1)
-        for c in np.argsort(d)[:n_probe]:
+        for c in np.argsort(d, kind="stable")[:n_probe]:
             probe_clusters.append((r.probe_id, int(c)))
+    probes = probes.drop("qpvec")
     pc = F.broadcast(
         probes.sparkSession.createDataFrame(probe_clusters, "probe_id long, cluster long")
     )

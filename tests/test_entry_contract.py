@@ -55,10 +55,8 @@ def test_entry_smoke(spark):
 #: Queries that intentionally have no SQL oracle (driver rows-only fallback):
 #: hash-seeded candidate generation and stubs are not SQL-expressible.
 ROWS_ONLY = {
-    "ann_lsh_recall",      # LSH recall report (seeded hyperplanes)
-    "ann_ivf_recall",      # IVF recall report (k-means quantizer)
+    "ann_lsh_recall",      # LSH recall report (seeded hyperplanes, not SQL-expressible)
     "codec_footprint",     # blob sizes are codec-defined
-    "embedding_near_dup_lsh",  # probabilistic recall self-report vs brute
 }
 
 
