@@ -190,6 +190,18 @@ def minhash_udf(num_perm: int = 128):
     return _minhash
 
 
+def _shingle_sets(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+    """One groupBy collects BOTH the distinct shingle strings (for the exact
+    per-candidate verify) and their JVM-side xxhash64 (for signatures):
+    each shingle is hashed exactly once, inside whole-stage codegen
+    (plan-shape regression: tests/test_dedup_scale.py)."""
+    sh = shingle_table(df, k, id_col, text_col)
+    return sh.groupBy("id").agg(
+        F.collect_list("shingle").alias("shingles"),
+        F.collect_list(F.xxhash64("shingle")).alias("hashes"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 3,
@@ -208,14 +220,12 @@ def minhash_lsh_pairs(
     ``jaccard_pairs``.
     """
     rows_per_band = num_perm // bands
-    sh = shingle_table(df, k, id_col, text_col)
-    # One groupBy collects BOTH the distinct shingle strings (for the exact
-    # per-candidate verify) and their JVM-side xxhash64 (for signatures):
-    # each shingle is hashed exactly once, inside whole-stage codegen.
-    shingle_sets = sh.groupBy("id").agg(
-        F.collect_list("shingle").alias("shingles"),
-        F.collect_list(F.xxhash64("shingle")).alias("hashes"),
-    ).cache()
+    # localCheckpoint (not .cache): materialized once for the three uses
+    # below, and the blocks are reclaimed by the ContextCleaner when the
+    # returned plan becomes unreachable — a CacheManager entry from
+    # .cache() would accumulate for the application lifetime across
+    # repeated calls in a long-lived session.
+    shingle_sets = _shingle_sets(df, k, id_col, text_col).localCheckpoint(eager=True)
     sigs = shingle_sets.select(
         "id", minhash_udf(num_perm)(F.col("hashes")).alias("sig")
     )

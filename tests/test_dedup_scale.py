@@ -48,11 +48,19 @@ def test_minhash_verify_join_is_candidate_bounded(spark, docs):
 
 def test_minhash_path_hashes_shingles_jvm_side(spark, docs):
     """Shingle hashing for signatures happens once, JVM-side (xxhash64) —
-    the pandas UDF receives pre-hashed longs, not strings."""
-    from tersets_spark.dedup import minhash_lsh_pairs
+    the pandas UDF receives pre-hashed longs, not strings. The shingle-set
+    stage is materialized via localCheckpoint (so its blocks are ContextCleaner-
+    reclaimable, unlike a .cache entry), which cuts lineage — so the hashing
+    is asserted on the pre-checkpoint stage plan and the checkpoint on the
+    final plan."""
+    from tersets_spark.dedup import _shingle_sets, minhash_lsh_pairs
 
-    plan = _optimized_plan(minhash_lsh_pairs(docs))
-    assert "xxhash64" in plan
+    stage_plan = _optimized_plan(_shingle_sets(docs, 3, "doc_id", "text"))
+    assert "xxhash64" in stage_plan
+
+    final_plan = _optimized_plan(minhash_lsh_pairs(docs))
+    assert "LogicalRDD" in final_plan  # checkpointed, not CacheManager-cached
+    assert "xxhash64" not in final_plan  # hashing ran once, before checkpoint
 
 
 def test_dedup_clusters_chain_converges_with_flat_lineage(spark):
