@@ -654,6 +654,34 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _q_seq_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate SEQUENCES (token-array equality) per source — the
+    dedup op a pretraining pipeline runs on the primary pre-tokenized
+    table. Groups by a canonical md5 digest + length so the token payload
+    never shuffles (seqops.exact_seq_dedup_stats)."""
+    from tersets_spark.seqops import exact_seq_dedup_stats
+
+    return exact_seq_dedup_stats(_sequences(spark, sf_dir))
+
+
+def _q_seq_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality metrics over token sequences; the
+    longest same-token run is one JVM aggregate() fold per row (struct
+    state) — no posexplode shuffle, no Python (seqops.repetition_stats)."""
+    from tersets_spark.seqops import repetition_stats
+
+    return repetition_stats(_sequences(spark, sf_dir), run_threshold=16)
+
+
+def _q_seq_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: sequences sharing any 13-token-gram with
+    the held-out source src_11, per source (seqops.ngram_contamination);
+    grams built JVM-side, benchmark gram set broadcast."""
+    from tersets_spark.seqops import ngram_contamination
+
+    return ngram_contamination(_sequences(spark, sf_dir), "src_11", n=13)
+
+
 def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.textops import quality_score, text_stats
 
@@ -962,6 +990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "lttb_downsample": _q_lttb_downsample,
         "corpus_curation": _q_corpus_curation,
+        "seq_dedup_exact": _q_seq_dedup_exact,
+        "seq_repetition_stats": _q_seq_repetition_stats,
+        "seq_ngram_contamination": _q_seq_ngram_contamination,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1198,6 +1229,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(token_chars) AS BIGINT) AS token_chars,
                    CAST(SUM(q) AS BIGINT) AS quality_milli
             FROM scored GROUP BY lang
+        """,
+        # exact duplicate sequences per source: same canonical digest
+        # (md5 of comma-joined decimal tokens) in both engines
+        "seq_dedup_exact": f"""
+            WITH g AS (
+                SELECT source, md5(array_to_string(tokens, ',')) AS dig, n_tok,
+                       COUNT(*) AS n
+                FROM read_parquet('{seq}') GROUP BY 1, 2, 3
+            )
+            SELECT source, CAST(SUM(n) AS BIGINT) AS docs,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_seqs,
+                   CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_docs
+            FROM g GROUP BY source
+        """,
+        # longest same-token run via lag/run-id windows; distinct count via
+        # list_distinct — replicates seqops.max_run_col's aggregate() fold
+        "seq_repetition_stats": f"""
+            WITH pts AS (
+                SELECT doc_id, source, unnest(tokens) AS v,
+                       generate_subscripts(tokens, 1) AS i
+                FROM read_parquet('{seq}')
+            ),
+            runs AS (
+                SELECT doc_id, v, i,
+                       CASE WHEN lag(v) OVER w IS DISTINCT FROM v THEN 1 ELSE 0 END AS brk
+                FROM pts WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            rid AS (
+                SELECT doc_id, v,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS rid
+                FROM runs
+            ),
+            rlen AS (SELECT doc_id, rid, COUNT(*) AS rl FROM rid GROUP BY 1, 2),
+            maxrun AS (SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run FROM rlen GROUP BY 1),
+            perdoc AS (
+                SELECT s.source, CAST(s.n_tok AS BIGINT) AS n_tok,
+                       CAST(len(list_distinct(s.tokens)) AS BIGINT) AS n_distinct,
+                       m.max_run
+                FROM read_parquet('{seq}') s JOIN maxrun m USING (doc_id)
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+                   CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+                   CAST(MAX(max_run) AS BIGINT) AS max_run,
+                   CAST(SUM(CASE WHEN max_run >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS repetitive_docs
+            FROM perdoc GROUP BY source
+        """,
+        # 13-token-gram overlap with held-out src_11 (decontamination)
+        "seq_ngram_contamination": f"""
+            WITH g AS (
+                SELECT s.doc_id, s.source, list_slice(s.tokens, t.i, t.i + 12) AS gram
+                FROM read_parquet('{seq}') s,
+                     UNNEST(range(1, greatest(len(s.tokens) - 12, 0) + 1)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src_11'),
+            contaminated AS (
+                SELECT DISTINCT g.doc_id, g.source
+                FROM g JOIN bench USING (gram)
+                WHERE g.source != 'src_11'
+            ),
+            totals AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS docs
+                FROM read_parquet('{seq}') WHERE source != 'src_11' GROUP BY source
+            ),
+            hits AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS contaminated_docs
+                FROM contaminated GROUP BY source
+            )
+            SELECT t.source, t.docs,
+                   CAST(COALESCE(h.contaminated_docs, 0) AS BIGINT) AS contaminated_docs
+            FROM totals t LEFT JOIN hits h USING (source)
         """,
         "corpus_curation": f"""
             WITH keep AS (

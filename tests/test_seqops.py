@@ -1,0 +1,94 @@
+"""Sequence-level training-data ops (seqops): known-answer and differential
+tests for the JVM-side fold/digest/gram machinery the contract queries use."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _max_run_py(toks: list[int]) -> int:
+    best = run = 0
+    prev = None
+    for t in toks:
+        run = run + 1 if t == prev else 1
+        best = max(best, run)
+        prev = t
+    return best
+
+
+def test_max_run_col_matches_python_reference(spark):
+    from tersets_spark.seqops import max_run_col
+
+    rng = np.random.default_rng(3)
+    rows = [
+        [1],
+        [7, 7, 7, 7],
+        [1, 2, 3, 4],
+        [5, 5, 1, 5, 5, 5],
+        rng.integers(0, 3, 200).tolist(),  # many short runs
+        ([9] * 50 + [1] + [9] * 49),
+    ]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(rows)], "i long, toks array<int>")
+    got = {
+        r["i"]: r["mr"]
+        for r in df.select("i", max_run_col(F.col("toks")).alias("mr")).collect()
+    }
+    for i, r in enumerate(rows):
+        assert got[i] == _max_run_py(r), f"row {i}"
+
+
+def test_exact_seq_dedup_counts_duplicates(spark):
+    from tersets_spark.seqops import exact_seq_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3], 3, "s1"),
+            ("b", [1, 2, 3], 3, "s1"),  # dup of a
+            ("c", [1, 2, 4], 3, "s1"),
+            ("d", [1, 2, 3], 3, "s2"),  # same tokens, other source: not a dup there
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = {r["source"]: r.asDict() for r in exact_seq_dedup_stats(df).collect()}
+    assert out["s1"]["docs"] == 3 and out["s1"]["distinct_seqs"] == 2
+    assert out["s1"]["dup_docs"] == 1
+    assert out["s2"]["dup_docs"] == 0
+
+
+def test_ngram_contamination_flags_shared_grams(spark):
+    from tersets_spark.seqops import ngram_contamination
+
+    bench = list(range(100, 120))
+    clean = list(range(500, 540))
+    dirty = clean[:10] + bench[3:16] + clean[10:20]  # contains a bench 13-gram
+    df = spark.createDataFrame(
+        [
+            ("b0", bench, len(bench), "bench"),
+            ("x0", dirty, len(dirty), "s1"),
+            ("x1", clean, len(clean), "s1"),
+            ("y0", clean, len(clean), "s2"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = {r["source"]: r.asDict() for r in ngram_contamination(df, "bench", n=13).collect()}
+    assert out["s1"]["docs"] == 2 and out["s1"]["contaminated_docs"] == 1
+    assert out["s2"]["contaminated_docs"] == 0
+
+
+def test_repetition_stats_threshold(spark):
+    from tersets_spark.seqops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1] * 20, 20, "s1"),           # run 20 -> repetitive
+            ("b", [1, 2] * 10, 20, "s1"),        # run 1
+            ("c", list(range(20)), 20, "s2"),    # run 1, all distinct
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = {r["source"]: r.asDict() for r in repetition_stats(df, run_threshold=16).collect()}
+    assert out["s1"]["repetitive_docs"] == 1 and out["s1"]["max_run"] == 20
+    assert out["s1"]["sum_distinct"] == 1 + 2
+    assert out["s2"]["repetitive_docs"] == 0 and out["s2"]["sum_distinct"] == 20
