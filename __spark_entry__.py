@@ -260,6 +260,82 @@ def _ann_ivf_oracle_sql(
     return "".join(parts)
 
 
+def _ann_lsh_oracle_sql(
+    k: int = 10, planes: int = 4, tables: int = 16, seed: int = 0xA55,
+    n_probes_ids: int = 10, scale: int = 4096, dim: int = 64,
+) -> str:
+    """DuckDB replay of the sign-LSH ANN path (similarity.knn_lsh): the
+    +-1 hyperplanes are md5-derived (similarity.det_planes) and embedded
+    here as literals, dots run over the integer-quantized vectors (exact
+    in DOUBLE), so bucket assignments — and therefore candidates, re-rank,
+    and recall — are reproduced bit-for-bit."""
+    from tersets_spark.similarity import det_planes
+
+    signs = det_planes(tables, planes, dim, seed)
+    rows = ",\n                ".join(
+        f"({t}, {p}, {list(int(x) for x in signs[t, p])}::DOUBLE[])"
+        for t in range(tables)
+        for p in range(planes)
+    )
+    return f"""
+        WITH qq AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS DOUBLE)) AS qvd
+            FROM embeddings
+        ),
+        pl(t, p, pv) AS (
+            VALUES {rows}
+        ),
+        bk AS (
+            SELECT q.vec_id, pl.t,
+                   CAST(SUM(CASE WHEN list_dot_product(q.qvd, pl.pv) > 0
+                                 THEN CAST(1 << pl.p AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS bucket
+            FROM qq q CROSS JOIN pl GROUP BY q.vec_id, pl.t
+        ),
+        cand AS (
+            SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS neighbor_id
+            FROM bk p JOIN bk n ON p.t = n.t AND p.bucket = n.bucket
+            WHERE p.vec_id < {n_probes_ids} AND n.vec_id != p.vec_id
+        ),
+        approx AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT c.probe_id, c.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY c.probe_id
+                           ORDER BY list_cosine_similarity(pe.embedding, ne.embedding) DESC,
+                                    c.neighbor_id ASC) AS rank
+                FROM cand c
+                JOIN embeddings pe ON pe.vec_id = c.probe_id
+                JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+            ) WHERE rank <= {k}
+        ),
+        truth AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY list_cosine_similarity(p.embedding, n.embedding) DESC,
+                                    n.vec_id ASC) AS rank
+                FROM embeddings p JOIN embeddings n ON p.vec_id != n.vec_id
+                WHERE p.vec_id < {n_probes_ids}
+            ) WHERE rank <= {k}
+        ),
+        stats AS (
+            SELECT t.probe_id,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits
+            FROM truth t
+            LEFT JOIN approx a
+              ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+            GROUP BY t.probe_id
+        )
+        SELECT CAST(probe_id AS BIGINT) AS probe_id, k, hits,
+               CAST(floor((hits * 1000.0) / k) AS BIGINT) AS recall_milli
+        FROM stats"""
+
+
 #: DuckDB replica of dedup.simhash_pairs: FNV-1a 64 over each whitespace
 #: token (HUGEINT mod-2^64 arithmetic, bit-identical to the NumPy
 #: column-Horner in dedup._hash_shingles), per-bit term-frequency votes,
@@ -811,7 +887,9 @@ def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 of the LSH ANN path vs brute force (rows-only check)."""
+    """recall@10 of the sign-LSH ANN path vs brute force, hash-matched:
+    the md5-derived +-1 planes + integer-quantized dots make bucketing
+    engine-portable, so the DuckDB oracle replays the whole path."""
     from tersets_spark.similarity import ann_recall, knn_bruteforce, knn_lsh
 
     emb = _embs(spark, sf_dir)
@@ -1446,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "ann_ivf_recall": _ann_ivf_oracle_sql(),
+        "ann_lsh_recall": _ann_lsh_oracle_sql(),
         "knn_bruteforce": """
             SELECT CAST(probe_id AS BIGINT) AS probe_id,
                    CAST(rank AS BIGINT) AS rank,

@@ -59,13 +59,32 @@ def knn_bruteforce(
     )
 
 
+def det_planes(tables: int, planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic +-1 hyperplanes (Achlioptas-style sparse/sign random
+    projections, JMLR 2003 — provably comparable to Gaussian planes for
+    sign-LSH): sign(t,p,d) = +1 iff the first md5 nibble of
+    "seed:t:p:d" < 8. md5 is engine-portable, so an independent SQL engine
+    reconstructs the identical matrix — combined with integer-exact dots
+    over QUANT_SCALE-quantized vectors this makes every bucket assignment
+    reproducible bit-for-bit (the ann_lsh_recall oracle replays it)."""
+    import hashlib
+
+    signs = np.empty((tables, planes, dim), dtype=np.int64)
+    for t in range(tables):
+        for p in range(planes):
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}:{t}:{p}:{d}".encode()).hexdigest()
+                signs[t, p, d] = 1 if int(h[0], 16) < 8 else -1
+    return signs
+
+
 def _bucket_udf(tables: int, planes: int, dim: int, seed: int):
-    rng = np.random.default_rng(seed)
-    all_planes = rng.standard_normal((tables, planes, dim)).astype(np.float64)
+    all_planes = det_planes(tables, planes, dim, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    def bucket(qvecs: pd.Series) -> pd.Series:
+        # input: QUANT_SCALE-quantized int vectors -> exact integer dots
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in qvecs])
         signs = np.einsum("tpd,nd->tnp", all_planes, mat) > 0
         weights = 1 << np.arange(planes, dtype=np.int64)
         buckets = (signs * weights).sum(axis=2)  # (tables, n)
@@ -95,12 +114,14 @@ def knn_lsh(
     """
     bucket = _bucket_udf(tables, planes, dim, seed)
     ids = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-    banded = ids.select("neighbor_id", F.explode(bucket(F.col("vec"))).alias("bucket"))
+    banded = ids.select(
+        "neighbor_id", F.explode(bucket(quantized_col(F.col("vec")))).alias("bucket")
+    )
     probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
     )
     probe_buckets = F.broadcast(
-        probes.select("probe_id", F.explode(bucket(F.col("pvec"))).alias("bucket"))
+        probes.select("probe_id", F.explode(bucket(quantized_col(F.col("pvec")))).alias("bucket"))
     )
     candidates = (
         banded.join(probe_buckets, "bucket")

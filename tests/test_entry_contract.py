@@ -55,8 +55,7 @@ def test_entry_smoke(spark):
 #: Queries that intentionally have no SQL oracle (driver rows-only fallback):
 #: hash-seeded candidate generation and stubs are not SQL-expressible.
 ROWS_ONLY = {
-    "ann_lsh_recall",      # LSH recall report (seeded hyperplanes, not SQL-expressible)
-    "codec_footprint",     # blob sizes are codec-defined
+    "codec_footprint",     # blob sizes are codec-defined, not SQL-expressible
 }
 
 
