@@ -220,16 +220,30 @@ class TierCatalog:
         run dir — immune to uncommitted/superseded directories. ``as_of``
         (a :meth:`snapshot` id) reads the table as of that manifest prefix
         — valid while superseded runs exist (``auto_vacuum=False`` or
-        before an explicit vacuum)."""
+        before an explicit vacuum).
+
+        Optimistic under concurrent committers (Iceberg-reader style): if a
+        resolved run dir is vacuumed between our manifest read and the scan
+        setup (a concurrent commit superseded it), re-resolve from the
+        now-newer manifest and retry — the replacement commit is complete
+        by the time its vacuum could have removed what we resolved."""
         base = os.path.join(self.base_dir, tier)
-        dirs = [
-            os.path.join(base, rel)
-            for rel in self.current_runs(tier, as_of=as_of).values()
-            if rel is not None
-        ]
-        if not dirs:
-            raise FileNotFoundError(f"tier {tier!r} has no committed runs")
-        return spark.read.option("basePath", base).parquet(*dirs).drop("run")
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            dirs = [
+                os.path.join(base, rel)
+                for rel in self.current_runs(tier, as_of=as_of).values()
+                if rel is not None
+            ]
+            if not dirs:
+                raise FileNotFoundError(f"tier {tier!r} has no committed runs")
+            try:
+                return spark.read.option("basePath", base).parquet(*dirs).drop("run")
+            except Exception as e:  # PATH_NOT_FOUND from a concurrent vacuum
+                if as_of is not None or "PATH_NOT_FOUND" not in str(e):
+                    raise
+                last_err = e
+        raise last_err
 
 
 def _dir_bytes(path: str) -> int:

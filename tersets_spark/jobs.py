@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 import pyarrow.dataset as pa_ds
 from pyspark.sql import DataFrame, SparkSession
@@ -30,16 +31,17 @@ from .shipping import ensure_shipped
 
 
 def _writer_alive(staging_entry: str) -> bool:
-    """Staging dirs are named ``_tmp_<tier>_<pid>`` / ``_retention_<tier>_<pid>``;
-    a dir belongs to a live concurrent writer iff that PID still exists (our
-    own PID counts — we never stage before sweeping). Unparsable names are
+    """Staging dirs are named ``_tmp_<tier>_<pid>_<nonce>`` (nonce makes
+    same-process concurrent cascades collision-free); a dir belongs to a
+    live concurrent writer iff that PID still exists. Our OWN pid counts as
+    alive too: another thread of this process may be mid-write (we can't
+    tell a dead leftover from a sibling thread, so we leave same-pid dirs
+    to the grace of a later run from a fresh process). Unparsable names are
     treated as dead (old-format leftovers get swept)."""
     try:
-        pid = int(staging_entry.rsplit("_", 1)[1])
+        pid = int(staging_entry.rsplit("_", 2)[1])
     except (ValueError, IndexError):
         return False
-    if pid == os.getpid():
-        return False  # a PID-reused leftover from a previous incarnation
     try:
         os.kill(pid, 0)
         return True
@@ -72,7 +74,9 @@ def _write_tier(
 ) -> None:
     if not pending:
         return
-    tmp_dir = os.path.join(catalog.base_dir, f"_tmp_{tier}_{os.getpid()}")
+    tmp_dir = os.path.join(
+        catalog.base_dir, f"_tmp_{tier}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
     t0 = time.monotonic()
     (
         df.filter(F.col("source").isin(pending))
@@ -243,7 +247,9 @@ def apply_retention(
             continue
         affected = sorted(expired)
         # job 2: one partitioned rewrite of only the affected sources
-        tmp_dir = os.path.join(out_dir, f"_retention_{tier}_{os.getpid()}")
+        tmp_dir = os.path.join(
+            out_dir, f"_retention_{tier}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        )
         (
             tier_df.filter(F.col("source").isin(affected) & (F.col(ts_col) >= horizon))
             .write.mode("overwrite")
