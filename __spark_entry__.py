@@ -449,6 +449,49 @@ def _q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED full-cascade 1h tier: stage the sequences parquet as a
+    file-source stream split over several micro-batches, run
+    streaming.stream_cascade_to_tiers (raw->1m Arrow kernel per batch +
+    re-aggregable 1h/1d partials), finalize-read the 1h tier — and
+    hash-match it against the SAME batch SQL oracle as rollup_1h. The
+    driver gate therefore exercises the Structured Streaming path
+    end-to-end, not just batch."""
+    import tempfile
+
+    from tersets_spark.streaming import read_streamed_tier, stream_cascade_to_tiers
+
+    import pyarrow.parquet as _pq
+
+    seq_path = ensure_sequences(sf_name_from_dir(sf_dir))
+    ensure_shipped(spark)
+    work = tempfile.mkdtemp(prefix="tersets_stream_q_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    # four staged files x maxFilesPerTrigger=2 -> multiple micro-batches, so
+    # the cross-batch partial-combine path is what the gate actually checks
+    table = _pq.read_table(seq_path)
+    n = table.num_rows
+    for i in range(4):
+        _pq.write_table(
+            table.slice(i * n // 4, n // 4 + (n % 4 if i == 3 else 0)),
+            os.path.join(in_dir, f"part-{i}.parquet"),
+        )
+    q = stream_cascade_to_tiers(
+        spark,
+        in_dir,
+        os.path.join(work, "tiers"),
+        os.path.join(work, "ckpt"),
+        with_blocks=False,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    streamed = read_streamed_tier(spark, os.path.join(work, "tiers"), "1h", finalize=True)
+    return with_mean(streamed).select(
+        "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last", "mean"
+    )
+
+
 def _q_rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _sequences(spark, sf_dir)
     m1 = rollup_raw(seq, TIERS["1m"])
@@ -1048,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
         "rollup_1h": _q_rollup_1h,
+        "stream_cascade_1h": _q_stream_cascade_1h,
         "rollup_1d": _q_rollup_1d,
         "source_stats_salted": _q_source_stats_salted,
         "roundtrip_lossless": _q_roundtrip_lossless,
@@ -1117,6 +1161,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": f"WITH pts AS ({pts}) "
         + rollup.format(d=60, where="WHERE source IN ('src_02','src_03')"),
         "rollup_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
+        # streamed cascade must equal the batch tier exactly -> same oracle
+        "stream_cascade_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
         # per-source stats over the 1m tier (engine side: two-phase salted agg)
         "source_stats_salted": f"""
             WITH pts AS ({pts}),

@@ -43,6 +43,7 @@ class TierCatalog:
     def __init__(
         self, base_dir: str, auto_vacuum: bool = True,
         orphan_grace_sec: float = 600.0,
+        superseded_grace_sec: float = 0.0,
     ):
         """``auto_vacuum=False`` keeps superseded run dirs on disk, which
         makes every manifest prefix a readable SNAPSHOT (time travel via
@@ -56,10 +57,19 @@ class TierCatalog:
         in the manifest but superseded are deleted immediately — they were
         committed, so no writer is still mid-commit on them. This is what
         makes two cascades racing on one catalog safe (Iceberg's
-        remove_orphan_files makes the identical time-based trade)."""
+        remove_orphan_files makes the identical time-based trade).
+
+        ``superseded_grace_sec``: how long a REPLACED run stays on disk
+        after a newer commit supersedes it. 0 (default) = expire
+        immediately — right for explicit vacuums and single-writer jobs.
+        Concurrent WRITER+READER deployments set this > 0 (jobs.run_cascade
+        uses 600 s) so a reader that resolved the old run from the manifest
+        can still finish scanning it — Iceberg's snapshot-retention trade;
+        aged leftovers are collected by any later vacuum."""
         self.base_dir = base_dir
         self.auto_vacuum = auto_vacuum
         self.orphan_grace_sec = orphan_grace_sec
+        self.superseded_grace_sec = superseded_grace_sec
         os.makedirs(base_dir, exist_ok=True)
         self.manifest_path = os.path.join(base_dir, "_manifest.jsonl")
 
@@ -196,13 +206,20 @@ class TierCatalog:
                 run_dir = os.path.join(part_root, run)
                 if run_dir == keep_abs:
                     continue
-                if os.path.join(entry, run) not in ever_referenced:
+                grace = (
+                    self.superseded_grace_sec
+                    if os.path.join(entry, run) in ever_referenced
+                    else self.orphan_grace_sec
+                )
+                if grace > 0:
                     try:
                         age = now - os.path.getmtime(run_dir)
                     except OSError:
                         continue  # concurrently committed/removed: leave it
-                    if age < self.orphan_grace_sec:
-                        continue  # possibly another writer's in-flight commit
+                    if age < grace:
+                        # orphan: possibly another writer's in-flight commit;
+                        # superseded: possibly still being scanned by a reader
+                        continue
                 shutil.rmtree(run_dir, ignore_errors=True)
                 removed += 1
             if not os.listdir(part_root):

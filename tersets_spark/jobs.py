@@ -109,7 +109,10 @@ def run_cascade(
     skewed per split.
     """
     ensure_shipped(spark)
-    catalog = TierCatalog(out_dir)
+    # superseded_grace: a CONCURRENT cascade's reader may still be scanning
+    # a run this writer supersedes — keep replaced runs briefly (reader
+    # grace, Iceberg-style); aged leftovers are collected by later vacuums.
+    catalog = TierCatalog(out_dir, superseded_grace_sec=600.0)
     # Sweep staging dirs a KILLED run left behind (committed data lives in
     # manifest-referenced run dirs; staging is garbage once its writer is
     # gone). Staging names are PID-scoped; only sweep dirs whose writer
