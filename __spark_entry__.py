@@ -449,6 +449,27 @@ def _q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_from_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star DECOMPRESS-THEN-AGGREGATE contract, directly: compress
+    every token series (raw-tier codec, delta-of-delta), decompress, run the
+    1m rollup kernel over the ROUND-TRIPPED tokens — and hash-match the SAME
+    SQL oracle as rollup_1m over the ORIGINAL tokens. Any lossless-codec or
+    kernel divergence anywhere in the raw-tier pipeline fails this query."""
+    seq = _sequences(spark, sf_dir)
+    blob = compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens"))
+    roundtripped = seq.select(
+        "doc_id",
+        decompress_tokens_udf(blob).alias("tokens"),
+        "n_tok",
+        "source",
+        "ts0",
+    )
+    m1 = rollup_raw(roundtripped, TIERS["1m"])
+    return with_mean(m1).select(
+        "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last", "mean"
+    )
+
+
 def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMED full-cascade 1h tier: stage the sequences parquet as a
     file-source stream split over several micro-batches, run
@@ -1092,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup_1m,
         "rollup_1h": _q_rollup_1h,
         "stream_cascade_1h": _q_stream_cascade_1h,
+        "rollup_from_blobs": _q_rollup_from_blobs,
         "rollup_1d": _q_rollup_1d,
         "source_stats_salted": _q_source_stats_salted,
         "roundtrip_lossless": _q_roundtrip_lossless,
@@ -1163,6 +1185,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
         # streamed cascade must equal the batch tier exactly -> same oracle
         "stream_cascade_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
+        # decompress-then-aggregate == aggregate(original): FULL table 1m
+        "rollup_from_blobs": f"WITH pts AS ({pts}) " + rollup.format(d=60, where=""),
         # per-source stats over the 1m tier (engine side: two-phase salted agg)
         "source_stats_salted": f"""
             WITH pts AS ({pts}),
