@@ -229,6 +229,55 @@ class TierCatalog:
                     pass  # a concurrent writer just created a run in it
         return removed
 
+    def compact(
+        self,
+        spark: SparkSession,
+        tier: str,
+        partitions: list[str] | None = None,
+        max_files_per_partition: int = 1,
+    ) -> int:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        each partition's CURRENT run into ``max_files_per_partition`` files
+        and commit the rewrite through the ordinary manifest append — the
+        old run is superseded, never mutated, so readers stay consistent
+        throughout (and keep working under the superseded-grace window).
+        Partitions already at or under the target file count are skipped.
+        Returns the number of partitions rewritten.
+
+        Scale note: streamed/incremental ingestion accretes small files;
+        at 10^12 sequences an uncompacted tier turns every scan into a
+        metadata storm. Compaction is per-partition and embarrassingly
+        parallel across partitions."""
+        current = self.current_runs(tier)
+        rewritten = 0
+        for part in sorted(current):
+            if partitions is not None and part not in partitions:
+                continue
+            rel = current[part]
+            if rel is None:
+                continue
+            run_dir = os.path.join(self.base_dir, tier, rel)
+            n_files = sum(
+                1 for f in os.listdir(run_dir)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            if n_files <= max_files_per_partition:
+                continue
+            df = spark.read.parquet(run_dir).coalesce(max_files_per_partition)
+            t0 = time.monotonic()
+            rel_new, dest = self._new_run_dir(tier, part)
+            df.write.mode("overwrite").parquet(dest)
+            self.record(
+                tier, part, path=rel_new,
+                wall_ms=round((time.monotonic() - t0) * 1000, 1),
+                bytes_out=_dir_bytes(dest),
+                compacted_from=n_files, compacted_to=max_files_per_partition,
+            )
+            if self.auto_vacuum:
+                self.vacuum(tier, partitions=[part])
+            rewritten += 1
+        return rewritten
+
     # -- reads -------------------------------------------------------------
     def read_tier(
         self, spark: SparkSession, tier: str, as_of: int | None = None

@@ -192,6 +192,31 @@ def stream_cascade_to_tiers(
     )
 
 
+def finalize_streamed_tier(
+    spark: SparkSession,
+    stream_out_dir: str,
+    catalog: TierCatalog,
+    tier: str = "1h",
+) -> int:
+    """Bridge a STREAMED tier into the batch TierCatalog: combine the
+    per-micro-batch partials exactly (read_streamed_tier finalize) and
+    commit one run per source partition through the manifest — after which
+    the streamed data is first-class catalog data (retention, further
+    rollup, compaction, time travel all apply). Returns the number of
+    source partitions committed.
+
+    Scale: one pass over the streamed appends, shuffled once by the
+    combine groupBy; the per-source writes are ordinary catalog commits."""
+    df = read_streamed_tier(spark, stream_out_dir, tier, finalize=True)
+    sources = sorted(r[0] for r in df.select("source").distinct().collect())
+    for src in sources:
+        catalog.write_partition(
+            df.filter(F.col("source") == src).coalesce(1), tier, src,
+            finalized_from=os.path.join(stream_out_dir, tier),
+        )
+    return len(sources)
+
+
 def read_streamed_tier(
     spark: SparkSession, out_dir: str, tier: str = "1m", finalize: bool = False
 ) -> DataFrame:

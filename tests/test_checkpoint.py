@@ -240,3 +240,29 @@ def test_two_concurrent_cascades_converge(spark, seq_path, tmp_path):
             assert rel is None or os.path.exists(os.path.join(out, tier, rel))
         assert cat.read_tier(spark, tier).groupBy().sum("cnt").collect()[0][0] == total_tokens
     assert cat.read_tier(spark, "raw").count() == pq.read_metadata(seq_path).num_rows
+
+
+def test_compaction_rewrites_small_files_preserving_data(spark, tmp_path):
+    """Iceberg-style rewrite_data_files: many small files -> one file per
+    partition via an ordinary superseding manifest commit; rows identical,
+    superseded run vacuumed (default grace 0), metrics recorded."""
+    import os
+
+    cat = TierCatalog(str(tmp_path / "t"))
+    df = spark.range(1000).withColumnRenamed("id", "v").repartition(8)
+    cat.write_partition(df, "1m", "src_a")
+    run0 = os.path.join(cat.base_dir, "1m", cat.current_runs("1m")["src_a"])
+    n_before = sum(1 for f in os.listdir(run0) if f.endswith(".parquet"))
+    assert n_before > 1
+    before = {r["v"] for r in cat.read_tier(spark, "1m").collect()}
+
+    assert cat.compact(spark, "1m") == 1
+    run1 = os.path.join(cat.base_dir, "1m", cat.current_runs("1m")["src_a"])
+    assert run1 != run0 and not os.path.exists(run0)  # superseded + vacuumed
+    n_after = sum(1 for f in os.listdir(run1) if f.endswith(".parquet"))
+    assert n_after == 1
+    assert {r["v"] for r in cat.read_tier(spark, "1m").collect()} == before
+    rec = [m for m in cat.metrics() if m.get("compacted_from")]
+    assert rec and rec[-1]["compacted_from"] == n_before
+    # second pass: already compact, nothing to do
+    assert cat.compact(spark, "1m") == 0

@@ -247,3 +247,29 @@ def test_stream_cascade_partials_finalize_across_batches(spark, tmp_path):
         batch = batch_tiers[tier].select(cols)
         assert streamed.count() == batch.count()
         assert streamed.exceptAll(batch).count() == 0, f"{tier}: partial combine wrong"
+
+
+def test_finalize_streamed_tier_into_catalog(spark, staged_input, tmp_path):
+    """Streamed 1h partials committed into a TierCatalog equal the batch
+    cascade's 1h tier read through the catalog — streamed data becomes
+    first-class catalog data (retention/compaction/time-travel apply)."""
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.rollup import cascade
+    from tersets_spark.streaming import finalize_streamed_tier, stream_cascade_to_tiers
+
+    out = str(tmp_path / "stream_tiers")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_cascade_to_tiers(
+        spark, staged_input, out, ckpt, max_files_per_trigger=2, with_blocks=False
+    )
+    q.awaitTermination()
+
+    cat = TierCatalog(str(tmp_path / "catalog"))
+    n = finalize_streamed_tier(spark, out, cat, "1h")
+    assert n > 0
+
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    got = cat.read_tier(spark, "1h").select(cols)
+    want = cascade(spark.read.parquet(staged_input), with_blocks=False)["1h"].select(cols)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
