@@ -245,6 +245,9 @@ void tersets_histogram_set_mabr_exact(int flag) { g_mabr_force_exact = flag; }
 
 static _Thread_local long *g_cyc = NULL;
 static _Thread_local long g_cyc_cap = 0;
+static _Thread_local double *g_ct = NULL; /* cycle-ordered t (SoA: walk */
+static _Thread_local double *g_cv = NULL; /* steps avoid cyc[] indirection) */
+static _Thread_local long g_cs_cap = 0;
 static _Thread_local double *g_lo = NULL;
 static _Thread_local long g_lo_cap = 0;
 static _Thread_local unsigned long long *g_dirh = NULL; /* open-address set */
@@ -264,6 +267,17 @@ static int mabr_scratch_reserve(long n) {
         double *p = (double *)realloc(g_lo, (size_t)cap * sizeof(double));
         if (!p) return -1;
         g_lo = p; g_lo_cap = cap;
+    }
+    if (n > g_cs_cap) {
+        long cap = g_cs_cap ? g_cs_cap : 64;
+        while (cap < n) cap *= 2;
+        double *pt = (double *)realloc(g_ct, (size_t)cap * sizeof(double));
+        if (!pt) return -1;
+        g_ct = pt;
+        double *pv = (double *)realloc(g_cv, (size_t)cap * sizeof(double));
+        if (!pv) return -1;
+        g_cv = pv;
+        g_cs_cap = cap;
     }
     long want = 64;
     while (want < 4 * n) want *= 2; /* load factor <= 0.5 */
@@ -301,18 +315,18 @@ static int dir_seen(double ex, double ey, long mask) {
     }
 }
 
-static double supp_f(const Point *pts, const long *cyc, long pos, double a,
+static double supp_f(const double *ct, const double *cv, long pos, double a,
                      double b) {
-    const Point p = pts[cyc[pos]];
-    return a * (double)p.t + b * p.v;
+    return a * ct[pos] + b * cv[pos];
 }
 
-/* Tolerant max of a*t + b*v over the convex cycle; the true argmax vertex
- * is always visited (see block comment above). Updates *warm in place. */
-static double cyc_max(const Point *pts, const long *cyc, long n, double a,
+/* Tolerant max of a*t + b*v over the convex cycle (SoA arrays in cycle
+ * order); the true argmax vertex is always visited (see block comment
+ * above). Updates *warm in place. */
+static double cyc_max(const double *ct, const double *cv, long n, double a,
                       double b, long *warm, double tol) {
     long start = *warm;
-    double best = supp_f(pts, cyc, start, a, b);
+    double best = supp_f(ct, cv, start, a, b);
     long bestpos = start;
     double cur = best;
     long pos = start;
@@ -320,18 +334,18 @@ static double cyc_max(const Point *pts, const long *cyc, long n, double a,
     for (long steps = 0; steps < n; steps++) {
         long nxt = pos + 1 == n ? 0 : pos + 1;
         if (nxt == start) break;
-        double fv = supp_f(pts, cyc, nxt, a, b);
+        double fv = supp_f(ct, cv, nxt, a, b);
         if (fv < cur - tol) break;
         pos = nxt; cur = fv;
         if (fv > best) { best = fv; bestpos = pos; }
     }
     fwd_end = pos;
-    cur = supp_f(pts, cyc, start, a, b);
+    cur = supp_f(ct, cv, start, a, b);
     pos = start;
     for (long steps = 0; steps < n; steps++) {
         long prv = pos == 0 ? n - 1 : pos - 1;
         if (prv == fwd_end) break;
-        double fv = supp_f(pts, cyc, prv, a, b);
+        double fv = supp_f(ct, cv, prv, a, b);
         if (fv < cur - tol) break;
         pos = prv; cur = fv;
         if (fv > best) { best = fv; bestpos = pos; }
@@ -373,6 +387,11 @@ static int mabr_line(const Point *points, long n, long n_lower,
     /* convex cycle: lower chain L->R, then upper interior R->L */
     for (long i = 0; i < n_lower; i++) g_cyc[i] = i;
     for (long k = 0; k < n - n_lower; k++) g_cyc[n_lower + k] = n - 1 - k;
+    for (long i = 0; i < n; i++) {
+        const Point p = points[g_cyc[i]];
+        g_ct[i] = (double)p.t;
+        g_cv[i] = p.v;
+    }
 
     double t_mag = 0.0, v_mag = 0.0;
     for (long j = 0; j < n; j++) {
@@ -401,10 +420,10 @@ static int mabr_line(const Point *points, long n, long n_lower,
         double mag_d = fabs(ex) * t_mag + fabs(ey) * v_mag;
         double mag_c = fabs(ey) * t_mag + fabs(ex) * v_mag;
         double tol_d = 1e-13 * mag_d, tol_c = 1e-13 * mag_c;
-        double dmax = cyc_max(points, g_cyc, n, ex, ey, &w_dmax, tol_d);
-        double dmin = -cyc_max(points, g_cyc, n, -ex, -ey, &w_dmin, tol_d);
-        double cmax = cyc_max(points, g_cyc, n, -ey, ex, &w_cmax, tol_c);
-        double cmin = -cyc_max(points, g_cyc, n, ey, -ex, &w_cmin, tol_c);
+        double dmax = cyc_max(g_ct, g_cv, n, ex, ey, &w_dmax, tol_d);
+        double dmin = -cyc_max(g_ct, g_cv, n, -ex, -ey, &w_dmin, tol_d);
+        double cmax = cyc_max(g_ct, g_cv, n, -ey, ex, &w_cmax, tol_c);
+        double cmin = -cyc_max(g_ct, g_cv, n, ey, -ex, &w_cmin, tol_c);
         double err_d = 3e-14 * mag_d + 1e-300;
         double err_c = 3e-14 * mag_c + 1e-300;
         double quirk = DBL_MIN * len; /* len * max-init quirk, dot domain */
