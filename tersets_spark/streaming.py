@@ -197,6 +197,7 @@ def finalize_streamed_tier(
     stream_out_dir: str,
     catalog: TierCatalog,
     tier: str = "1h",
+    files_per_partition: int = 1,
 ) -> int:
     """Bridge a STREAMED tier into the batch TierCatalog: combine the
     per-micro-batch partials exactly (read_streamed_tier finalize) and
@@ -211,7 +212,8 @@ def finalize_streamed_tier(
     sources = sorted(r[0] for r in df.select("source").distinct().collect())
     for src in sources:
         catalog.write_partition(
-            df.filter(F.col("source") == src).coalesce(1), tier, src,
+            df.filter(F.col("source") == src).coalesce(files_per_partition),
+            tier, src,
             finalized_from=os.path.join(stream_out_dir, tier),
         )
     return len(sources)
