@@ -273,3 +273,47 @@ def test_finalize_streamed_tier_into_catalog(spark, staged_input, tmp_path):
     want = cascade(spark.read.parquet(staged_input), with_blocks=False)["1h"].select(cols)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stream_cascade_restart_no_duplicate_partials(spark, staged_input, tmp_path):
+    """Kill/restart semantics for the FULL streamed cascade: process half the
+    files, restart the stream over the complete input with the same
+    checkpoint, and verify (a) only new files are processed (batch dirs grow,
+    never rewritten to duplicates), (b) every tier finalizes to exactly the
+    batch cascade's rows — i.e. replays/idempotent per-batch dirs left no
+    duplicate or missing partials."""
+    import os
+    import shutil
+
+    from tersets_spark.rollup import cascade
+    from tersets_spark.streaming import stream_cascade_to_tiers
+
+    out = str(tmp_path / "tiers")
+    ckpt = str(tmp_path / "ckpt")
+    half = str(tmp_path / "in")
+    os.makedirs(half)
+    files = sorted(os.listdir(staged_input))
+    for f in files[:2]:
+        shutil.copy(os.path.join(staged_input, f), half)
+
+    q = stream_cascade_to_tiers(spark, half, out, ckpt, with_blocks=False,
+                                max_files_per_trigger=1)
+    q.awaitTermination()
+    batches_first = set(os.listdir(os.path.join(out, "1h")))
+    assert batches_first
+
+    for f in files[2:]:
+        shutil.copy(os.path.join(staged_input, f), half)
+    q2 = stream_cascade_to_tiers(spark, half, out, ckpt, with_blocks=False,
+                                 max_files_per_trigger=1)
+    q2.awaitTermination()
+    batches_after = set(os.listdir(os.path.join(out, "1h")))
+    assert batches_first < batches_after  # old batch dirs untouched, new appended
+
+    batch_tiers = cascade(spark.read.parquet(half), with_blocks=False)
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    for tier in ("1m", "1h", "1d"):
+        got = read_streamed_tier(spark, out, tier, finalize=True).select(cols)
+        want = batch_tiers[tier].select(cols)
+        assert got.count() == want.count(), tier
+        assert got.exceptAll(want).count() == 0, f"{tier}: restart corrupted partials"
