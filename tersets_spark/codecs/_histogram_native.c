@@ -290,6 +290,14 @@ static int mabr_scratch_reserve(long n) {
     return 0;
 }
 
+/* dedup-table slots for THIS call (callers init + mask only this many, so
+ * a small hull after a big one doesn't pay the high-water init cost) */
+static long dirh_want(long n) {
+    long want = 64;
+    while (want < 4 * n) want *= 2;
+    return want;
+}
+
 /* Exact-direction dedup: edges with bitwise-identical (ex, ey) produce
  * bitwise-identical angle -> cos/sin -> extremes -> area, so under the
  * strict-< running min only the FIRST occurrence can ever win.  Returns
@@ -371,7 +379,7 @@ static int mabr_line(const Point *points, long n, long n_lower,
     double min_area = DBL_MAX, min_slope = 0.0, min_intercept = 0.0;
     double angle, min_x, max_x, min_y, max_y;
 
-    if (g_mabr_force_exact || n <= 24 || n_lower < 2 || n_lower > n) {
+    if (g_mabr_force_exact || n <= 4 || n_lower < 2 || n_lower > n) {
         for (long i = 0; i < n; i++) {
             double area = mabr_edge_exact(points, n, i, &angle, &min_x, &max_x,
                                           &min_y, &max_y);
@@ -400,8 +408,9 @@ static int mabr_line(const Point *points, long n, long n_lower,
         if (av > v_mag) v_mag = av;
     }
 
-    long hmask = g_dirh_cap - 1;
-    for (long i = 0; i < g_dirh_cap * 2; i++) g_dirh[i] = DIR_EMPTY;
+    long hwant = dirh_want(n);
+    long hmask = hwant - 1;
+    for (long i = 0; i < hwant * 2; i++) g_dirh[i] = DIR_EMPTY;
 
     long w_dmax = 0, w_dmin = 0, w_cmax = 0, w_cmin = 0;
     double min_hi = DBL_MAX;
