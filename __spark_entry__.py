@@ -763,7 +763,11 @@ def _q_events_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-ranking demo: top-10 users by total event value."""
+    """Top-10 users by total event value. The top-k is orderBy+limit —
+    Spark's TakeOrderedAndProject (per-partition local top-10, merged on
+    the driver), NOT a global row_number window, which would funnel every
+    user through one window partition at scale. The rank window then runs
+    over only the 10 surviving rows."""
     from pyspark.sql import Window
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -771,10 +775,10 @@ def _q_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = Window.orderBy(F.desc("total_cents"), F.asc("user_id"))
+    order = [F.desc("total_cents"), F.asc("user_id")]
+    top = totals.orderBy(*order).limit(10)
     return (
-        totals.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("rank", "user_id", "total_cents", "n_events")
     )
 
@@ -820,6 +824,37 @@ def _q_seq_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.seqops import ngram_contamination
 
     return ngram_contamination(_sequences(spark, sf_dir), "src_11", n=13)
+
+
+def _q_seq_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context packing (seqops.pack_sequences): concatenate all
+    sequences in doc_id order with an EOS separator (50256) and chunk into
+    fixed 2048-token training blocks. Offsets come from a two-level prefix
+    sum (never a global window); each doc routes straight to the blocks it
+    overlaps. The md5 of each packed block pins the packing bit-exactly
+    against the DuckDB oracle's window-cumsum reconstruction."""
+    from tersets_spark.seqops import pack_sequences
+
+    packed = pack_sequences(
+        _sequences(spark, sf_dir), ctx=2048, sep_token=50256, bucket_docs=4096
+    )
+    return packed.select(
+        "block_id",
+        "n_docs",
+        "n_starts",
+        "n_tokens",
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))).alias("block_md5"),
+    )
+
+
+def _q_seq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-audit pass (seqops.token_stats): per-source top-10 token
+    ids by exact count (ties to the lower id) with per-source totals and
+    vocab sizes. Explode + partial-agg — shuffle bounded by vocab x
+    sources, not corpus size."""
+    from tersets_spark.seqops import token_stats
+
+    return token_stats(_sequences(spark, sf_dir), top_k=10)
 
 
 def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1137,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_dedup_exact": _q_seq_dedup_exact,
         "seq_repetition_stats": _q_seq_repetition_stats,
         "seq_ngram_contamination": _q_seq_ngram_contamination,
+        "seq_pack_blocks": _q_seq_pack_blocks,
+        "seq_token_stats": _q_seq_token_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1449,6 +1486,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.source, t.docs,
                    CAST(COALESCE(h.contaminated_docs, 0) AS BIGINT) AS contaminated_docs
             FROM totals t LEFT JOIN hits h USING (source)
+        """,
+        # context packing replica: full-window cumsum offsets (fine at oracle
+        # scale; the engine uses the two-level prefix sum instead), then each
+        # doc's per-block slice reassembled with an ordered list aggregate —
+        # block_md5 pins the packed token stream bit-exactly
+        "seq_pack_blocks": f"""
+            WITH base AS (
+                SELECT CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS k,
+                       tokens || [50256] AS toks,
+                       CAST(n_tok AS BIGINT) + 1 AS cost
+                FROM read_parquet('{seq}')
+            ), off AS (
+                SELECT toks, cost,
+                       CAST(COALESCE(SUM(cost) OVER (ORDER BY k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS strt
+                FROM base
+            ), spans AS (
+                SELECT toks, cost, strt, CAST(b.b AS BIGINT) AS block_id
+                FROM off,
+                     UNNEST(range(strt // 2048, (strt + cost - 1) // 2048 + 1)) AS b(b)
+            ), pieces AS (
+                SELECT block_id,
+                       greatest(block_id * 2048, strt) AS lo,
+                       list_slice(toks,
+                           CAST(greatest(block_id * 2048, strt) - strt + 1 AS BIGINT),
+                           CAST(least((block_id + 1) * 2048, strt + cost) - strt AS BIGINT)
+                       ) AS p,
+                       CASE WHEN block_id = strt // 2048 THEN 1 ELSE 0 END AS sh
+                FROM spans
+            )
+            SELECT block_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(sh) AS BIGINT) AS n_starts,
+                   CAST(SUM(len(p)) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(flatten(list(p ORDER BY lo)), ',')) AS block_md5
+            FROM pieces GROUP BY block_id
+        """,
+        # token-frequency leaderboard replica: unnest + two aggregates + rank
+        "seq_token_stats": f"""
+            WITH pts AS (
+                SELECT source, unnest(tokens) AS token FROM read_parquet('{seq}')
+            ),
+            freq AS (
+                SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT source, CAST(SUM(cnt) AS BIGINT) AS source_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS source_vocab
+                FROM freq GROUP BY 1
+            ),
+            rk AS (
+                SELECT source, token, cnt,
+                       CAST(row_number() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+                FROM freq
+            )
+            SELECT r.source, r.rank, r.token, r.cnt, t.source_tokens, t.source_vocab
+            FROM rk r JOIN tot t USING (source) WHERE r.rank <= 10
         """,
         "corpus_curation": f"""
             WITH keep AS (

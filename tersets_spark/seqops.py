@@ -13,17 +13,31 @@ JVM-side (no Python in any plan here).
 * :func:`ngram_contamination` — benchmark decontamination: flag sequences
   sharing any token ``n``-gram with a held-out source, gram join against
   the broadcast benchmark gram set.
+* :func:`sequence_offsets` — global concat-stream offset per document via
+  a TWO-LEVEL prefix sum (per-bucket totals + intra-bucket window), so no
+  single window partition ever sees more than ``bucket_docs`` rows.
+* :func:`pack_sequences` — GPT-style context packing: concatenate all
+  documents in a deterministic total order (optional EOS separator after
+  each) and chunk the stream into fixed ``ctx``-token training blocks.
+* :func:`token_stats` — per-source token-frequency/vocab stats (top-k by
+  count), the tokenizer-audit pass of a pretraining pipeline.
 
 Scale notes (10^12 sequences): dedup groups by a 16-byte digest + length
 (the token arrays themselves never shuffle); repetition metrics are
 map-only; contamination joins grams against a broadcast benchmark set —
 if the benchmark outgrows broadcast, the same plan works as a shuffled
-semi-join on the gram digest.
+semi-join on the gram digest. Packing never materializes a global window:
+offsets come from the two-level prefix sum (bucket totals are ~rows /
+bucket_docs — recurse the same trick if even THAT outgrows one window
+partition), and each document is routed straight to the <= 1 + cost/ctx
+blocks it overlaps, so the only big shuffle is the unavoidable one that
+carries each token to its output block. token_stats shuffles at most
+(vocab x sources) rows per map partition thanks to partial aggregation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -140,4 +154,162 @@ def ngram_contamination(
             "docs",
             F.coalesce("contaminated_docs", F.lit(0)).cast("long").alias("contaminated_docs"),
         )
+    )
+
+
+def default_order_key() -> Column:
+    """Deterministic total-order key: the trailing digits of ``doc_id``
+    (the tables' ids are ``doc_%012d``). Callers with other id shapes pass
+    their own integer ``order_key`` — packing only needs SOME total order,
+    and at ingest scale a monotone row id always exists."""
+    return F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1).cast("long")
+
+
+def sequence_offsets(
+    seq: DataFrame,
+    cost: Column,
+    order_key: Column | None = None,
+    bucket_docs: int = 65536,
+) -> DataFrame:
+    """Exclusive running sum of ``cost`` over documents in ``order_key``
+    order, as ``pack_start`` (long) — i.e. each document's first position
+    in the virtual concatenated token stream.
+
+    A naive ``sum().over(Window.orderBy(key))`` funnels the whole table
+    through ONE window partition; instead:
+
+    1. bucket ``order_key`` into ranges of ``bucket_docs`` documents,
+    2. aggregate per-bucket cost totals (tiny: rows/bucket_docs),
+    3. exclusive-prefix those totals with a window over the buckets,
+    4. broadcast-join the bucket offsets back and add an intra-bucket
+       exclusive running sum (each window partition is <= bucket_docs
+       rows, independent of table size).
+
+    All arithmetic is exact long-integer; no Python anywhere.
+    """
+    key = order_key if order_key is not None else default_order_key()
+    df = seq.withColumn("_key", key).withColumn("_cost", cost.cast("long"))
+    df = df.withColumn("_bucket", F.expr(f"_key DIV {int(bucket_docs)}"))
+    btot = df.groupBy("_bucket").agg(F.sum("_cost").alias("_btot"))
+    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(wb), F.lit(0)).cast("long").alias("_boff"),
+    )
+    wi = (
+        Window.partitionBy("_bucket")
+        .orderBy("_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.join(F.broadcast(boff), "_bucket")
+        .withColumn("_ioff", F.coalesce(F.sum("_cost").over(wi), F.lit(0)).cast("long"))
+        .withColumn("pack_start", (F.col("_boff") + F.col("_ioff")).cast("long"))
+        .drop("_bucket", "_key", "_boff", "_ioff")
+    )
+
+
+def pack_sequences(
+    seq: DataFrame,
+    ctx: int = 2048,
+    sep_token: int | None = None,
+    order_key: Column | None = None,
+    bucket_docs: int = 65536,
+) -> DataFrame:
+    """Concat-and-chunk context packing: the documents are laid out
+    back-to-back in ``order_key`` order (with ``sep_token`` appended after
+    each document when given) and the stream is cut into fixed ``ctx``-token
+    blocks — the standard way pretraining corpora are packed into training
+    examples with zero padding.
+
+    Output: (block_id: long, tokens: array<int>, n_tokens: long,
+    n_docs: long, n_starts: long) — every block has exactly ``ctx`` tokens
+    except possibly the last; ``n_starts`` counts documents whose first
+    token lands in the block (attention-mask boundary info).
+
+    Plan: offsets via :func:`sequence_offsets`; each document explodes to
+    only the blocks it overlaps (<= 1 + cost/ctx rows — proportional to
+    OUTPUT size, never n^2), carrying the JVM-sliced piece of its token
+    array; blocks reassemble with a hash groupBy collecting (position,
+    piece) structs, sorted and flattened JVM-side. The sole big shuffle
+    carries each token once, to its output block.
+    """
+    cost = (F.col("n_tok").cast("long") + (1 if sep_token is not None else 0)).alias("c")
+    off = sequence_offsets(seq, cost, order_key, bucket_docs)
+    toks = (
+        F.concat(F.col("tokens"), F.array(F.lit(int(sep_token)).cast("int")))
+        if sep_token is not None
+        else F.col("tokens")
+    )
+    off = off.select(
+        F.col("pack_start"),
+        toks.alias("_toks"),
+        F.col("_cost"),
+    ).filter(F.col("_cost") > 0)
+    first_b = F.expr(f"pack_start DIV {int(ctx)}")
+    last_b = F.expr(f"(pack_start + _cost - 1) DIV {int(ctx)}")
+    spans = off.select(
+        "pack_start",
+        "_toks",
+        "_cost",
+        F.explode(F.sequence(first_b, last_b)).alias("block_id"),
+    )
+    lo = F.greatest(F.col("block_id") * ctx, F.col("pack_start"))
+    hi = F.least((F.col("block_id") + 1) * ctx, F.col("pack_start") + F.col("_cost"))
+    piece = F.slice(
+        F.col("_toks"),
+        (lo - F.col("pack_start") + 1).cast("int"),
+        (hi - lo).cast("int"),
+    )
+    starts_here = (F.col("block_id") == F.expr(f"pack_start DIV {int(ctx)}")).cast("long")
+    contrib = spans.select(
+        "block_id",
+        lo.alias("_lo"),
+        piece.alias("_piece"),
+        starts_here.alias("_starts"),
+    )
+    assembled = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_lo").alias("lo"), F.col("_piece").alias("p")))
+            ),
+            lambda s: s["p"],
+        )
+    )
+    return contrib.groupBy("block_id").agg(
+        assembled.alias("tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_starts").cast("long").alias("n_starts"),
+    ).withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+def token_stats(seq: DataFrame, top_k: int = 10) -> DataFrame:
+    """Per-source token-frequency leaderboard: the ``top_k`` most frequent
+    token ids per source with exact counts and a dense rank (ties broken by
+    lower token id, so the row set is deterministic).
+
+    Output: (source, rank, token, cnt, source_tokens, source_vocab) —
+    ``source_tokens``/``source_vocab`` are the source's total token count
+    and distinct-token count, replicated per row for one-query audits.
+
+    Plan: explode + two hash aggregations. The explode streams inside
+    whole-stage codegen; partial (map-side) aggregation bounds the shuffle
+    at (distinct tokens x sources) rows per map partition regardless of
+    corpus size. The windowed rank runs over per-source groups that are at
+    most vocab-sized."""
+    freq = (
+        seq.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = freq.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("source_tokens"),
+        F.count(F.lit(1)).cast("long").alias("source_vocab"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .join(F.broadcast(totals), "source")
+        .select("source", "rank", "token", "cnt", "source_tokens", "source_vocab")
     )

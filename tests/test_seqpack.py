@@ -1,0 +1,138 @@
+"""Context packing + token stats: known-answer tests against a plain-Python
+reference packer, plus invariants that pin the two-level prefix sum (small
+bucket_docs forces the multi-bucket path)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_seq(spark, n_toks, seed=11):
+    """Tiny sequences df with the production schema and doc_%012d ids."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i, n in enumerate(n_toks):
+        rows.append(
+            (
+                f"doc_{i:012d}",
+                rng.integers(0, 100, n).astype(int).tolist(),
+                int(n),
+                f"src_{i % 3:02d}",
+            )
+        )
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def _pack_py(docs, ctx, sep):
+    """Reference: concatenate in doc order (+sep after each), chunk by ctx."""
+    stream, starts = [], []
+    for toks in docs:
+        starts.append(len(stream))
+        stream.extend(toks)
+        if sep is not None:
+            stream.append(sep)
+    blocks = {}
+    for b in range(0, (len(stream) + ctx - 1) // ctx):
+        blocks[b] = stream[b * ctx : (b + 1) * ctx]
+    n_starts = {b: 0 for b in blocks}
+    n_docs = {b: 0 for b in blocks}
+    cost = [(s, s + len(d) + (1 if sep is not None else 0)) for s, d in zip(starts, docs)]
+    for s, e in cost:
+        for b in range(s // ctx, (e - 1) // ctx + 1):
+            n_docs[b] += 1
+        n_starts[s // ctx] += 1
+    return blocks, n_docs, n_starts
+
+
+@pytest.mark.parametrize("sep", [None, 99])
+@pytest.mark.parametrize("bucket_docs", [65536, 2])
+def test_pack_matches_python_reference(spark, sep, bucket_docs):
+    from tersets_spark.seqops import pack_sequences
+
+    n_toks = [5, 13, 1, 8, 25, 3, 7]
+    seq = _mk_seq(spark, n_toks)
+    docs = [r["tokens"] for r in seq.orderBy("doc_id").collect()]
+    ctx = 8
+    got = {
+        r["block_id"]: r
+        for r in pack_sequences(
+            seq, ctx=ctx, sep_token=sep, bucket_docs=bucket_docs
+        ).collect()
+    }
+    blocks, n_docs, n_starts = _pack_py(docs, ctx, sep)
+    assert set(got) == set(blocks)
+    for b in blocks:
+        assert got[b]["tokens"] == blocks[b], f"block {b}"
+        assert got[b]["n_tokens"] == len(blocks[b])
+        assert got[b]["n_docs"] == n_docs[b]
+        assert got[b]["n_starts"] == n_starts[b]
+
+
+def test_pack_block_invariants(spark):
+    from tersets_spark.seqops import pack_sequences
+
+    rng = np.random.default_rng(5)
+    n_toks = rng.integers(1, 40, 60).tolist()
+    seq = _mk_seq(spark, n_toks, seed=6)
+    ctx = 16
+    out = pack_sequences(seq, ctx=ctx, sep_token=0, bucket_docs=4).collect()
+    total = sum(n + 1 for n in n_toks)
+    assert sum(r["n_tokens"] for r in out) == total
+    last = max(r["block_id"] for r in out)
+    for r in out:
+        assert r["n_tokens"] == (ctx if r["block_id"] != last else total - last * ctx)
+    # reassembled stream == concatenation of docs (+sep) in id order
+    stream = []
+    for r in sorted(out, key=lambda r: r["block_id"]):
+        stream.extend(r["tokens"])
+    ref = []
+    for row in seq.orderBy("doc_id").collect():
+        ref.extend(row["tokens"])
+        ref.append(0)
+    assert stream == ref
+    assert sum(r["n_starts"] for r in out) == len(n_toks)
+
+
+def test_sequence_offsets_two_level_equals_naive(spark):
+    from tersets_spark.seqops import sequence_offsets
+
+    seq = _mk_seq(spark, [3, 10, 1, 7, 2, 9, 4], seed=9)
+    naive = {}
+    acc = 0
+    for r in seq.orderBy("doc_id").collect():
+        naive[r["doc_id"]] = acc
+        acc += r["n_tok"]
+    for bucket_docs in (1, 2, 65536):
+        got = {
+            r["doc_id"]: r["pack_start"]
+            for r in sequence_offsets(
+                seq, F.col("n_tok"), bucket_docs=bucket_docs
+            ).collect()
+        }
+        assert got == naive, f"bucket_docs={bucket_docs}"
+
+
+def test_token_stats_known_answer(spark):
+    from tersets_spark.seqops import token_stats
+
+    seq = spark.createDataFrame(
+        [
+            ("doc_000000000000", [1, 1, 2, 3], 4, "src_00"),
+            ("doc_000000000001", [2, 2, 2, 4], 4, "src_00"),
+            ("doc_000000000002", [9, 9, 8], 3, "src_01"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = {(r["source"], r["rank"]): r for r in token_stats(seq, top_k=2).collect()}
+    r = rows[("src_00", 1)]
+    assert (r["token"], r["cnt"], r["source_tokens"], r["source_vocab"]) == (2, 4, 8, 4)
+    # tie between 1 (x2) and nothing else at cnt=2 -> token 1 is rank 2
+    r = rows[("src_00", 2)]
+    assert (r["token"], r["cnt"]) == (1, 2)
+    r = rows[("src_01", 1)]
+    assert (r["token"], r["cnt"], r["source_vocab"]) == (9, 2, 2)
+    assert ("src_01", 3) not in rows
