@@ -311,7 +311,8 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
-def sessionize_stream(events, gap_seconds: int = 1800):
+def sessionize_stream(events, gap_seconds: int = 1800,
+                      idle_flush_seconds: int | None = None):
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user open-session state carried across micro-batches; a session is
     EMITTED (append mode) once a later event exceeds the gap. The batch
@@ -322,11 +323,17 @@ def sessionize_stream(events, gap_seconds: int = 1800):
     reduceat-style segment sums), not a per-event Python loop.
 
     Semantics notes: a session is only emitted when a LATER event closes it,
-    so each user's final open session stays in state until more data arrives
-    (NoTimeout — matching the batch twin requires knowing the stream ended,
-    which append mode can't; production flushes would add a processing-time
-    timeout). Cross-batch out-of-order segments merge conservatively into
-    the open session (interval union), never splitting it retroactively.
+    so by default each user's final open session stays in state until more
+    data arrives (NoTimeout — matching the batch twin requires knowing the
+    stream ended, which append mode can't). Pass ``idle_flush_seconds`` to
+    bound that: a ProcessingTimeTimeout flushes (emits + clears) any open
+    session whose user has been silent that long, so state size tracks the
+    ACTIVE user set instead of growing with every user ever seen. A user
+    who returns within ``gap_seconds`` of a flushed session starts a new
+    session where the batch twin would have extended the old one — the
+    standard finalize-on-idle tradeoff, pinned by tests/test_streaming.py.
+    Cross-batch out-of-order segments merge conservatively into the open
+    session (interval union), never splitting it retroactively.
     """
     import numpy as np
     import pandas as pd
@@ -355,8 +362,18 @@ def sessionize_stream(events, gap_seconds: int = 1800):
         ]
     )
 
+    out_cols = ["user_id", "session_start", "session_end", "n_events", "cents"]
+
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
+        if idle_flush_seconds is not None and state.hasTimedOut:
+            if state.exists:
+                s_start, s_end, s_n, s_cents = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(user_id, s_start, s_end, s_n, s_cents)], columns=out_cols
+                )
+            return
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
             return
@@ -389,12 +406,16 @@ def sessionize_stream(events, gap_seconds: int = 1800):
                 closed.append((user_id, s_start, s_end, s_n, s_cents))
             s_start, s_end, s_n, s_cents = seg
         state.update((int(s_start), int(s_end), int(s_n), int(s_cents)))
+        if idle_flush_seconds is not None:
+            state.setTimeoutDuration(int(idle_flush_seconds) * 1000)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end", "n_events", "cents"],
-            )
+            yield pd.DataFrame(closed, columns=out_cols)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_flush_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )

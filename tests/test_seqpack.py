@@ -136,3 +136,23 @@ def test_token_stats_known_answer(spark):
     r = rows[("src_01", 1)]
     assert (r["token"], r["cnt"], r["source_vocab"]) == (9, 2, 2)
     assert ("src_01", 3) not in rows
+
+
+def test_pack_plan_has_no_global_table_window(spark):
+    """The offsets must come from the two-level prefix sum: every Window in
+    the optimized plan is either partitioned by the bucket key (bounded at
+    bucket_docs rows) or runs over the tiny per-bucket totals — never an
+    unpartitioned window over the document table; and the bucket offsets
+    come back via a broadcast join, not a shuffle."""
+    from tersets_spark.seqops import pack_sequences
+
+    seq = _mk_seq(spark, [5, 9, 3, 7])
+    plan = pack_sequences(seq, ctx=8, sep_token=0)._jdf.queryExecution().optimizedPlan().toString()
+    win_specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_specs, "expected the two prefix-sum windows"
+    unpartitioned = [ln for ln in win_specs if "_bucket#" not in ln]
+    # the only _bucket-free window is the per-bucket-totals exclusive
+    # prefix, which must consume the aggregated _btot column, not raw rows
+    for ln in unpartitioned:
+        assert "_btot#" in ln, f"global window over the document table: {ln}"
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower()

@@ -317,3 +317,53 @@ def test_stream_cascade_restart_no_duplicate_partials(spark, staged_input, tmp_p
         want = batch_tiers[tier].select(cols)
         assert got.count() == want.count(), tier
         assert got.exceptAll(want).count() == 0, f"{tier}: restart corrupted partials"
+
+
+def test_sessionize_stream_idle_flush_emits_open_sessions(spark, tmp_path):
+    """With idle_flush_seconds set, a ProcessingTimeTimeout finalizes open
+    sessions after a quiet period: every session — including each user's
+    last — eventually reaches the sink, matching the batch twin exactly,
+    and per-user state is cleared instead of living forever."""
+    import time
+
+    import pandas as pd
+
+    from tersets_spark.streaming import sessionize_batch, sessionize_stream
+
+    rows = []
+    for uid in range(3):
+        for i in range(4):
+            rows.append((uid, uid * 10_000 + i * 10, 5))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_sec", "cents"])
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(in_dir + "/a")
+    schema = spark.read.parquet(in_dir + "/a").schema
+    stream = spark.readStream.schema(schema).parquet(in_dir + "/*")
+    out_dir = str(tmp_path / "out")
+    q = (
+        sessionize_stream(stream, gap_seconds=100, idle_flush_seconds=1)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out_dir).count() >= 3:
+                    break
+            except Exception:
+                pass  # sink not materialized yet
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_dir)
+    batch = sessionize_batch(spark.createDataFrame(pdf), gap_seconds=100)
+    cols = ["user_id", "session_start", "session_end", "n_events", "cents"]
+    assert got.count() == 3
+    assert got.select(cols).exceptAll(batch.select(cols)).count() == 0
