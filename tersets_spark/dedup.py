@@ -87,7 +87,10 @@ def jaccard_pairs(
     columns only, so the result is engine-independent. Intended as the
     small-scale oracle; use minhash_lsh_pairs at scale.
     """
-    sh = shingle_table(df, k, id_col, text_col).cache()
+    # localCheckpoint, not .cache(): materialized once for the self-join's
+    # two sides + sizes, and the blocks are ContextCleaner-reclaimable when
+    # the result is dropped (a CacheManager entry would live app-lifetime)
+    sh = shingle_table(df, k, id_col, text_col).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")
@@ -452,7 +455,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)  # reused every round; reclaimable after
     )
     labels = (
         edges.select(F.col("src").alias("id"))
