@@ -23,6 +23,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 /* ------------------------------------------------------------------ */
 /* geometry                                                           */
 /* ------------------------------------------------------------------ */
@@ -191,6 +195,59 @@ static double mabr_edge_exact(const Point *points, long n, long i,
     return (max_x - min_x) * (max_y - min_y);
 }
 
+/* Exact edge evaluation over the SoA cycle arrays (same point SET as
+ * the combined order, so every min/max VALUE matches mabr_edge_exact
+ * bitwise — including the reference's DBL_MIN max-init quirk, which
+ * seeds the lanes).  Per-element arithmetic is the same mul/sub/add
+ * sequence; only the fold order differs. */
+static double mabr_edge_exact_soa(const double *ct, const double *cv, long n,
+                                  Point first, Point second,
+                                  double *out_angle, double *out_min_x,
+                                  double *out_max_x, double *out_min_y,
+                                  double *out_max_y) {
+    double angle = atan2(second.v - first.v, (double)(second.t - first.t));
+    double cos_a = cos(-angle);
+    double sin_a = sin(-angle);
+    double min_x = DBL_MAX, max_x = DBL_MIN, min_y = DBL_MAX, max_y = DBL_MIN;
+    long j = 0;
+#ifdef __AVX2__
+    if (n >= 8) {
+        __m256d vca = _mm256_set1_pd(cos_a), vsa = _mm256_set1_pd(sin_a);
+        __m256d vminx = _mm256_set1_pd(DBL_MAX), vmaxx = _mm256_set1_pd(DBL_MIN);
+        __m256d vminy = vminx, vmaxy = vmaxx;
+        for (; j + 4 <= n; j += 4) {
+            __m256d t = _mm256_loadu_pd(ct + j);
+            __m256d v = _mm256_loadu_pd(cv + j);
+            __m256d rx = _mm256_sub_pd(_mm256_mul_pd(t, vca), _mm256_mul_pd(v, vsa));
+            __m256d ry = _mm256_add_pd(_mm256_mul_pd(t, vsa), _mm256_mul_pd(v, vca));
+            vminx = _mm256_min_pd(vminx, rx); vmaxx = _mm256_max_pd(vmaxx, rx);
+            vminy = _mm256_min_pd(vminy, ry); vmaxy = _mm256_max_pd(vmaxy, ry);
+        }
+        double lane[4];
+        _mm256_storeu_pd(lane, vminx);
+        for (int k = 0; k < 4; k++) if (lane[k] < min_x) min_x = lane[k];
+        _mm256_storeu_pd(lane, vmaxx);
+        for (int k = 0; k < 4; k++) if (lane[k] > max_x) max_x = lane[k];
+        _mm256_storeu_pd(lane, vminy);
+        for (int k = 0; k < 4; k++) if (lane[k] < min_y) min_y = lane[k];
+        _mm256_storeu_pd(lane, vmaxy);
+        for (int k = 0; k < 4; k++) if (lane[k] > max_y) max_y = lane[k];
+    }
+#endif
+    for (; j < n; j++) {
+        double rx = ct[j] * cos_a - cv[j] * sin_a;
+        double ry = ct[j] * sin_a + cv[j] * cos_a;
+        if (rx < min_x) min_x = rx;
+        if (rx > max_x) max_x = rx;
+        if (ry < min_y) min_y = ry;
+        if (ry > max_y) max_y = ry;
+    }
+    *out_angle = angle;
+    *out_min_x = min_x; *out_max_x = max_x;
+    *out_min_y = min_y; *out_max_y = max_y;
+    return (max_x - min_x) * (max_y - min_y);
+}
+
 /* running-min improvement block — identical ops to the reference's branch */
 static void mabr_improve(double area, double angle, double min_x, double max_x,
                          double min_y, double max_y, double *min_area,
@@ -226,16 +283,12 @@ static void mabr_improve(double area, double angle, double min_x, double max_x,
 /*     candidate, and iterating candidates in combined order with     */
 /*     the same strict-< rule picks exactly that edge.                */
 /*                                                                    */
-/* Support extremes use warm-started walks over the convex cycle      */
-/* (lower chain L->R then upper interior R->L).  The support function */
-/* of a convex polygon is (weakly) unimodal over that cycle, so a     */
-/* tolerance-guarded walk (advance while next >= cur - tol, with      */
-/* tol >= 2 value-rounding ulps) can never break before visiting the  */
-/* true extreme vertex: on the nondecreasing stretch toward the peak  */
-/* every computed step is >= -2ulp >= -tol.  One of the two walk      */
-/* directions contains the peak, so max(best of both) is exact within */
-/* value rounding.  Amortized O(1) steps per edge for slowly rotating */
-/* edge directions; worst case O(p) (<= full-scan cost).              */
+/* Support extremes come from one fused exact pass per unique edge    */
+/* direction (proj_extremes): 4 running extremes over the vertex set, */
+/* branch-predictable and ILP-friendly.  Tolerance-guarded cycle      */
+/* walks were tried first but lattice token data produces long near-  */
+/* flat plateaus (~21 visited vertices per walk, measured), making    */
+/* the straight scan both faster and slack-free.                      */
 /* ------------------------------------------------------------------ */
 
 static int g_mabr_force_exact = 0;
@@ -243,24 +296,17 @@ static int g_mabr_force_exact = 0;
 /* Differential-test hook: force the O(p^2) full scan. */
 void tersets_histogram_set_mabr_exact(int flag) { g_mabr_force_exact = flag; }
 
-static _Thread_local long *g_cyc = NULL;
-static _Thread_local long g_cyc_cap = 0;
 static _Thread_local double *g_ct = NULL; /* cycle-ordered t (SoA: walk */
 static _Thread_local double *g_cv = NULL; /* steps avoid cyc[] indirection) */
 static _Thread_local long g_cs_cap = 0;
 static _Thread_local double *g_lo = NULL;
 static _Thread_local long g_lo_cap = 0;
 static _Thread_local unsigned long long *g_dirh = NULL; /* open-address set */
+static _Thread_local unsigned long long *g_dirgen = NULL; /* slot gen stamp */
+static _Thread_local unsigned long long g_dirgen_cur = 0;
 static _Thread_local long g_dirh_cap = 0;
 
 static int mabr_scratch_reserve(long n) {
-    if (n > g_cyc_cap) {
-        long cap = g_cyc_cap ? g_cyc_cap : 64;
-        while (cap < n) cap *= 2;
-        long *p = (long *)realloc(g_cyc, (size_t)cap * sizeof(long));
-        if (!p) return -1;
-        g_cyc = p; g_cyc_cap = cap;
-    }
     if (n > g_lo_cap) {
         long cap = g_lo_cap ? g_lo_cap : 64;
         while (cap < n) cap *= 2;
@@ -285,27 +331,26 @@ static int mabr_scratch_reserve(long n) {
         unsigned long long *p = (unsigned long long *)realloc(
             g_dirh, (size_t)want * 2 * sizeof(unsigned long long));
         if (!p) return -1;
-        g_dirh = p; g_dirh_cap = want;
+        unsigned long long *g = (unsigned long long *)realloc(
+            g_dirgen, (size_t)want * sizeof(unsigned long long));
+        if (!g) { g_dirh = p; return -1; }
+        /* growth resets every stamp; the per-call gen bump below keeps
+         * stale cells invisible without touching them */
+        memset(g, 0, (size_t)want * sizeof(unsigned long long));
+        g_dirh = p; g_dirgen = g; g_dirh_cap = want;
+        g_dirgen_cur = 0;
     }
     return 0;
-}
-
-/* dedup-table slots for THIS call (callers init + mask only this many, so
- * a small hull after a big one doesn't pay the high-water init cost) */
-static long dirh_want(long n) {
-    long want = 64;
-    while (want < 4 * n) want *= 2;
-    return want;
 }
 
 /* Exact-direction dedup: edges with bitwise-identical (ex, ey) produce
  * bitwise-identical angle -> cos/sin -> extremes -> area, so under the
  * strict-< running min only the FIRST occurrence can ever win.  Returns
  * 1 if (ex, ey) was already seen in this call, else records it and
- * returns 0.  Cells store the exact (bx, by) bit patterns — the empty
- * marker is the -NaN pattern, which ex (an integer-valued double from a
- * finite t diff) can never be. */
-#define DIR_EMPTY 0xFFFFFFFFFFFFFFFFULL
+ * returns 0.  A slot belongs to the current call iff its generation
+ * stamp matches g_dirgen_cur — bumping the stamp empties the whole
+ * table in O(1), so no per-call memset (dedup decisions are exact
+ * bitwise matches either way; table size only affects collisions). */
 
 static int dir_seen(double ex, double ey, long mask) {
     unsigned long long bx, by;
@@ -317,49 +362,69 @@ static int dir_seen(double ex, double ey, long mask) {
     unsigned long long probe = key & (unsigned long long)mask;
     for (;;) {
         unsigned long long *cell = &g_dirh[probe * 2];
-        if (cell[0] == DIR_EMPTY) { cell[0] = bx; cell[1] = by; return 0; }
+        if (g_dirgen[probe] != g_dirgen_cur) {
+            g_dirgen[probe] = g_dirgen_cur;
+            cell[0] = bx; cell[1] = by;
+            return 0;
+        }
         if (cell[0] == bx && cell[1] == by) return 1;
         probe = (probe + 1) & (unsigned long long)mask;
     }
 }
 
-static double supp_f(const double *ct, const double *cv, long pos, double a,
-                     double b) {
-    return a * ct[pos] + b * cv[pos];
-}
-
-/* Tolerant max of a*t + b*v over the convex cycle (SoA arrays in cycle
- * order); the true argmax vertex is always visited (see block comment
- * above). Updates *warm in place. */
-static double cyc_max(const double *ct, const double *cv, long n, double a,
-                      double b, long *warm, double tol) {
-    long start = *warm;
-    double best = supp_f(ct, cv, start, a, b);
-    long bestpos = start;
-    double cur = best;
-    long pos = start;
-    long fwd_end = start;
-    for (long steps = 0; steps < n; steps++) {
-        long nxt = pos + 1 == n ? 0 : pos + 1;
-        if (nxt == start) break;
-        double fv = supp_f(ct, cv, nxt, a, b);
-        if (fv < cur - tol) break;
-        pos = nxt; cur = fv;
-        if (fv > best) { best = fv; bestpos = pos; }
+/* Exact support extremes of the projections d = ex*t + ey*v and
+ * c = -ey*t + ex*v over the vertex set, one fused pass.  Replaces the
+ * old tolerance-guarded cycle walks: on lattice token data the walks
+ * traversed ~21 near-flat plateau vertices per call (measured), so a
+ * straight-line scan with 4 independent running extremes is both
+ * cheaper (ILP, no data-dependent branches) and tighter (no walk
+ * slack).  Reordering a max/min fold only affects which of several
+ * bitwise-tied extremes is kept — the returned VALUE is order-
+ * independent, and these extremes only feed the conservative candidate
+ * interval, never the winner's floats, so bit-identity of the final
+ * MABR line is untouched. */
+static void proj_extremes(const double *ct, const double *cv, long n,
+                          double ex, double ey, double *dmax, double *dmin,
+                          double *cmax, double *cmin) {
+    double dM = -DBL_MAX, dm = DBL_MAX, cM = -DBL_MAX, cm = DBL_MAX;
+    long j = 0;
+#ifdef __AVX2__
+    /* Exact SIMD: explicit mul/add (no FMA contraction) and maxpd/minpd
+     * over finite lanes round identically to the scalar loop; only the
+     * fold ORDER differs, which cannot change a max/min VALUE. */
+    if (n >= 8) {
+        __m256d vex = _mm256_set1_pd(ex), vey = _mm256_set1_pd(ey);
+        __m256d vdM = _mm256_set1_pd(-DBL_MAX), vdm = _mm256_set1_pd(DBL_MAX);
+        __m256d vcM = vdM, vcm = vdm;
+        for (; j + 4 <= n; j += 4) {
+            __m256d t = _mm256_loadu_pd(ct + j);
+            __m256d v = _mm256_loadu_pd(cv + j);
+            __m256d d = _mm256_add_pd(_mm256_mul_pd(vex, t), _mm256_mul_pd(vey, v));
+            __m256d c = _mm256_sub_pd(_mm256_mul_pd(vex, v), _mm256_mul_pd(vey, t));
+            vdM = _mm256_max_pd(vdM, d); vdm = _mm256_min_pd(vdm, d);
+            vcM = _mm256_max_pd(vcM, c); vcm = _mm256_min_pd(vcm, c);
+        }
+        double lane[4];
+        _mm256_storeu_pd(lane, vdM);
+        for (int k = 0; k < 4; k++) if (lane[k] > dM) dM = lane[k];
+        _mm256_storeu_pd(lane, vdm);
+        for (int k = 0; k < 4; k++) if (lane[k] < dm) dm = lane[k];
+        _mm256_storeu_pd(lane, vcM);
+        for (int k = 0; k < 4; k++) if (lane[k] > cM) cM = lane[k];
+        _mm256_storeu_pd(lane, vcm);
+        for (int k = 0; k < 4; k++) if (lane[k] < cm) cm = lane[k];
     }
-    fwd_end = pos;
-    cur = supp_f(ct, cv, start, a, b);
-    pos = start;
-    for (long steps = 0; steps < n; steps++) {
-        long prv = pos == 0 ? n - 1 : pos - 1;
-        if (prv == fwd_end) break;
-        double fv = supp_f(ct, cv, prv, a, b);
-        if (fv < cur - tol) break;
-        pos = prv; cur = fv;
-        if (fv > best) { best = fv; bestpos = pos; }
+#endif
+    for (; j < n; j++) {
+        double t = ct[j], v = cv[j];
+        double d = ex * t + ey * v;
+        double c = ex * v - ey * t;
+        if (d > dM) dM = d;
+        if (d < dm) dm = d;
+        if (c > cM) cM = c;
+        if (c < cm) cm = c;
     }
-    *warm = bestpos;
-    return best;
+    *dmax = dM; *dmin = dm; *cmax = cM; *cmin = cm;
 }
 
 /* MABR bisector line over `points[0..n-1]` in combined order, with
@@ -392,33 +457,41 @@ static int mabr_line(const Point *points, long n, long n_lower,
     }
 
     if (mabr_scratch_reserve(n)) return -1;
-    /* convex cycle: lower chain L->R, then upper interior R->L */
-    for (long i = 0; i < n_lower; i++) g_cyc[i] = i;
-    for (long k = 0; k < n - n_lower; k++) g_cyc[n_lower + k] = n - 1 - k;
-    for (long i = 0; i < n; i++) {
-        const Point p = points[g_cyc[i]];
-        g_ct[i] = (double)p.t;
-        g_cv[i] = p.v;
-    }
-
+    /* convex cycle: lower chain L->R, then upper interior R->L; the
+     * magnitude fold is order-independent (max of |.| over the same
+     * set), so it fuses with the SoA build bit-identically */
     double t_mag = 0.0, v_mag = 0.0;
-    for (long j = 0; j < n; j++) {
-        double at = fabs((double)points[j].t), av = fabs(points[j].v);
+    for (long i = 0; i < n; i++) {
+        const Point p = points[i < n_lower ? i : n - 1 - (i - n_lower)];
+        double t = (double)p.t;
+        g_ct[i] = t;
+        g_cv[i] = p.v;
+        double at = fabs(t), av = fabs(p.v);
         if (at > t_mag) t_mag = at;
         if (av > v_mag) v_mag = av;
     }
 
-    long hwant = dirh_want(n);
-    long hmask = hwant - 1;
-    for (long i = 0; i < hwant * 2; i++) g_dirh[i] = DIR_EMPTY;
+    long hmask = g_dirh_cap - 1;
+    g_dirgen_cur++;
 
-    long w_dmax = 0, w_dmin = 0, w_cmax = 0, w_cmin = 0;
     double min_hi = DBL_MAX;
+    unsigned long long prev_bx = 0, prev_by = 0;
+    int have_prev = 0;
     for (long i = 0; i < n; i++) {
         Point first = points[i];
         Point second = points[(i + 1) % n];
         double ex = (double)(second.t - first.t);
         double ey = second.v - first.v;
+        /* collinear plateau runs repeat the SAME direction on consecutive
+         * edges — catch those with a register compare before hashing */
+        unsigned long long bx, by;
+        memcpy(&bx, &ex, 8);
+        memcpy(&by, &ey, 8);
+        if (have_prev && bx == prev_bx && by == prev_by) {
+            g_lo[i] = DBL_MAX;
+            continue;
+        }
+        prev_bx = bx; prev_by = by; have_prev = 1;
         if (dir_seen(ex, ey, hmask)) {
             /* bitwise-identical direction as an earlier edge: identical
              * exact area, can never strictly improve -> not a candidate */
@@ -428,11 +501,8 @@ static int mabr_line(const Point *points, long n, long n_lower,
         double len = sqrt(ex * ex + ey * ey);
         double mag_d = fabs(ex) * t_mag + fabs(ey) * v_mag;
         double mag_c = fabs(ey) * t_mag + fabs(ex) * v_mag;
-        double tol_d = 1e-13 * mag_d, tol_c = 1e-13 * mag_c;
-        double dmax = cyc_max(g_ct, g_cv, n, ex, ey, &w_dmax, tol_d);
-        double dmin = -cyc_max(g_ct, g_cv, n, -ex, -ey, &w_dmin, tol_d);
-        double cmax = cyc_max(g_ct, g_cv, n, -ey, ex, &w_cmax, tol_c);
-        double cmin = -cyc_max(g_ct, g_cv, n, ey, -ex, &w_cmin, tol_c);
+        double dmax, dmin, cmax, cmin;
+        proj_extremes(g_ct, g_cv, n, ex, ey, &dmax, &dmin, &cmax, &cmin);
         double err_d = 3e-14 * mag_d + 1e-300;
         double err_c = 3e-14 * mag_c + 1e-300;
         double quirk = DBL_MIN * len; /* len * max-init quirk, dot domain */
@@ -450,8 +520,9 @@ static int mabr_line(const Point *points, long n, long n_lower,
 
     for (long i = 0; i < n; i++) {
         if (g_lo[i] > min_hi) continue;
-        double area = mabr_edge_exact(points, n, i, &angle, &min_x, &max_x,
-                                      &min_y, &max_y);
+        double area = mabr_edge_exact_soa(g_ct, g_cv, n, points[i],
+                                          points[(i + 1) % n], &angle, &min_x,
+                                          &max_x, &min_y, &max_y);
         mabr_improve(area, angle, min_x, max_x, min_y, max_y, &min_area,
                      &min_slope, &min_intercept);
     }

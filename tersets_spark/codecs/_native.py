@@ -11,9 +11,11 @@ tests/test_native_histogram.py).
 
 Set ``TERSETS_SPARK_NO_NATIVE=1`` to force the Python path.
 
-Compile flags: ``-O2 -ffp-contract=off`` — contraction off is load-bearing
+Compile flags: ``-O3 -march=native -ffp-contract=off`` (portable
+``-O2 -ffp-contract=off`` fallback) — contraction off is load-bearing
 (GCC would otherwise fuse a*b+c into fma and change results vs NumPy);
-no fast-math flags, so all arithmetic stays strict IEEE-754.
+no fast-math flags, so all arithmetic stays strict IEEE-754.  -march
+only unlocks guarded SIMD paths whose folds are value-exact.
 """
 
 from __future__ import annotations
@@ -77,13 +79,25 @@ def _build(src: bytes, source_name: str) -> str | None:
         with open(c_path, "wb") as f:
             f.write(src)
         tmp_so = os.path.join(tmpdir, "out.so")
-        proc = subprocess.run(
-            [cc, "-O2", "-ffp-contract=off", "-fPIC", "-shared", c_path,
-             "-o", tmp_so, "-lm"],
-            capture_output=True,
-            timeout=120,
+        # -march=native unlocks the guarded AVX2 paths (exact-value SIMD
+        # min/max folds, bit-identical by construction; differential
+        # suites re-verify at test time).  Contraction stays off — FMA
+        # fusion WOULD change results.  Falls back to portable flags on
+        # any compiler that rejects -march=native.
+        flag_sets = (
+            ["-O3", "-march=native", "-ffp-contract=off"],
+            ["-O2", "-ffp-contract=off"],
         )
-        if proc.returncode != 0:
+        proc = None
+        for flags in flag_sets:
+            proc = subprocess.run(
+                [cc, *flags, "-fPIC", "-shared", c_path, "-o", tmp_so, "-lm"],
+                capture_output=True,
+                timeout=120,
+            )
+            if proc.returncode == 0:
+                break
+        if proc is None or proc.returncode != 0:
             return None
         os.replace(tmp_so, so_path)  # atomic: concurrent builders converge
         return so_path
