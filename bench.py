@@ -38,6 +38,35 @@ def log(*args) -> None:
     print(*args, file=sys.stderr, flush=True)
 
 
+# Quiet-window single-process rate for the probe below, measured when this
+# host is idle (BENCH/BASELINE.md appendix). Ratios well under ~1 mean the
+# hypervisor is throttling DRAM streaming and wall-clock numbers from that
+# window overstate the engine's cost (round 2: identical code measured
+# 32.6 s in a bad window vs 18.3 s quiet; round 3 observed a window where
+# even a single stream ran 6x under baseline).
+_QUIET_STREAM_MELEM_S = 63.7
+
+
+def host_stream_probe() -> float:
+    """Single-process DRAM-streaming rate (M elem/s), Spark-free.
+
+    A ~15-line stand-in for 'how throttled is this VM right now': one
+    diff/zigzag/cumsum pass over a 320 MB int64 array, best of 2. Recorded
+    in the bench JSON so any reader can normalize a noisy-window result
+    without re-running."""
+    import numpy as np
+
+    a = np.arange(40_000_000, dtype=np.int64)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        d = np.diff(a)
+        z = (d >> 63) ^ (d << 1)
+        z.cumsum()
+        best = max(best, a.size / (time.monotonic() - t0) / 1e6)
+    return round(best, 1)
+
+
 def _fresh_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -181,6 +210,8 @@ def main() -> None:
         _write_baseline_md(sf_name, total_tokens, results, eff, lo, hi)
         print(json.dumps({
             "metric": "cascade_scaling",
+            "host_stream_melem_s": host_stream_probe(),
+            "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
             "value": results[hi]["best_total_sec"],
             "unit": "sec",
             "queries": {f"local{lo}": results[lo]["best_total_sec"],
@@ -193,6 +224,7 @@ def main() -> None:
         }))
         return
 
+    probe = host_stream_probe()
     r = run_default(cpus, seq_path, total_tokens, args.runs)
     print(json.dumps({
         "metric": "retention_cascade_total",
@@ -206,6 +238,8 @@ def main() -> None:
         "protocol": "warmup + best-of-%d" % args.runs,
         "all_runs_sec": r["all_runs_sec"],
         "median_sec": r["median_sec"],
+        "host_stream_melem_s": probe,
+        "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
     }))
 
 
