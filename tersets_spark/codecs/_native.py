@@ -179,6 +179,18 @@ def load_piece_kernels():
     return out
 
 
+def load_lttb_kernel():
+    """Return the batched LTTB kernel or None (Python fallback)."""
+    fn = _load("_lttb_native.c", "tersets_lttb")
+    if fn is None:
+        return None
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_lp = ctypes.POINTER(ctypes.c_long)
+    fn.restype = ctypes.c_long
+    fn.argtypes = [c_dp, c_lp, ctypes.c_long, ctypes.c_long, c_dp, c_lp]
+    return fn
+
+
 def load_linesimp_kernels():
     """Return {name: fn} for the VW/SlidingWindow/BottomUp/ABC kernels, or
     None (Python fallback). One shared object, four entry points."""

@@ -6,9 +6,13 @@ points, split the interior into ``threshold - 2`` equal buckets, and from
 each bucket keep the point forming the largest triangle with the
 previously kept point and the next bucket's centroid.
 
-Runs as an Arrow-batched pandas UDF over the ``tokens`` array column: the
-outer loop is over the ``threshold`` buckets (small), the per-bucket area
-computation is vectorized NumPy — no per-point Python.
+Runs as an Arrow-batched pandas UDF over the ``tokens`` array column.  The
+hot path flattens the whole batch into one values buffer + offsets and
+makes a SINGLE call into the C kernel (``codecs/_lttb_native.c``) — no
+per-document Python, no per-bucket NumPy dispatch.  The pure-NumPy
+``lttb`` below is the reference semantics and the fallback when no C
+compiler is available; the two are bit-identical on integer-valued input
+(tokens), pinned by tests/test_native_lttb.py.
 
 Structural invariants (SQL-checkable, used by the ``lttb_downsample``
 oracle): output length == min(n, threshold) for n > 2, and the first/last
@@ -17,10 +21,17 @@ input points are always kept verbatim.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
+
+from .codecs._native import load_lttb_kernel
+
+#: resolved once per Python worker; None -> pure-NumPy fallback.
+_NATIVE = load_lttb_kernel()
 
 
 def lttb(values: np.ndarray, threshold: int) -> np.ndarray:
@@ -57,14 +68,53 @@ def lttb(values: np.ndarray, threshold: int) -> np.ndarray:
     return v[out_idx]
 
 
+def lttb_batch(arrays: list, threshold: int) -> list | None:
+    """Downsample a whole batch of float64 arrays with ONE kernel call.
+
+    Returns a list of np.ndarray (same order), or None when the native
+    kernel is unavailable — callers fall back to per-array :func:`lttb`.
+    """
+    if _NATIVE is None:
+        return None
+    ndocs = len(arrays)
+    if ndocs == 0:
+        return []
+    lens = np.fromiter((a.size for a in arrays), dtype=np.int64, count=ndocs)
+    offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.ascontiguousarray(
+        np.concatenate(arrays) if offsets[-1] else np.empty(0), dtype=np.float64
+    )
+    # mirror lttb()'s passthrough rule: copy when threshold >= n or < 3
+    out_lens = np.where((lens <= threshold) | (threshold < 3), lens, threshold)
+    out_offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_offsets[1:])
+    out = np.empty(out_offsets[-1], dtype=np.float64)
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_lp = ctypes.POINTER(ctypes.c_long)
+    rc = _NATIVE(
+        flat.ctypes.data_as(c_dp),
+        offsets.ctypes.data_as(c_lp),
+        ndocs,
+        threshold,
+        out.ctypes.data_as(c_dp),
+        out_offsets.ctypes.data_as(c_lp),
+    )
+    if rc < 0:  # pragma: no cover - layout mismatch means a wrapper bug
+        return None
+    return [out[s:e] for s, e in zip(out_offsets[:-1], out_offsets[1:])]
+
+
 def lttb_udf(threshold: int):
     @F.pandas_udf(ArrayType(DoubleType()))
     def _lttb(token_lists: pd.Series) -> pd.Series:
-        return token_lists.map(
-            lambda toks: lttb(
-                np.asarray(toks, dtype=np.float64) if toks is not None else np.empty(0),
-                threshold,
-            ).tolist()
-        )
+        arrays = [
+            np.asarray(t, dtype=np.float64) if t is not None else np.empty(0)
+            for t in token_lists
+        ]
+        batched = lttb_batch(arrays, threshold)
+        if batched is not None:
+            return pd.Series([a.tolist() for a in batched])
+        return pd.Series([lttb(a, threshold).tolist() for a in arrays])
 
     return _lttb
