@@ -133,24 +133,44 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 def _hash_shingles(shingles: list[str]) -> np.ndarray:
     """FNV-1a 64-bit over utf-8 shingle bytes — vectorized column-Horner.
 
-    The byte loop runs over the PADDED BYTE MATRIX column-by-column (max
-    string length iterations of whole-batch NumPy ops), never per byte in
-    Python. Output is bit-identical to the scalar FNV-1a recurrence, which
-    the DuckDB oracle reproduces in SQL (HUGEINT mod-2^64 arithmetic).
+    All strings are joined into ONE byte buffer, scattered into a
+    transposed padded matrix with a single fancy assignment, and the byte
+    loop runs column-by-column (max string length iterations of whole-batch
+    NumPy ops), never per byte OR per string in Python. Strings are
+    processed in descending-length order so each column's still-active set
+    is a contiguous prefix slice (no per-column index arrays). Output is
+    bit-identical to the scalar FNV-1a recurrence, which the DuckDB oracle
+    reproduces in SQL (HUGEINT mod-2^64 arithmetic).
     """
-    if not shingles:
+    n = len(shingles)
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
     encoded = [s.encode("utf-8") for s in shingles]
-    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
     width = max(int(lens.max()), 1)
-    mat = np.zeros((len(encoded), width), dtype=np.uint8)
-    for i, b in enumerate(encoded):
-        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    out = np.full(len(encoded), _FNV_OFFSET, dtype=np.uint64)
+    order = np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)  # original order
+    total = int(lens_s.sum())
+    mat_t = np.zeros((width, n), dtype=np.uint8)
+    if total:
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        bounds = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens_s[:-1], out=bounds[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(bounds, lens_s)
+        src = np.repeat(starts[order], lens_s) + within
+        mat_t[within, np.repeat(np.arange(n, dtype=np.int64), lens_s)] = flat[src]
+    out_s = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    asc = lens_s[::-1]  # ascending view for the prefix-count searchsorted
     for j in range(width):
-        active = np.flatnonzero(lens > j)
+        k = n - int(np.searchsorted(asc, j, side="right"))
+        if k == 0:
+            break
         # (h ^ byte) * prime, mod 2^64 via uint64 wraparound
-        out[active] = (out[active] ^ mat[active, j].astype(np.uint64)) * _FNV_PRIME
+        out_s[:k] = (out_s[:k] ^ mat_t[j, :k]) * _FNV_PRIME
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = out_s
     return out
 
 
@@ -277,6 +297,49 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_one(tokens) -> int:
+    """Scalar-reference SimHash for one document (kept as the differential
+    anchor for the batched UDF; tests pin batch == per-doc bitwise)."""
+    if tokens is None or len(tokens) == 0:
+        return 0
+    hashes = _hash_shingles(list(tokens))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    # distinct powers of two, so sum == bitwise OR
+    word = (((votes > 0).astype(np.uint64)) << np.arange(64, dtype=np.uint64)).sum(
+        dtype=np.uint64
+    )
+    return int(word.astype(np.int64))
+
+
+def _simhash_batch(token_lists: pd.Series) -> pd.Series:
+    """Whole-batch SimHash: ONE column-Horner FNV pass over every token of
+    every doc, then 64 bit-plane passes with per-doc ``np.add.reduceat``
+    vote sums. Bit-identical to the per-doc reference (:func:`_simhash_one`)
+    — votes are exact integer sums, so grouping is order-independent. Each
+    bit-plane pass touches ~8 bytes/token, keeping the working set
+    cache-resident rather than materializing an n_tokens x 64 matrix."""
+    docs = [list(t) if t is not None else [] for t in token_lists]
+    lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+    out = np.zeros(len(docs), dtype=np.int64)
+    nz = np.flatnonzero(lens > 0)
+    if nz.size:
+        hashes = _hash_shingles([tok for i in nz for tok in docs[i]])
+        nzlens = lens[nz]
+        starts = np.zeros(nz.size, dtype=np.int64)
+        np.cumsum(nzlens[:-1], out=starts[1:])
+        words = np.zeros(nz.size, dtype=np.uint64)
+        one = np.uint64(1)
+        for b in range(64):
+            bit = ((hashes >> np.uint64(b)) & one).astype(np.int64)
+            votes = 2 * np.add.reduceat(bit, starts) - nzlens
+            words |= (votes > 0).astype(np.uint64) << np.uint64(b)
+        out[nz] = words.astype(np.int64)
+    return pd.Series(out)
+
+
 @F.pandas_udf(LongType())
 def simhash_udf(token_lists: pd.Series) -> pd.Series:
     """64-bit SimHash over FNV-hashed tokens (sign of per-bit vote sums).
@@ -284,25 +347,9 @@ def simhash_udf(token_lists: pd.Series) -> pd.Series:
     FNV-1a is kept here DELIBERATELY (vs the MinHash path's JVM xxhash64):
     it is reproducible in portable SQL, so the DuckDB oracle recomputes the
     exact same simhash words (HUGEINT mod-2^64 arithmetic) and the pair
-    output is hash-checked end to end. The FNV itself is the vectorized
-    column-Horner in :func:`_hash_shingles` — no per-byte Python.
+    output is hash-checked end to end. Batching: :func:`_simhash_batch`.
     """
-
-    def simhash(tokens) -> int:
-        if tokens is None or len(tokens) == 0:
-            return 0
-        hashes = _hash_shingles(list(tokens))
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        # distinct powers of two, so sum == bitwise OR
-        word = (((votes > 0).astype(np.uint64)) << np.arange(64, dtype=np.uint64)).sum(
-            dtype=np.uint64
-        )
-        return int(word.astype(np.int64))
-
-    return token_lists.map(simhash)
+    return _simhash_batch(token_lists)
 
 
 def simhash_pairs(

@@ -177,3 +177,34 @@ def test_lang_id_col_matches_udf(spark):
     )
     assert both.filter(F.col("jvm") != F.col("py")).count() == 0
     assert both.filter(F.col("jvm") == "und").count() > 0
+
+
+def test_simhash_batch_matches_scalar_reference():
+    from tersets_spark.dedup import _simhash_batch, _simhash_one
+
+    rng = np.random.default_rng(13)
+    vocab = [f"tok{i}" for i in range(500)]
+    docs = [
+        None,
+        [],
+        ["solo"],
+        ["a", "a", "a"],  # repeated token: votes stack
+        [vocab[int(i)] for i in rng.integers(0, 500, 73)],
+        [vocab[int(i)] for i in rng.integers(0, 500, 1)],
+        [vocab[int(i)] for i in rng.integers(0, 500, 256)],
+        ["éé", "multi byte 中文", "x" * 100],
+    ]
+    got = _simhash_batch(pd.Series(docs, dtype=object)).tolist()
+    want = [_simhash_one(d) for d in docs]
+    assert got == want
+
+
+def test_simhash_batch_singleton_and_order():
+    from tersets_spark.dedup import _simhash_batch, _simhash_one
+
+    doc = ["alpha", "beta", "gamma", "beta"]
+    (got,) = _simhash_batch(pd.Series([doc], dtype=object)).tolist()
+    assert got == _simhash_one(doc)
+    # batching position must not change a doc's hash
+    many = _simhash_batch(pd.Series([["pad"], doc, ["pad", "pad2"]], dtype=object)).tolist()
+    assert many[1] == got
