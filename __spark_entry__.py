@@ -493,9 +493,12 @@ def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cross-batch partial-combine path is what the gate actually checks
     table = _pq.read_table(seq_path)
     n = table.num_rows
+    # exact cover (i*n//4 boundaries): the old offset=i*n//4 with length
+    # n//4 silently skipped rows whenever 4 did not divide n
+    bounds = [i * n // 4 for i in range(5)]
     for i in range(4):
         _pq.write_table(
-            table.slice(i * n // 4, n // 4 + (n % 4 if i == 3 else 0)),
+            table.slice(bounds[i], bounds[i + 1] - bounds[i]),
             os.path.join(in_dir, f"part-{i}.parquet"),
         )
     q = stream_cascade_to_tiers(
@@ -927,6 +930,52 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED incremental near-dup: stage the documents parquet as a
+    3-file stream, run streaming.stream_dedup_minhash (per-batch MinHash
+    LSH against the accumulated band index + exact verify), read back the
+    cross-batch pair log — and hash-match it against the SAME brute-force
+    Jaccard SQL oracle as the batch paths, proving arrival order doesn't
+    change the discovered pair set."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from tersets_spark.streaming import read_stream_dedup_pairs, stream_dedup_minhash
+
+    ensure_shipped(spark)
+    work = tempfile.mkdtemp(prefix="tersets_sdedup_q_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    table = _pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    n = table.num_rows
+    # exact cover: bounds[i] = i*n//3 for BOTH offset and length, so no row
+    # is dropped or duplicated whatever n mod 3 is
+    bounds = [i * n // 3 for i in range(4)]
+    for i in range(3):
+        _pq.write_table(
+            table.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(in_dir, f"part-{i}.parquet"),
+        )
+    q = stream_dedup_minhash(
+        spark,
+        in_dir,
+        os.path.join(work, "out"),
+        os.path.join(work, "ckpt"),
+        k=3,
+        threshold=0.8,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return read_stream_dedup_pairs(spark, os.path.join(work, "out")).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_inter",
+        "n_a",
+        "n_b",
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over Jaccard>=0.8 pairs."""
     from tersets_spark.dedup import dedup_clusters, jaccard_pairs
@@ -1177,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "stream_dedup_pairs": _q_stream_dedup_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1586,6 +1636,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_ORACLE,
         # MinHash+LSH must recover exactly the brute-force Jaccard pairs
         "dedup_minhash_lsh": _JACCARD_ORACLE,
+        # arrival order must not change the streamed pair set -> same oracle
+        "stream_dedup_pairs": _JACCARD_ORACLE,
         # DuckDB's NATIVE ASOF JOIN is the oracle for the Spark as-of
         # (union + running-window) implementation
         "events_asof_join": """

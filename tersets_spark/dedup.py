@@ -225,6 +225,45 @@ def _shingle_sets(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFram
     )
 
 
+def band_buckets(sig, bands: int, rows_per_band: int):
+    """Array of per-band bucket hashes for a MinHash signature column —
+    the ONE banding expression shared by the batch LSH and the streamed
+    incremental index, so their candidate conditions are provably the
+    same (JVM ``hash`` over each signature slice)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+    )
+
+
+def verify_candidate_pairs(
+    candidates: DataFrame, shingle_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of a skinny (id_a, id_b) candidate list.
+
+    Joins each side's collected shingle set and intersects JVM-side
+    (``array_intersect``); work is O(sum of candidate-pair shingle sizes),
+    never a shingle-keyed self-join. Emitted pairs carry no approximation.
+    """
+    sets_a = shingle_sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sets_b = shingle_sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+        .filter(
+            F.col("n_inter")
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 3,
@@ -254,12 +293,9 @@ def minhash_lsh_pairs(
     )
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets(F.col("sig"), bands, rows_per_band)).alias(
+            "band", "bucket"
+        ),
     )
     candidates = (
         banded.alias("x")
@@ -268,28 +304,10 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # Exact verification of candidates ONLY: the skinny candidate pair list
-    # joins each side's collected shingle set and intersects JVM-side
-    # (array_intersect). Work is O(sum of candidate-pair shingle sizes) —
-    # never the all-co-shingled-pairs self-join of ``jaccard_pairs``, so the
-    # scale path stays sub-quadratic end to end.
-    sets_a = shingle_sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sets_b = shingle_sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        candidates.join(sets_a, "id_a")
-        .join(sets_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
-            F.size("sh_a").cast("long").alias("n_a"),
-            F.size("sh_b").cast("long").alias("n_b"),
-        )
-        .filter(
-            F.col("n_inter")
-            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        )
-    )
+    # Exact verification of candidates ONLY — never the all-co-shingled-
+    # pairs self-join of ``jaccard_pairs``, so the scale path stays
+    # sub-quadratic end to end.
+    return verify_candidate_pairs(candidates, shingle_sets, threshold)
 
 
 # ---------------------------------------------------------------------------

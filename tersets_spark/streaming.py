@@ -419,3 +419,143 @@ def sessionize_stream(events, gap_seconds: int = 1800,
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+# ---------------------------------------------------------------------------
+# streamed incremental near-dup (MinHash LSH against the accumulated corpus)
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup_minhash(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema=None,
+    max_files_per_trigger: int = 8,
+):
+    """Incremental near-duplicate detection over a DOCUMENT stream: each
+    micro-batch is deduplicated against everything ingested before it (and
+    itself) without ever re-pairing the historical corpus.
+
+    Per batch, ``foreachBatch``:
+
+    1. shingles + MinHash signature for the NEW docs only (one JVM xxhash64
+       pass per shingle, same kernels as the batch path);
+    2. banded-LSH candidates = (new x new) + (new x index) equi-joined on
+       (band, bucket) — old x old pairs were found in their own batches, so
+       per-batch work is O(|batch| x collision rate), not O(|corpus|^2);
+    3. exact shingle-Jaccard verification of candidates only
+       (:func:`tersets_spark.dedup.verify_candidate_pairs` — emitted pairs
+       carry no approximation);
+    4. append the new docs' (id, shingles, sig) to the persistent band
+       index and the verified pairs to the pairs log, both under
+       ``batch=<id>`` dirs — replays overwrite their own output, so the
+       stream checkpoint gives restart-safe effectively-once emission.
+
+    The discovered pair SET equals the batch ``minhash_lsh_pairs`` on the
+    same corpus regardless of arrival order (same signatures, same banding
+    expression via :func:`tersets_spark.dedup.band_buckets`, same exact
+    verify; a pair is found in the batch of its LATER member) — parity is
+    pinned by tests/test_streaming.py and the ``stream_dedup_pairs``
+    contract query shares the batch path's brute-force SQL oracle.
+
+    Scale notes: the index join is an equi-join shuffled on (band, bucket)
+    — uniform buckets (hashes of signature slices), AQE-friendly. The index
+    stores shingle STRINGS to keep verification exact; at 10^12-doc scale
+    swap the verify side to the xxhash64 shingle sets (collision odds
+    ~n^2/2^64) and partition the index dirs by band so the candidate join
+    prunes. Doc ids are assumed unique across the stream (re-ingesting an
+    id re-pairs it)."""
+    from .dedup import _shingle_sets, band_buckets, minhash_udf, verify_candidate_pairs
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    rows_per_band = num_perm // bands
+    index_base = os.path.join(out_dir, "index")
+    pairs_base = os.path.join(out_dir, "pairs")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "id",
+            F.posexplode(band_buckets(F.col("sig"), bands, rows_per_band)).alias(
+                "band", "bucket"
+            ),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sets = _shingle_sets(batch_df, k, id_col, text_col)
+        new = sets.select(
+            "id", "shingles", minhash_udf(num_perm)(F.col("hashes")).alias("sig")
+        )
+        dir_new = os.path.join(index_base, f"batch={batch_id}")
+        # write-then-read-back: the re-scan of the small per-batch index
+        # beats recomputing shingles+signatures via lineage for each of the
+        # three uses below (banding, verify, and the persistent index)
+        new.write.mode("overwrite").parquet(dir_new)
+        new_idx = spark.read.parquet(dir_new)
+        nb = _banded(new_idx)
+        cand_new = (
+            nb.alias("x")
+            .join(nb.alias("y"), on=["band", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
+        prior_dirs = [
+            os.path.join(index_base, d)
+            for d in sorted(os.listdir(index_base))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ]
+        all_sets = new_idx.select("id", "shingles")
+        candidates = cand_new
+        if prior_dirs:
+            prior = spark.read.parquet(*prior_dirs)
+            pb = _banded(prior)
+            cand_cross = (
+                nb.alias("x")
+                .join(pb.alias("y"), on=["band", "bucket"])
+                .select(
+                    F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+                    F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+                )
+            )
+            candidates = candidates.unionByName(cand_cross)
+            all_sets = all_sets.unionByName(prior.select("id", "shingles"))
+        verified = verify_candidate_pairs(candidates.distinct(), all_sets, threshold)
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_base, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_dedup_pairs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All verified near-dup pairs emitted so far by
+    :func:`stream_dedup_minhash` (cross-batch set, no duplicates by
+    construction — a pair is emitted only in its later member's batch)."""
+    base = os.path.join(out_dir, "pairs")
+    return (
+        spark.read.option("basePath", base)
+        .parquet(os.path.join(base, "batch=*"))
+        .drop("batch")
+    )

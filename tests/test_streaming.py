@@ -27,8 +27,9 @@ def staged_input(tmp_path_factory):
     stage = tmp_path_factory.mktemp("stream_in")
     table = pq.read_table(src)
     n = table.num_rows
+    bounds = [i * n // 4 for i in range(5)]  # exact cover for any n mod 4
     for i in range(4):
-        pq.write_table(table.slice(i * n // 4, n // 4 + (n % 4 if i == 3 else 0)),
+        pq.write_table(table.slice(bounds[i], bounds[i + 1] - bounds[i]),
                        os.path.join(stage, f"part-{i}.parquet"))
     return str(stage)
 
@@ -367,3 +368,104 @@ def test_sessionize_stream_idle_flush_emits_open_sessions(spark, tmp_path):
     cols = ["user_id", "session_start", "session_end", "n_events", "cents"]
     assert got.count() == 3
     assert got.select(cols).exceptAll(batch.select(cols)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# streamed incremental near-dup: parity with the batch LSH on the same corpus
+# ---------------------------------------------------------------------------
+
+
+def _toy_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    for i in range(30):
+        if i % 5 == 0 and i > 0:
+            text = base + f"tail {i % 3}"          # near-dup family
+        elif i % 7 == 0:
+            text = base * 2 + f"tail {i}"          # longer variant
+        else:
+            text = f"unique document number {i} " + " ".join(
+                f"w{i}_{j}" for j in range(25)
+            )
+        rows.append((f"d{i:03d}", text))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_stream_dedup_matches_batch_lsh(spark, tmp_path):
+    from tersets_spark.dedup import minhash_lsh_pairs
+    from tersets_spark.streaming import read_stream_dedup_pairs, stream_dedup_minhash
+
+    docs = _toy_docs(spark)
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    # 3 staged files x maxFilesPerTrigger=1 -> 3 micro-batches, so both the
+    # new-x-new and new-x-index candidate paths are exercised
+    parts = docs.collect()
+    for i in range(3):
+        spark.createDataFrame(parts[i * 10 : (i + 1) * 10], docs.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(in_dir, f"chunk={i}"))
+    import glob as _glob
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for j, f in enumerate(sorted(_glob.glob(os.path.join(in_dir, "chunk=*", "*.parquet")))):
+        shutil.copy(f, os.path.join(stage, f"part-{j}.parquet"))
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = stream_dedup_minhash(
+        spark, stage, out, ckpt, k=3, threshold=0.8, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.id_a, r.id_b, r.n_inter, r.n_a, r.n_b)
+        for r in read_stream_dedup_pairs(spark, out).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.n_inter, r.n_a, r.n_b)
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    assert want, "toy corpus must contain near-dups for the test to bite"
+    assert got == want
+
+
+def test_stream_dedup_restart_is_idempotent(spark, tmp_path):
+    from tersets_spark.dedup import minhash_lsh_pairs
+    from tersets_spark.streaming import read_stream_dedup_pairs, stream_dedup_minhash
+
+    docs = _toy_docs(spark)
+    parts = docs.collect()
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    spark.createDataFrame(parts[:15], docs.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage + "_tmp1")
+    import glob as _glob
+
+    shutil.copy(_glob.glob(stage + "_tmp1/*.parquet")[0], os.path.join(stage, "a.parquet"))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_dedup_minhash(spark, stage, out, ckpt, max_files_per_trigger=4)
+    q.awaitTermination()
+    n_first = read_stream_dedup_pairs(spark, out).count()
+
+    # second half arrives; resumed stream must only pair against, not
+    # re-emit, the first half
+    spark.createDataFrame(parts[15:], docs.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage + "_tmp2")
+    shutil.copy(_glob.glob(stage + "_tmp2/*.parquet")[0], os.path.join(stage, "b.parquet"))
+    q = stream_dedup_minhash(spark, stage, out, ckpt, max_files_per_trigger=4)
+    q.awaitTermination()
+
+    got = {
+        (r.id_a, r.id_b) for r in read_stream_dedup_pairs(spark, out).collect()
+    }
+    want = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    assert got == want
+    assert len(got) >= n_first
