@@ -184,7 +184,10 @@ static long mix_phase1(const double *v, long n, double eb, double adjusted,
     double up_f = F64MAX, lo_f = -F64MAX, up_c = F64MAX, lo_c = -F64MAX;
     double int_f = quantize_floor(v0, eb) + margin;
     double int_c = quantize_ceil(v0, eb) + margin;
-    int floor_valid = 1, ceil_valid = 1;
+    /* Documented divergence from mix_piece.zig:385-389 (see mix_piece.py):
+     * start the ceil track invalid when its margin-shifted intercept
+     * already misses the first value by more than the bound. */
+    int floor_valid = 1, ceil_valid = (int_c - v0) <= eb;
     long last_valid_floor = 0, last_valid_ceil = 0;
 
     for (long ct = 1; ct < n; ct++) {
@@ -232,7 +235,7 @@ static long mix_phase1(const double *v, long n, double eb, double adjusted,
             int_f = quantize_floor(value, eb) + margin;
             int_c = quantize_ceil(value, eb) + margin;
             up_f = F64MAX; lo_f = -F64MAX; up_c = F64MAX; lo_c = -F64MAX;
-            floor_valid = 1; ceil_valid = 1;
+            floor_valid = 1; ceil_valid = (int_c - value) <= eb;
             last_valid_floor = ct; last_valid_ceil = ct;
         }
     }

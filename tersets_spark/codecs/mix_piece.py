@@ -72,7 +72,17 @@ def compute_segments_metadata(values: np.ndarray, error_bound: float) -> list:
     up_c, lo_c = _F64_MAX, -_F64_MAX
     int_f = _quantize_floor(v0, eb) + _MARGIN
     int_c = _quantize_ceil(v0, eb) + _MARGIN
-    floor_valid = ceil_valid = True
+    floor_valid = True
+    # DOCUMENTED DIVERGENCE from the reference: mix_piece.zig:385-389 adds
+    # ErrorBoundMargin to the CEIL intercept without re-checking the
+    # segment's first point, so a value infinitesimally above a bucket
+    # boundary (e.g. a positive subnormal with any eb) decompresses up to
+    # ~eb+margin away — beyond the reference's own strict isWithinErrorBound
+    # (tersets.zig:251). We start the ceil track invalid whenever its
+    # intercept already misses the first value by more than the bound;
+    # everywhere else the phase-1 walk is bit-identical to the reference
+    # (and to the C kernel — differential suite tests/test_native_piece.py).
+    ceil_valid = (int_c - v0) <= eb
     last_valid_floor = last_valid_ceil = 0
 
     n = len(values)
@@ -120,7 +130,8 @@ def compute_segments_metadata(values: np.ndarray, error_bound: float) -> list:
             int_c = _quantize_ceil(value, eb) + _MARGIN
             up_f, lo_f = _F64_MAX, -_F64_MAX
             up_c, lo_c = _F64_MAX, -_F64_MAX
-            floor_valid = ceil_valid = True
+            floor_valid = True
+            ceil_valid = (int_c - value) <= eb  # same start-validity guard
             last_valid_floor = last_valid_ceil = ct
 
     segment_size = n - start_t

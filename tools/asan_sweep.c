@@ -11,6 +11,7 @@ long tersets_bottom_up(const double*, long, double, unsigned char*);
 long tersets_abc(const double*, long, double, unsigned char*);
 long tersets_sim_piece(const double*, long, double, double, double, unsigned char*);
 long tersets_mix_piece(const double*, long, double, double, double, unsigned char*);
+long tersets_lttb(const double*, const long*, long, long, double*, const long*);
 
 int main(void) {
     srand(7);
@@ -46,6 +47,15 @@ int main(void) {
         double ebp = eb > 0 ? eb : 0.5;
         tersets_sim_piece(v, n, ebp, ebp - 1e-7, 1.00000001e-07, buf);
         tersets_mix_piece(v, n, ebp, ebp - 1e-7, 1.00000001e-07, buf);
+        {
+            long thr = 2 + rand() % 130;
+            long offs[2] = { 0, n };
+            long out_n = (thr >= n || thr < 3) ? n : thr;
+            long oo[2] = { 0, out_n };
+            double *lout = malloc((out_n > 0 ? out_n : 1) * 8);
+            tersets_lttb(v, offs, 1, thr, lout, oo);
+            free(lout);
+        }
         free(v); free(buf); free(b_); free(e_); free(mn); free(mx); free(sl); free(ic);
     }
     printf("asan sweep ok\n");
@@ -56,7 +66,9 @@ int main(void) {
  *       tools/asan_sweep.c tersets_spark/codecs/_histogram_native.c \
  *       tersets_spark/codecs/_swing_native.c \
  *       tersets_spark/codecs/_linesimp_native.c \
- *       tersets_spark/codecs/_piece_native.c -o /tmp/asan_all -lm
+ *       tersets_spark/codecs/_piece_native.c \
+ *       tersets_spark/codecs/_lttb_native.c -o /tmp/asan_all -lm
  *   ASAN_OPTIONS=detect_leaks=1 /tmp/asan_all
- * Last run (round 2): clean — no leaks, no UB, 150 trials x 8 entry points.
+ * Last run (round 3): clean — no leaks, no UB, 150 trials x 9 entry points
+ *   (also with -O3 -march=native to compile the guarded SIMD paths).
  */
