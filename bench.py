@@ -57,6 +57,13 @@ def host_stream_probe() -> float:
     import numpy as np
 
     a = np.arange(40_000_000, dtype=np.int64)
+    # Untimed warmup: first-touch the ~320 MB of temporaries diff/zigzag
+    # allocate. On an overcommitted host the initial page faults can cost
+    # tens of seconds; paying them inside the timed region made the first
+    # probe of a process read ~2 M elem/s even in a quiet window.
+    d = np.diff(a)
+    ((d >> 63) ^ (d << 1)).cumsum()
+    del d
     best = 0.0
     for _ in range(2):
         t0 = time.monotonic()
