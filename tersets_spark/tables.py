@@ -28,7 +28,16 @@ N_SOURCES = 12
 #: rows per driver testdata scale factor (sf name -> n_rows). sf0.4 exists
 #: only for the scaling benchmark: big enough (~300M tokens) that per-run
 #: fixed overheads stop dominating the N-vs-4N efficiency ratio.
-ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000, "sf0.4": 400_000}
+ROWS_BY_SF = {
+    "sf0.001": 2_000,
+    "sf0.01": 20_000,
+    "sf0.1": 100_000,
+    "sf0.4": 400_000,
+    # Robustness scale: ~1.18e9 tokens (mean n_tok ~736). Near the ceiling of
+    # this generator's int32 list offsets (~2.1e9 tokens); grow past that by
+    # writing multiple row groups per chunk, not by widening the offsets.
+    "sf1.6": 1_600_000,
+}
 
 
 def sequences_path(sf_name: str, seed: int = 42) -> str:
