@@ -296,29 +296,31 @@ def _write_baseline_md(
         "auxiliary threads (scan, shuffle, parquet, GC) share the same core",
         "budget as the tasks — a faithful p-core executor.",
         "",
-        "### Measured scaling ladder (pinned cores, best-of-3, sf0.4)",
+        "### Measured scaling ladder (pinned cores, best-of-3)",
         "",
-        "| pair | efficiency | note |",
-        "|---|---|---|",
-        "| 1 vs 4 | 0.94 | gate pair: fully below host ceiling |",
-        "| 2 vs 8 | 0.69 | host DRAM contention begins at 8 streams |",
-        "| 8 vs 32 | ~0.31 | host caps aggregate ~10M tokens/s regardless of plan |",
+        "| pair | efficiency | input / window | note |",
+        "|---|---|---|---|",
+        "| 1 vs 4 | 0.94 | sf0.4 | gate pair: fully below host ceiling |",
+        "| 2 vs 8 | 0.69 | sf0.4 | host DRAM contention begins at 8 streams |",
+        "| 8 vs 32 | 0.60 | sf1.6, quiet window | 12.24M -> 29.45M tokens/s (pinned, best-of-3); an earlier throttled-window sf0.4 measurement read ~0.31 |",
         "",
         "The engine plan has no serial stage (map-only compress/rollup, tree",
         "aggregation above); the ladder's knee tracks the HOST's concurrent-",
         "streaming capacity, measured independently of Spark with the numpy",
-        "microbenchmark above. The ladder's upper rows are themselves",
-        "window-dependent: in a quiet window the same cascade over the sf1.6",
-        "table (1,175,716,595 tokens, 12x the gate input) completed in 37.1 s",
-        "at unpinned local[32] — 31.7 M tokens/s aggregate, no spill, peak",
-        "executor memory flat — so the '~10M cap' row records a throttled",
-        "window, not an engine or host limit (see Large-input robustness).",
+        "microbenchmark above. The upper rows are window-dependent: re-measured",
+        "pinned in a quiet window on the sf1.6 table (1,175,716,595 tokens, 12x",
+        "the gate input), 8 vs 32 reads 0.60 — 2.4x more throughput from 4x",
+        "cores, the remainder being the host's concurrent-DRAM ceiling (the",
+        "numpy microbenchmark collapses the same way with zero Spark involved),",
+        "not a serial stage in the plan.",
         "",
         "### Large-input robustness (single node, quiet window)",
         "",
         "| input | tokens | parallelism | total (s) | tokens/sec |",
         "|---|---|---|---|---|",
         "| sf1.6, seed 42 | 1,175,716,595 | local[32] unpinned | 37.13 | 31,662,431 |",
+        "| sf1.6, seed 42 | 1,175,716,595 | local[8] pinned 0-7 | 96.03 | 12,243,846 |",
+        "| sf1.6, seed 42 | 1,175,716,595 | local[32] pinned 0-31 | 39.93 | 29,447,223 |",
         "",
         "Full retention cascade (raw -> 1m -> 1h -> 1d), warmup discarded,",
         "fresh output dir. 12x the scaling-gate input on one node with zero",
