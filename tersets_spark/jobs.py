@@ -275,3 +275,101 @@ def apply_retention(
         shutil.rmtree(tmp_dir, ignore_errors=True)
         dropped[tier] = sum(expired.values())
     return dropped
+
+
+# ---------------------------------------------------------------------------
+# post-load tier integrity audit
+# ---------------------------------------------------------------------------
+
+
+_TIER_AGG_COLS = ("cnt", "sum", "vmin", "vmax", "first", "last")
+
+
+def _mismatch_counts(actual: DataFrame, expected: DataFrame) -> tuple[int, int]:
+    """(rows compared, rows differing) via one full-outer join + one agg.
+    A row is bad if it exists on only one side or any aggregate differs."""
+    keys = ["doc_id", "source", "bucket_ts"]
+    a = actual.select(*keys, *[F.col(c).alias(f"a_{c}") for c in _TIER_AGG_COLS])
+    e = expected.select(*keys, *[F.col(c).alias(f"e_{c}") for c in _TIER_AGG_COLS])
+    j = a.join(e, keys, "full_outer")
+    bad = F.lit(False)
+    for c in _TIER_AGG_COLS:
+        bad = bad | ~F.col(f"a_{c}").eqNullSafe(F.col(f"e_{c}"))
+    row = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("m"),
+    ).collect()[0]
+    return int(row["n"]), int(row["m"] or 0)
+
+
+def validate_tiers(
+    spark: SparkSession,
+    sequences_path: str,
+    out_dir: str,
+    sample_frac: float = 0.05,
+    seed: int = 42,
+) -> dict[str, dict[str, int]]:
+    """Sampled, distributed integrity audit of a COMMITTED cascade.
+
+    Checks the north-star invariants against what is actually on disk, on a
+    deterministic ``sample_frac`` of doc_ids (xxhash64-bucketed, so reruns
+    audit the same docs and two auditors agree):
+
+    * ``raw``  — decompress(blob) round-trips to the EXACT original token
+      array (per-row token-array equality, the input_hint invariant);
+      decode failures count as mismatches.
+    * ``1m``   — committed rows match ``rollup_raw`` recomputed from the
+      original sampled sequences, value-exact on every aggregate.
+    * ``1h``/``1d`` — committed rows match an exact integer re-aggregation
+      of the committed tier below (catches a torn/stale upper tier even
+      when the tier below is good).
+
+    Cost scales with ``sample_frac`` times the catalog size: every check is
+    a sampled scan + one shuffle join, no driver-side payloads. Returns
+    ``{tier: {"checked": n, "mismatches": m}}`` — all-zero mismatches means
+    the audit passed; the caller decides whether to raise.
+    """
+    ensure_shipped(spark)
+    catalog = TierCatalog(out_dir, superseded_grace_sec=600.0)
+    buckets = 1_000_000
+    keep = F.pmod(F.xxhash64("doc_id"), F.lit(buckets)) < int(sample_frac * buckets)
+    seq = spark.read.parquet(sequences_path).where(keep)
+
+    report: dict[str, dict[str, int]] = {}
+
+    # raw: per-row token-array equality after decompress
+    from .kernels import safe_decompress_tokens_udf
+
+    raw = catalog.read_tier(spark, "raw").where(keep).select("doc_id", "blob")
+    decoded = safe_decompress_tokens_udf(F.col("blob"))
+    j = raw.join(seq.select("doc_id", "tokens"), "doc_id", "full_outer")
+    bad = (
+        F.col("blob").isNull()
+        | F.col("tokens").isNull()
+        | ~decoded.eqNullSafe(F.col("tokens"))
+    )
+    row = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("m"),
+    ).collect()[0]
+    report["raw"] = {"checked": int(row["n"]), "mismatches": int(row["m"] or 0)}
+
+    # 1m: recompute from the original sampled sequences
+    m1 = catalog.read_tier(spark, "1m").where(keep)
+    if "block" in m1.columns:
+        m1 = m1.drop("block")
+    n, m = _mismatch_counts(m1, rollup_raw(seq, TIERS["1m"]))
+    report["1m"] = {"checked": n, "mismatches": m}
+
+    # 1h/1d: exact re-aggregation of the committed tier below
+    for tier, below in (("1h", "1m"), ("1d", "1h")):
+        below_df = catalog.read_tier(spark, below).where(keep)
+        if "block" in below_df.columns:
+            below_df = below_df.drop("block")
+        actual = catalog.read_tier(spark, tier).where(keep)
+        if "block" in actual.columns:
+            actual = actual.drop("block")
+        n, m = _mismatch_counts(actual, rollup_up(below_df, TIERS[tier]))
+        report[tier] = {"checked": n, "mismatches": m}
+
+    return report

@@ -80,6 +80,21 @@ def decompress_tokens_udf(blobs: pd.Series) -> pd.Series:
     return blobs.map(lambda b: np.round(codecs.decompress(bytes(b))).astype(np.int32))
 
 
+@F.pandas_udf(ArrayType(IntegerType()))
+def safe_decompress_tokens_udf(blobs: pd.Series) -> pd.Series:
+    """Like decompress_tokens_udf, but null on ANY decode failure — for the
+    post-load integrity audit, where a corrupt blob must count as a
+    mismatch rather than kill the job (jobs.validate_tiers)."""
+
+    def one(b):
+        try:
+            return np.round(codecs.decompress(bytes(b))).astype(np.int32)
+        except Exception:
+            return None
+
+    return blobs.map(one)
+
+
 # ---------------------------------------------------------------------------
 # fused bucket rollup (raw tokens -> per-bucket aggregates), mapInPandas
 # ---------------------------------------------------------------------------

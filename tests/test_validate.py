@@ -1,0 +1,97 @@
+"""Post-load tier integrity audit: passes on a good catalog, catches both a
+corrupted raw blob (decode failure / wrong tokens) and a tampered aggregate."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tersets_spark.jobs import run_cascade, validate_tiers
+from tersets_spark.tables import generate_sequences
+
+
+@pytest.fixture(scope="module")
+def seq_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vseq") / "seq.parquet")
+    pq.write_table(generate_sequences(300, seed=11), path)
+    return path
+
+
+def _committed_files(out: str, tier: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(out, tier, "source=*", "run=*", "*.parquet")))
+
+
+def _drop_crc_sidecar(parquet_path: str) -> None:
+    """Hadoop's LocalFileSystem keeps a .crc sidecar that would flag our
+    tampering before the audit runs; object stores (the deploy target)
+    have no such sidecar, so drop it to simulate silent corruption."""
+    d, base = os.path.split(parquet_path)
+    crc = os.path.join(d, f".{base}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_validate_passes_on_good_cascade(spark, seq_path, tmp_path):
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out)
+    # audit every doc so the corruption tests below can't dodge the sample
+    report = validate_tiers(spark, seq_path, out, sample_frac=1.0)
+    assert set(report) == {"raw", "1m", "1h", "1d"}
+    for tier, r in report.items():
+        assert r["checked"] > 0, tier
+        assert r["mismatches"] == 0, (tier, r)
+
+
+def test_validate_catches_corrupt_raw_blob(spark, seq_path, tmp_path):
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out)
+    # flip bytes inside one committed blob (torn write / bit rot)
+    victim = _committed_files(out, "raw")[0]
+    t = pq.read_table(victim)
+    blobs = t["blob"].to_pylist()
+    b = bytearray(blobs[0])
+    b[len(b) // 2] ^= 0xFF
+    blobs[0] = bytes(b)
+    import pyarrow as pa
+
+    cols = {name: t[name] for name in t.column_names}
+    cols["blob"] = pa.array(blobs, type=pa.binary())
+    pq.write_table(pa.table(cols), victim)
+    _drop_crc_sidecar(victim)
+
+    report = validate_tiers(spark, seq_path, out, sample_frac=1.0)
+    assert report["raw"]["mismatches"] >= 1
+    # the aggregate tiers were not touched
+    assert report["1m"]["mismatches"] == 0
+
+
+def test_validate_catches_tampered_aggregate(spark, seq_path, tmp_path):
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out)
+    victim = _committed_files(out, "1h")[0]
+    t = pq.read_table(victim)
+    sums = t["sum"].to_pylist()
+    sums[0] = (sums[0] or 0) + 1
+    import pyarrow as pa
+
+    cols = {name: t[name] for name in t.column_names}
+    cols["sum"] = pa.array(sums, type=t.schema.field("sum").type)
+    pq.write_table(pa.table(cols), victim)
+    _drop_crc_sidecar(victim)
+
+    report = validate_tiers(spark, seq_path, out, sample_frac=1.0)
+    assert report["1h"]["mismatches"] >= 1
+    assert report["raw"]["mismatches"] == 0
+    assert report["1m"]["mismatches"] == 0
+
+
+def test_validate_sample_is_deterministic(spark, seq_path, tmp_path):
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out)
+    r1 = validate_tiers(spark, seq_path, out, sample_frac=0.3)
+    r2 = validate_tiers(spark, seq_path, out, sample_frac=0.3)
+    assert r1 == r2
+    assert 0 < r1["raw"]["checked"] < 300

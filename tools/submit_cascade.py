@@ -36,6 +36,10 @@ def main() -> None:
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--salt", action="store_true",
                         help="salted repartition before the map-only tiers (see jobs.py)")
+    parser.add_argument("--validate", type=float, default=0.0, metavar="FRAC",
+                        help="after the cascade, audit a deterministic FRAC "
+                             "of doc_ids on disk (decompress round-trip + "
+                             "exact tier re-aggregation); exit 3 on mismatch")
     parser.add_argument("--master", default=None,
                         help="override master for local smoke runs (spark-submit sets it otherwise)")
     args = parser.parse_args()
@@ -67,6 +71,15 @@ def main() -> None:
         "tiers": tiers,
         "partitions_done": len(TierCatalog(args.out).metrics()),
     }
+    if args.validate > 0.0:
+        from tersets_spark.jobs import validate_tiers
+
+        report = validate_tiers(spark, args.input, args.out, sample_frac=args.validate)
+        summary["validation"] = report
+        if any(v["mismatches"] for v in report.values()):
+            print(json.dumps(summary))
+            spark.stop()
+            sys.exit(3)
     print(json.dumps(summary))
     spark.stop()
 
