@@ -324,6 +324,14 @@ def validate_tiers(
       of the committed tier below (catches a torn/stale upper tier even
       when the tier below is good).
 
+    Retention-aware: each comparison is restricted to the event-time range
+    where BOTH sides are complete, using the ``horizon_ts`` lineage that
+    ``apply_retention`` wrote to the manifest — expired raw docs are
+    excluded from the round-trip join, and an upper tier is only compared
+    against the tier below above the below-tier's horizon (rounded up to a
+    whole upper bucket, so a partially-covered edge bucket never counts as
+    a mismatch). An aged catalog therefore audits clean.
+
     Cost scales with ``sample_frac`` times the catalog size: every check is
     a sampled scan + one shuffle join, no driver-side payloads. Returns
     ``{tier: {"checked": n, "mismatches": m}}`` — all-zero mismatches means
@@ -335,14 +343,33 @@ def validate_tiers(
     keep = F.pmod(F.xxhash64("doc_id"), F.lit(buckets)) < int(sample_frac * buckets)
     seq = spark.read.parquet(sequences_path).where(keep)
 
+    # retention lineage: strictest horizon each tier has ever been trimmed to
+    horizon: dict[str, int] = {}
+    for rec in catalog.metrics():
+        if rec.get("status") == "retention" and rec.get("horizon_ts") is not None:
+            h = int(rec["horizon_ts"])
+            horizon[rec["tier"]] = max(horizon.get(rec["tier"], h), h)
+
+    def _bucket_floor_above(tier: str, *tiers_constraining: str) -> int | None:
+        """Smallest whole `tier` bucket start at/above every horizon."""
+        hs = [horizon[x] for x in tiers_constraining if x in horizon]
+        if not hs:
+            return None
+        sec = TIERS[tier]
+        return -(-max(hs) // sec) * sec
+
     report: dict[str, dict[str, int]] = {}
 
     # raw: per-row token-array equality after decompress
     from .kernels import safe_decompress_tokens_udf
 
     raw = catalog.read_tier(spark, "raw").where(keep).select("doc_id", "blob")
+    seq_for_raw = seq
+    if "raw" in horizon:
+        # expired raw docs (ts0 < horizon) are legitimately absent on disk
+        seq_for_raw = seq.where(F.col("ts0") >= horizon["raw"])
     decoded = safe_decompress_tokens_udf(F.col("blob"))
-    j = raw.join(seq.select("doc_id", "tokens"), "doc_id", "full_outer")
+    j = raw.join(seq_for_raw.select("doc_id", "tokens"), "doc_id", "full_outer")
     bad = (
         F.col("blob").isNull()
         | F.col("tokens").isNull()
@@ -358,7 +385,12 @@ def validate_tiers(
     m1 = catalog.read_tier(spark, "1m").where(keep)
     if "block" in m1.columns:
         m1 = m1.drop("block")
-    n, m = _mismatch_counts(m1, rollup_raw(seq, TIERS["1m"]))
+    expected_1m = rollup_raw(seq, TIERS["1m"])
+    lb = _bucket_floor_above("1m", "1m")
+    if lb is not None:
+        m1 = m1.where(F.col("bucket_ts") >= lb)
+        expected_1m = expected_1m.where(F.col("bucket_ts") >= lb)
+    n, m = _mismatch_counts(m1, expected_1m)
     report["1m"] = {"checked": n, "mismatches": m}
 
     # 1h/1d: exact re-aggregation of the committed tier below
@@ -369,7 +401,12 @@ def validate_tiers(
         actual = catalog.read_tier(spark, tier).where(keep)
         if "block" in actual.columns:
             actual = actual.drop("block")
-        n, m = _mismatch_counts(actual, rollup_up(below_df, TIERS[tier]))
+        expected = rollup_up(below_df, TIERS[tier])
+        lb = _bucket_floor_above(tier, tier, below)
+        if lb is not None:
+            actual = actual.where(F.col("bucket_ts") >= lb)
+            expected = expected.where(F.col("bucket_ts") >= lb)
+        n, m = _mismatch_counts(actual, expected)
         report[tier] = {"checked": n, "mismatches": m}
 
     return report

@@ -95,3 +95,32 @@ def test_validate_sample_is_deterministic(spark, seq_path, tmp_path):
     r2 = validate_tiers(spark, seq_path, out, sample_frac=0.3)
     assert r1 == r2
     assert 0 < r1["raw"]["checked"] < 300
+
+
+def test_validate_clean_after_retention(spark, seq_path, tmp_path):
+    """An aged catalog (rows expired by apply_retention) must audit clean:
+    the audit restricts each comparison to where both sides are complete."""
+    import pyspark.sql.functions as F
+
+    from tersets_spark.jobs import apply_retention
+    from tersets_spark.tables import EPOCH
+
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out)
+
+    m1 = spark.read.option("basePath", f"{out}/1m").parquet(f"{out}/1m/source=*")
+    lo, hi = m1.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    now = EPOCH + 10 * 86400
+    dropped = apply_retention(
+        spark, out, now,
+        policy={"raw": now - (lo + hi) // 2, "1m": now - (lo + 3 * hi) // 4,
+                "1h": None, "1d": None},
+    )
+    assert dropped["raw"] > 0 and dropped["1m"] > 0
+
+    report = validate_tiers(spark, seq_path, out, sample_frac=1.0)
+    for tier, r in report.items():
+        assert r["mismatches"] == 0, (tier, r)
+    # the audit still covered real data above the horizons
+    assert report["raw"]["checked"] > 0
+    assert report["1m"]["checked"] > 0
