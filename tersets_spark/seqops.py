@@ -127,10 +127,16 @@ def ngram_contamination(
     slice), the benchmark's distinct gram set is broadcast, and candidates
     are counted with a semi-join — no Python, one small shuffle for the
     final per-source count."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.col("n_tok") - n + 1, F.lit(0))),
-        lambda i: F.slice(F.col("tokens"), i, n),
-    )
+    # Guarded: sequence(1, 0) in Spark DESCENDS to [1, 0] and slice with
+    # start 0 is a runtime error, so docs shorter than n get an explicit
+    # empty gram list (they cannot contain a full n-gram).
+    grams = F.when(
+        F.col("n_tok") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - n + 1),
+            lambda i: F.slice(F.col("tokens"), i, n),
+        ),
+    ).otherwise(F.array().cast("array<array<int>>"))
     with_grams = seq.select("doc_id", "source", F.explode(grams).alias("gram"))
     bench = F.broadcast(
         with_grams.filter(F.col("source") == benchmark_source).select("gram").distinct()

@@ -77,6 +77,26 @@ def test_ngram_contamination_flags_shared_grams(spark):
     assert out["s2"]["contaminated_docs"] == 0
 
 
+def test_ngram_contamination_doc_shorter_than_n(spark):
+    """Docs shorter than n must contribute zero grams — the unguarded
+    sequence(1, n_tok - n + 1) would DESCEND to [1, 0] and slice(tokens, 0,
+    n) is a Spark runtime error (regression guard for the n_tok < n path)."""
+    from tersets_spark.seqops import ngram_contamination
+
+    bench = list(range(100, 120))
+    short = bench[:5]  # 5 < 13: no full 13-gram, must not error or match
+    df = spark.createDataFrame(
+        [
+            ("b0", bench, len(bench), "bench"),
+            ("s0", short, len(short), "s1"),
+            ("s1", bench[:13], 13, "s1"),  # exactly n: one gram, contaminated
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = {r["source"]: r.asDict() for r in ngram_contamination(df, "bench", n=13).collect()}
+    assert out["s1"]["docs"] == 2 and out["s1"]["contaminated_docs"] == 1
+
+
 def test_repetition_stats_threshold(spark):
     from tersets_spark.seqops import repetition_stats
 
