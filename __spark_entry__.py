@@ -408,6 +408,36 @@ _MEDIA_ORACLE = """
 """
 
 
+def _gate_workdir(prefix: str, max_age_sec: float = 6 * 3600.0) -> str:
+    """mkdtemp for a streaming gate query, after sweeping STALE siblings.
+
+    The returned DataFrame lazily scans the work dir (the driver collects it
+    after this function returns), so the dir cannot be removed here —
+    instead each run reclaims prior runs' trees once they are older than
+    ``max_age_sec``, bounding temp-dir growth on a long-lived host without
+    racing a concurrent gate run."""
+    import tempfile
+    import time as _time
+
+    root = tempfile.gettempdir()
+    cutoff = _time.time() - max_age_sec
+    try:
+        for name in os.listdir(root):
+            if not name.startswith(prefix):
+                continue
+            path = os.path.join(root, name)
+            try:
+                if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                    import shutil
+
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def _epoch_seconds() -> F.Column:
     """TZ-independent wall-clock epoch seconds for the events NTZ timestamps.
 
@@ -486,7 +516,7 @@ def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq_path = ensure_sequences(sf_name_from_dir(sf_dir))
     ensure_shipped(spark)
-    work = tempfile.mkdtemp(prefix="tersets_stream_q_")
+    work = _gate_workdir("tersets_stream_q_")
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
     # four staged files x maxFilesPerTrigger=2 -> multiple micro-batches, so
@@ -944,7 +974,7 @@ def _q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.streaming import read_stream_dedup_pairs, stream_dedup_minhash
 
     ensure_shipped(spark)
-    work = tempfile.mkdtemp(prefix="tersets_sdedup_q_")
+    work = _gate_workdir("tersets_sdedup_q_")
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
     table = _pq.read_table(os.path.join(sf_dir, "documents.parquet"))

@@ -97,6 +97,30 @@ class TierCatalog:
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    def record_if_current(
+        self, tier: str, partition: str, expected_rel: str | None,
+        status: str = "done", **metrics,
+    ) -> bool:
+        """Conditional commit: append ONLY if ``partition``'s current run is
+        still ``expected_rel`` — the optimistic-concurrency check an
+        Iceberg ``rewrite_data_files`` does at commit time. A maintenance
+        rewrite (compaction) derived from run R must not supersede a run a
+        concurrent WRITER committed after R was read: check + append are
+        atomic under an exclusive manifest lock. Returns False (nothing
+        appended) on conflict; the caller abandons its rewrite."""
+        import fcntl
+
+        # Lock a sidecar, not the manifest itself: readers never lock.
+        with open(self.manifest_path + ".lock", "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if self.current_runs(tier).get(partition) != expected_rel:
+                    return False
+                self.record(tier, partition, status=status, **metrics)
+                return True
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+
     def metrics(self) -> list[dict]:
         if not os.path.exists(self.manifest_path):
             return []
@@ -257,22 +281,34 @@ class TierCatalog:
             if rel is None:
                 continue
             run_dir = os.path.join(self.base_dir, tier, rel)
-            n_files = sum(
-                1 for f in os.listdir(run_dir)
-                if f.endswith(".parquet") and not f.startswith("_")
-            )
+            try:
+                n_files = sum(
+                    1 for f in os.listdir(run_dir)
+                    if f.endswith(".parquet") and not f.startswith("_")
+                )
+            except FileNotFoundError:
+                # A concurrent committer superseded this run and its vacuum
+                # already removed the dir — the partition was just rewritten,
+                # so there is nothing left for this pass to compact.
+                continue
             if n_files <= max_files_per_partition:
                 continue
             df = spark.read.parquet(run_dir).coalesce(max_files_per_partition)
             t0 = time.monotonic()
             rel_new, dest = self._new_run_dir(tier, part)
             df.write.mode("overwrite").parquet(dest)
-            self.record(
-                tier, part, path=rel_new,
+            # Conditional commit: if a concurrent writer superseded `rel`
+            # while we rewrote it, our compaction of the OLD run must not
+            # clobber the NEW data — abandon the rewrite instead.
+            committed = self.record_if_current(
+                tier, part, rel, path=rel_new,
                 wall_ms=round((time.monotonic() - t0) * 1000, 1),
                 bytes_out=_dir_bytes(dest),
                 compacted_from=n_files, compacted_to=max_files_per_partition,
             )
+            if not committed:
+                shutil.rmtree(dest, ignore_errors=True)
+                continue
             if self.auto_vacuum:
                 self.vacuum(tier, partitions=[part])
             rewritten += 1

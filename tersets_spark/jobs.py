@@ -195,6 +195,7 @@ def apply_retention(
     out_dir: str,
     now_ts: int,
     policy: dict[str, int | None] | None = None,
+    superseded_grace_sec: float = 600.0,
 ) -> dict[str, int]:
     """Expire tier data older than the policy's horizon, per tier.
 
@@ -223,7 +224,9 @@ def apply_retention(
     from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
 
     policy = DEFAULT_RETENTION if policy is None else policy
-    catalog = TierCatalog(out_dir)
+    # Same reader-grace as run_cascade: a concurrent reader mid-scan of the
+    # superseded run keeps its files for the grace window after the swap.
+    catalog = TierCatalog(out_dir, superseded_grace_sec=superseded_grace_sec)
     dropped: dict[str, int] = {}
     for tier, keep_seconds in policy.items():
         if keep_seconds is None:
@@ -285,6 +288,18 @@ def apply_retention(
 _TIER_AGG_COLS = ("cnt", "sum", "vmin", "vmax", "first", "last")
 
 
+def audit_keep(sample_frac: float, seed: int):
+    """Deterministic audit-sample predicate on ``doc_id``: the seed is
+    folded into the hash, so the same (seed, frac) always audits the same
+    doc set (reruns and independent auditors agree) while a NEW seed audits
+    a DIFFERENT slice — re-auditing with fresh seeds widens coverage."""
+    buckets = 1_000_000
+    return (
+        F.pmod(F.xxhash64(F.lit(int(seed)), F.col("doc_id")), F.lit(buckets))
+        < int(sample_frac * buckets)
+    )
+
+
 def _mismatch_counts(actual: DataFrame, expected: DataFrame) -> tuple[int, int]:
     """(rows compared, rows differing) via one full-outer join + one agg.
     A row is bad if it exists on only one side or any aggregate differs."""
@@ -339,8 +354,7 @@ def validate_tiers(
     """
     ensure_shipped(spark)
     catalog = TierCatalog(out_dir, superseded_grace_sec=600.0)
-    buckets = 1_000_000
-    keep = F.pmod(F.xxhash64("doc_id"), F.lit(buckets)) < int(sample_frac * buckets)
+    keep = audit_keep(sample_frac, seed)
     seq = spark.read.parquet(sequences_path).where(keep)
 
     # retention lineage: strictest horizon each tier has ever been trimmed to

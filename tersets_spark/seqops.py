@@ -168,7 +168,10 @@ def default_order_key() -> Column:
     (the tables' ids are ``doc_%012d``). Callers with other id shapes pass
     their own integer ``order_key`` — packing only needs SOME total order,
     and at ingest scale a monotone row id always exists."""
-    return F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1).cast("long")
+    # try_cast: a doc_id with no trailing digits extracts '' -> NULL (not an
+    # opaque ANSI cast error), which sequence_offsets turns into a clear
+    # fail-fast raise_error.
+    return F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1).try_cast("long")
 
 
 def sequence_offsets(
@@ -191,27 +194,42 @@ def sequence_offsets(
        exclusive running sum (each window partition is <= bucket_docs
        rows, independent of table size).
 
-    All arithmetic is exact long-integer; no Python anywhere.
+    All arithmetic is exact long-integer; no Python anywhere. A NULL
+    ``order_key`` raises at runtime: a null key would silently fall out of
+    the bucket equi-join (dropping the doc AND shifting every later
+    offset), so it fails fast instead.
+
+    Output contract: the input columns plus ``pack_start`` — internal
+    working columns are dropped (and prefixed ``_so_`` so a caller column
+    named e.g. ``_cost`` is never clobbered).
     """
     key = order_key if order_key is not None else default_order_key()
-    df = seq.withColumn("_key", key).withColumn("_cost", cost.cast("long"))
-    df = df.withColumn("_bucket", F.expr(f"_key DIV {int(bucket_docs)}"))
-    btot = df.groupBy("_bucket").agg(F.sum("_cost").alias("_btot"))
-    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    key = F.when(key.isNotNull(), key).otherwise(
+        F.raise_error(
+            "sequence_offsets: NULL order_key (default key needs doc_id "
+            "with trailing digits; pass order_key= for other id shapes)"
+        )
+    )
+    df = seq.withColumn("_so_key", key).withColumn("_so_cost", cost.cast("long"))
+    df = df.withColumn("_so_bucket", F.expr(f"_so_key DIV {int(bucket_docs)}"))
+    btot = df.groupBy("_so_bucket").agg(F.sum("_so_cost").alias("_so_btot"))
+    wb = Window.orderBy("_so_bucket").rowsBetween(Window.unboundedPreceding, -1)
     boff = btot.select(
-        "_bucket",
-        F.coalesce(F.sum("_btot").over(wb), F.lit(0)).cast("long").alias("_boff"),
+        "_so_bucket",
+        F.coalesce(F.sum("_so_btot").over(wb), F.lit(0)).cast("long").alias("_so_boff"),
     )
     wi = (
-        Window.partitionBy("_bucket")
-        .orderBy("_key")
+        Window.partitionBy("_so_bucket")
+        .orderBy("_so_key")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        df.join(F.broadcast(boff), "_bucket")
-        .withColumn("_ioff", F.coalesce(F.sum("_cost").over(wi), F.lit(0)).cast("long"))
-        .withColumn("pack_start", (F.col("_boff") + F.col("_ioff")).cast("long"))
-        .drop("_bucket", "_key", "_boff", "_ioff")
+        df.join(F.broadcast(boff), "_so_bucket")
+        .withColumn(
+            "_so_ioff", F.coalesce(F.sum("_so_cost").over(wi), F.lit(0)).cast("long")
+        )
+        .withColumn("pack_start", (F.col("_so_boff") + F.col("_so_ioff")).cast("long"))
+        .drop("_so_bucket", "_so_key", "_so_boff", "_so_ioff", "_so_cost")
     )
 
 
@@ -250,7 +268,7 @@ def pack_sequences(
     off = off.select(
         F.col("pack_start"),
         toks.alias("_toks"),
-        F.col("_cost"),
+        cost.cast("long").alias("_cost"),  # recomputed: offsets drop internals
     ).filter(F.col("_cost") > 0)
     first_b = F.expr(f"pack_start DIV {int(ctx)}")
     last_b = F.expr(f"(pack_start + _cost - 1) DIV {int(ctx)}")

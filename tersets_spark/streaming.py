@@ -75,7 +75,13 @@ def stream_sequences_to_tier(
         import pyarrow.dataset as pa_ds
 
         rows = pa_ds.dataset(batch_dir, format="parquet").count_rows()
-        catalog.record(tier, f"batch={batch_id}", rows=rows, bytes_out=0)
+        # Replay-idempotent: a replayed batch must not append a duplicate
+        # manifest record (metrics()/partitions_done would double-count).
+        part = f"batch={batch_id}"
+        if not any(
+            r["tier"] == tier and r["partition"] == part for r in catalog.metrics()
+        ):
+            catalog.record(tier, part, rows=rows, bytes_out=0)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -159,30 +165,38 @@ def stream_cascade_to_tiers(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         import pyarrow.dataset as pa_ds
 
+        # Replay-idempotent lineage: a crash after the writes but before the
+        # streaming checkpoint commits batch N makes foreachBatch replay N —
+        # the batch=N dirs overwrite idempotently, and the manifest must not
+        # gain duplicate records (metrics()/partitions_done would double-
+        # count), so already-recorded (tier, batch) pairs are skipped.
+        seen = {(r["tier"], r["partition"]) for r in catalog.metrics()}
+
+        def _record_once(tier: str, out_dir_t: str) -> None:
+            part = f"batch={batch_id}"
+            if (tier, part) in seen:
+                return
+            catalog.record(
+                tier, part,
+                rows=pa_ds.dataset(out_dir_t, format="parquet").count_rows(),
+                bytes_out=0,
+            )
+
         rolled = rollup_raw(batch_df, TIERS["1m"], with_blocks, block_method)
         dir_1m = os.path.join(catalog.base_dir, "1m", f"batch={batch_id}")
         rolled.write.mode("overwrite").parquet(dir_1m)
-        catalog.record(
-            "1m", f"batch={batch_id}",
-            rows=pa_ds.dataset(dir_1m, format="parquet").count_rows(), bytes_out=0,
-        )
+        _record_once("1m", dir_1m)
         base = spark.read.parquet(dir_1m)
         if with_blocks:
             base = base.drop("block")
         up = _rollup_up_partial(base, TIERS["1h"])
         dir_1h = os.path.join(catalog.base_dir, "1h", f"batch={batch_id}")
         up.write.mode("overwrite").parquet(dir_1h)
-        catalog.record(
-            "1h", f"batch={batch_id}",
-            rows=pa_ds.dataset(dir_1h, format="parquet").count_rows(), bytes_out=0,
-        )
+        _record_once("1h", dir_1h)
         day = _rollup_up_partial(spark.read.parquet(dir_1h), TIERS["1d"])
         dir_1d = os.path.join(catalog.base_dir, "1d", f"batch={batch_id}")
         day.write.mode("overwrite").parquet(dir_1d)
-        catalog.record(
-            "1d", f"batch={batch_id}",
-            rows=pa_ds.dataset(dir_1d, format="parquet").count_rows(), bytes_out=0,
-        )
+        _record_once("1d", dir_1d)
 
     return (
         stream.writeStream.foreachBatch(sink)

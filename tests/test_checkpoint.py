@@ -207,6 +207,34 @@ def test_vacuum_spares_concurrent_inflight_commit(tmp_path):
     assert os.path.exists(dest_b)
 
 
+def test_record_if_current_rejects_stale_rewrite(tmp_path):
+    """Compaction's optimistic-concurrency commit: a maintenance rewrite
+    derived from run R must NOT supersede a run a concurrent writer
+    committed after R was read. record_if_current checks-and-appends under
+    the manifest lock and reports the conflict instead."""
+    base = str(tmp_path / "t")
+    cat = TierCatalog(base, auto_vacuum=False)
+    cat.record("1m", "p1", path="source=p1/run=aaaa", bytes_out=0)
+
+    # concurrent writer supersedes while the "compactor" holds rel=run=aaaa
+    cat.record("1m", "p1", path="source=p1/run=bbbb", bytes_out=0)
+
+    before = cat.snapshot()
+    ok = cat.record_if_current(
+        "1m", "p1", "source=p1/run=aaaa", path="source=p1/run=cccc", bytes_out=0
+    )
+    assert not ok, "stale rewrite must be rejected"
+    assert cat.snapshot() == before, "rejected commit must append nothing"
+    assert cat.current_runs("1m")["p1"] == "source=p1/run=bbbb"
+
+    # and a NON-stale conditional commit goes through
+    ok = cat.record_if_current(
+        "1m", "p1", "source=p1/run=bbbb", path="source=p1/run=dddd", bytes_out=0
+    )
+    assert ok
+    assert cat.current_runs("1m")["p1"] == "source=p1/run=dddd"
+
+
 def test_two_concurrent_cascades_converge(spark, seq_path, tmp_path):
     """Two cascades racing on the SAME catalog (threads sharing the session,
     both resume=False so every partition is committed twice): every reader

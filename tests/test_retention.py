@@ -8,6 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from tersets_spark.catalog import TierCatalog
 from tersets_spark.jobs import apply_retention, run_cascade
 from tersets_spark.tables import EPOCH, ensure_sequences
 
@@ -31,8 +32,13 @@ def test_retention_drops_only_expired_rows(spark, tiers):
     expected_dropped = m1.filter(F.col("bucket_ts") < cut).count()
     assert 0 < expected_dropped < before
 
+    # grace=0: this test reads the tier via a RAW directory glob below, which
+    # is only manifest-consistent once superseded runs are vacuumed (the
+    # default grace keeps them for concurrent readers)
     dropped = apply_retention(
-        spark, tiers, now, policy={"1m": keep, "raw": None, "1h": None, "1d": None}
+        spark, tiers, now,
+        policy={"1m": keep, "raw": None, "1h": None, "1d": None},
+        superseded_grace_sec=0.0,
     )
     assert dropped["1m"] == expected_dropped
 
@@ -84,6 +90,41 @@ def test_retention_is_two_jobs_per_tier(spark, tmp_path_factory):
         f"expected O(1) Spark jobs for 1-tier retention, got {len(job_ids)}"
     )
     assert len(job_ids) < n_sources
+
+
+def test_retention_default_grace_spares_superseded_run_for_readers(
+    spark, tmp_path_factory
+):
+    """With the default reader grace, a retention rewrite leaves the
+    superseded run dir on disk (a concurrent reader mid-scan keeps its
+    files), while the manifest-resolved read sees only the trimmed run."""
+    out = str(tmp_path_factory.mktemp("tiers_grace"))
+    run_cascade(spark, ensure_sequences("sf0.001"), out, with_blocks=False, resume=False)
+    cat = TierCatalog(out)
+    old_runs = {
+        p: os.path.join(out, "1m", rel)
+        for p, rel in cat.current_runs("1m").items()
+        if rel is not None
+    }
+    m1 = cat.read_tier(spark, "1m")
+    lo, hi = m1.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    now = EPOCH + 10 * 86400
+    keep = now - (lo + hi) // 2
+    before = m1.count()
+
+    dropped = apply_retention(
+        spark, out, now, policy={"1m": keep, "raw": None, "1h": None, "1d": None}
+    )
+    assert dropped["1m"] > 0
+    # manifest read: trimmed; superseded run dirs: still present (grace)
+    assert TierCatalog(out).read_tier(spark, "1m").count() == before - dropped["1m"]
+    rewritten = [
+        p for p, rel in TierCatalog(out).current_runs("1m").items()
+        if rel is not None and os.path.join(out, "1m", rel) != old_runs.get(p)
+    ]
+    assert rewritten, "retention rewrote nothing?"
+    spared = [p for p in rewritten if os.path.isdir(old_runs[p])]
+    assert spared == rewritten, "superseded runs vacuumed despite reader grace"
 
 
 def test_retention_keep_forever_is_noop(spark, tiers):

@@ -97,6 +97,31 @@ def test_ngram_contamination_doc_shorter_than_n(spark):
     assert out["s1"]["docs"] == 2 and out["s1"]["contaminated_docs"] == 1
 
 
+def test_sequence_offsets_null_key_raises_and_drops_internals(spark):
+    """A NULL order key must fail fast (a null would silently vanish from
+    the bucket equi-join, dropping the doc and shifting every later
+    offset), and the output must carry no _so_* working columns."""
+    import pytest as _pytest
+
+    from tersets_spark.seqops import sequence_offsets
+
+    ok = spark.createDataFrame(
+        [("doc_1", [1, 2], 2, "s"), ("doc_2", [3], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = sequence_offsets(ok, F.col("n_tok"))
+    assert sorted(out.columns) == sorted(ok.columns + ["pack_start"])
+    got = {r["doc_id"]: r["pack_start"] for r in out.collect()}
+    assert got == {"doc_1": 0, "doc_2": 2}
+
+    bad = spark.createDataFrame(
+        [("doc_1", [1, 2], 2, "s"), ("docX", [3], 1, "s")],  # no trailing digits
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with _pytest.raises(Exception, match="NULL order_key"):
+        sequence_offsets(bad, F.col("n_tok")).collect()
+
+
 def test_repetition_stats_threshold(spark):
     from tersets_spark.seqops import repetition_stats
 

@@ -320,6 +320,39 @@ def test_stream_cascade_restart_no_duplicate_partials(spark, staged_input, tmp_p
         assert got.exceptAll(want).count() == 0, f"{tier}: restart corrupted partials"
 
 
+def test_stream_replay_appends_no_duplicate_manifest_records(spark, staged_input, tmp_path):
+    """foreachBatch replay (crash after the sink ran, before the streaming
+    checkpoint committed) must not duplicate manifest lineage: simulate a
+    full replay by re-running the SAME input with a FRESH checkpoint (same
+    batch ids, same batch dirs) against the same tier catalog — every
+    (tier, batch) must still have exactly ONE manifest record, and the
+    finalized tiers must be unchanged."""
+    import os
+
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.streaming import stream_cascade_to_tiers
+
+    out = str(tmp_path / "tiers")
+    q = stream_cascade_to_tiers(spark, staged_input, out, str(tmp_path / "ck1"),
+                                with_blocks=False, max_files_per_trigger=2)
+    q.awaitTermination()
+    cat = TierCatalog(out)
+    first = [(r["tier"], r["partition"]) for r in cat.metrics()]
+    rows_first = read_streamed_tier(spark, out, "1h", finalize=True).count()
+
+    # fresh checkpoint -> Structured Streaming replays every file as the
+    # same-numbered batches; the sink's writes overwrite idempotently and
+    # the manifest must not grow
+    q2 = stream_cascade_to_tiers(spark, staged_input, out, str(tmp_path / "ck2"),
+                                 with_blocks=False, max_files_per_trigger=2)
+    q2.awaitTermination()
+    after = [(r["tier"], r["partition"]) for r in cat.metrics()]
+    assert sorted(after) == sorted(first), "replay duplicated manifest records"
+    assert len(set(after)) == len(after)
+    assert read_streamed_tier(spark, out, "1h", finalize=True).count() == rows_first
+    assert os.path.isdir(os.path.join(out, "1h"))
+
+
 def test_sessionize_stream_idle_flush_emits_open_sessions(spark, tmp_path):
     """With idle_flush_seconds set, a ProcessingTimeTimeout finalizes open
     sessions after a quiet period: every session — including each user's

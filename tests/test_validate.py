@@ -97,6 +97,28 @@ def test_validate_sample_is_deterministic(spark, seq_path, tmp_path):
     assert 0 < r1["raw"]["checked"] < 300
 
 
+def test_validate_seed_selects_a_different_slice(spark, seq_path):
+    """Different seeds must audit DIFFERENT doc sets (the point of re-
+    auditing with a fresh seed); same seed must reproduce the same set."""
+    from pyspark.sql import functions as F
+
+    from tersets_spark.jobs import audit_keep
+
+    seq = spark.read.parquet(seq_path)
+
+    def kept(seed):
+        return {
+            r["doc_id"]
+            for r in seq.where(audit_keep(0.5, seed)).select("doc_id").collect()
+        }
+
+    a, b, a2 = kept(1), kept(2), kept(1)
+    assert a == a2
+    # 300 docs at 50%: P(identical sets for independent seeds) ~ 2^-300
+    assert a != b
+    assert 0 < len(a) < 300 and 0 < len(b) < 300
+
+
 def test_validate_clean_after_retention(spark, seq_path, tmp_path):
     """An aged catalog (rows expired by apply_retention) must audit clean:
     the audit restricts each comparison to where both sides are complete."""
