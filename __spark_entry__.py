@@ -890,6 +890,29 @@ def _q_seq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_sequences(spark, sf_dir), top_k=10)
 
 
+def _q_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregable HDR percentile sketch (sketch.py): per-(source, 1m
+    bucket) log-bucket count tables merged up to per-source, then p50/p90/
+    p99 read off the merged sketch. The per-tier build + merge is the
+    continuous-aggregate path (TimescaleDB percentile_agg analog); the
+    DuckDB oracle computes the same sketch one-shot from raw points —
+    equality IS the re-aggregability proof. All bucket math is integer
+    (bit-length + shifts), so the hash match is exact."""
+    from tersets_spark.sketch import merge_sketch, percentiles, sketch
+
+    seq = _sequences(spark, sf_dir)
+    pts = seq.select(
+        "source", "ts0", F.posexplode("tokens").alias("pos", "v")
+    ).select(
+        "source",
+        (F.floor((F.col("ts0") + F.col("pos")) / 60) * 60).cast("long").alias("bucket_ts"),
+        "v",
+    )
+    tier_sketch = sketch(pts, ["source", "bucket_ts"], "v")
+    merged = merge_sketch(tier_sketch, ["source"])
+    return percentiles(merged, ["source"], [50, 90, 99])
+
+
 def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.textops import quality_score, text_stats
 
@@ -1253,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_ngram_contamination": _q_seq_ngram_contamination,
         "seq_pack_blocks": _q_seq_pack_blocks,
         "seq_token_stats": _q_seq_token_stats,
+        "sketch_percentiles": _q_sketch_percentiles,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1626,6 +1650,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.source, r.rank, r.token, r.cnt, t.source_tokens, t.source_vocab
             FROM rk r JOIN tot t USING (source) WHERE r.rank <= 10
+        """,
+        # HDR sketch replica: same integer bucket math (bit-length + top-5
+        # bits), one-shot over raw points — equality with the Spark side's
+        # per-1m-bucket build + merge proves the sketch re-aggregates exactly
+        "sketch_percentiles": f"""
+            WITH pts AS (
+                SELECT source, unnest(tokens) AS v FROM read_parquet('{seq}')
+            ),
+            sk AS (
+                SELECT source,
+                       CAST(length(bin(v)) * 32
+                            + (v >> greatest(length(bin(v)) - 5, 0)) AS BIGINT)
+                           AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT source, bucket_id,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY bucket_id) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS total
+                FROM sk
+            ),
+            q AS (SELECT unnest([50, 90, 99]) AS pct),
+            hit AS (
+                SELECT c.source, q.pct, MIN(c.bucket_id) AS bucket_id
+                FROM c CROSS JOIN q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2
+            )
+            SELECT source, CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM hit
         """,
         "corpus_curation": f"""
             WITH keep AS (
