@@ -913,6 +913,31 @@ def _q_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentiles(merged, ["source"], [50, 90, 99])
 
 
+def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic re-aggregable HLL distinct sketch (hll.py): per-(source,
+    1m bucket) md5-derived registers merged up to per-source (max combine),
+    then the exact-integer harmonic sum and the raw HLL estimate — which is
+    bit-identical to the DuckDB oracle because it's derived from the integer
+    sum with only exactly-rounded * and / ops. exact_distinct rides along so
+    the correctness gate also pins the sketch's real error."""
+    from tersets_spark.hll import hll_registers, hll_summary, merge_registers
+
+    seq = _sequences(spark, sf_dir)
+    pts = seq.select(
+        "source", "ts0", F.posexplode("tokens").alias("pos", "v")
+    ).select(
+        "source",
+        (F.floor((F.col("ts0") + F.col("pos")) / 60) * 60).cast("long").alias("bucket_ts"),
+        "v",
+    )
+    regs = hll_registers(pts, ["source", "bucket_ts"], "v")
+    summary = hll_summary(merge_registers(regs, ["source"]), ["source"])
+    exact = pts.groupBy("source").agg(F.countDistinct("v").alias("exact_distinct"))
+    return exact.join(summary, "source").select(
+        "source", "exact_distinct", "empty_buckets", "harmonic_scaled", "estimate"
+    )
+
+
 def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.textops import quality_score, text_stats
 
@@ -1277,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_blocks": _q_seq_pack_blocks,
         "seq_token_stats": _q_seq_token_stats,
         "sketch_percentiles": _q_sketch_percentiles,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1683,6 +1709,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
                         AS BIGINT) AS estimate
             FROM hit
+        """,
+        # HLL replica: same md5-derived registers and the same FIXED * and /
+        # op order for the estimate (double literals cast explicitly so
+        # DuckDB never routes through DECIMAL arithmetic)
+        "hll_distinct_tokens": f"""
+            WITH pts AS (
+                SELECT source, unnest(tokens) AS v FROM read_parquet('{seq}')
+            ),
+            hx AS (
+                SELECT DISTINCT source, md5(CAST(v AS VARCHAR)) AS h FROM pts
+            ),
+            br AS (
+                SELECT source,
+                       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+                       CASE WHEN length(regexp_replace(substr(h, 3, 12), '^0+', '')) = 0
+                            THEN 49
+                            ELSE (12 - length(regexp_replace(substr(h, 3, 12), '^0+', ''))) * 4
+                                 + (4 - length(bin(strpos('0123456789abcdef',
+                                       substr(regexp_replace(substr(h, 3, 12), '^0+', ''), 1, 1)) - 1)))
+                                 + 1
+                       END AS rho
+                FROM hx
+            ),
+            reg AS (
+                SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS rho
+                FROM br GROUP BY 1, 2
+            ),
+            pres AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS present,
+                       CAST(SUM(1::BIGINT << CAST(49 - rho AS INT)) AS BIGINT) AS h_present
+                FROM reg GROUP BY 1
+            ),
+            ex AS (
+                SELECT source, CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_distinct
+                FROM pts GROUP BY 1
+            )
+            SELECT p.source, e.exact_distinct,
+                   CAST(256 - p.present AS BIGINT) AS empty_buckets,
+                   CAST(p.h_present + (256 - p.present) * 562949953421312 AS BIGINT)
+                       AS harmonic_scaled,
+                   (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                        + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+                       * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+                       * CAST(562949953421312.0 AS DOUBLE)
+                       / CAST(p.h_present + (256 - p.present) * 562949953421312 AS DOUBLE)
+                       AS estimate
+            FROM pres p JOIN ex e USING (source)
         """,
         "corpus_curation": f"""
             WITH keep AS (
