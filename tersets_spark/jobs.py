@@ -87,6 +87,28 @@ def _write_tier(
     _move_partitions_and_record(catalog, tier, tmp_dir, pending, t0)
 
 
+#: sketch tier cascade: (tier name, tier below, bucket seconds). ``psk`` is
+#: the HDR percentile sketch (sketch.py), ``hll`` the distinct sketch
+#: (hll.py); both re-aggregate exactly (sum / max), like the core tiers.
+SKETCH_CASCADE = {
+    "psk": (("psk_1h", "psk_1m", 3600), ("psk_1d", "psk_1h", 86400)),
+    "hll": (("hll_1h", "hll_1m", 3600), ("hll_1d", "hll_1h", 86400)),
+}
+SKETCH_TIER_NAMES = ("psk_1m", "psk_1h", "psk_1d", "hll_1m", "hll_1h", "hll_1d")
+
+
+def _sketch_points(seq: DataFrame) -> DataFrame:
+    """(source, 1m bucket_ts, v) points for the sketch tiers — one JVM
+    posexplode pass, no Python; scan pruned to (source, ts0, tokens)."""
+    return seq.select(
+        "source", "ts0", F.posexplode("tokens").alias("pos", "v")
+    ).select(
+        "source",
+        (F.floor((F.col("ts0") + F.col("pos")) / 60) * 60).cast("long").alias("bucket_ts"),
+        "v",
+    )
+
+
 def run_cascade(
     spark: SparkSession,
     sequences_path: str,
@@ -96,6 +118,7 @@ def run_cascade(
     resume: bool = True,
     num_partitions: int | None = None,
     salt: bool = False,
+    with_sketches: bool = False,
     fail_after_tier: str | None = None,  # test hook for kill/resume
 ) -> dict[str, str]:
     """Run the full cascade; returns tier -> output dir. Resumable.
@@ -107,6 +130,16 @@ def run_cascade(
     is shuffled (see rollup.salted_source_stats for the per-source case);
     enable it here only when the input files themselves are pathologically
     skewed per split.
+
+    ``with_sketches=True`` additionally materializes two continuous-aggregate
+    sketch tier families keyed (source, bucket_ts): ``psk_1m/1h/1d`` (HDR
+    percentile sketch, merge = sum) and ``hll_1m/1h/1d`` (deterministic HLL
+    distinct registers, merge = max). Same catalog commits, same per-source
+    resume, same retention machinery (they carry ``bucket_ts``); upper tiers
+    derive from the committed tier below, so the whole family audits with
+    ``validate_tiers``. Each sketch tier is bounded rows per (source, bucket),
+    so the extra cost is one posexplode aggregation pass for the 1m level and
+    near-zero above it.
     """
     ensure_shipped(spark)
     # superseded_grace: a CONCURRENT cascade's reader may still be scanning
@@ -177,7 +210,40 @@ def run_cascade(
         if fail_after_tier == tier:
             raise RuntimeError(f"injected failure after {tier} tier")
 
-    return {t: os.path.join(out_dir, t) for t in ("raw", "1m", "1h", "1d")}
+    tiers_out = ["raw", "1m", "1h", "1d"]
+    if with_sketches:
+        from .hll import hll_registers, merge_registers
+        from .sketch import merge_sketch, sketch as hdr_sketch
+
+        pend_psk = pending_for("psk_1m")
+        pend_hll = pending_for("hll_1m")
+        if pend_psk or pend_hll:
+            pts = _sketch_points(seq)
+            if pend_psk:
+                _write_tier(
+                    catalog, hdr_sketch(pts, ["source", "bucket_ts"], "v"),
+                    "psk_1m", pend_psk,
+                )
+            if pend_hll:
+                _write_tier(
+                    catalog, hll_registers(pts, ["source", "bucket_ts"], "v"),
+                    "hll_1m", pend_hll,
+                )
+        if fail_after_tier == "psk_1m":
+            raise RuntimeError("injected failure after psk_1m tier")
+        for family, merge in (("psk", merge_sketch), ("hll", merge_registers)):
+            for tier, below, secs in SKETCH_CASCADE[family]:
+                pend = pending_for(tier)
+                if pend:
+                    b = catalog.read_tier(spark, below)
+                    coarse = (F.floor(F.col("bucket_ts") / secs) * secs).cast("long")
+                    merged = merge(
+                        b.withColumn("bucket_ts", coarse), ["source", "bucket_ts"]
+                    )
+                    _write_tier(catalog, merged, tier, pend)
+        tiers_out += list(SKETCH_TIER_NAMES)
+
+    return {t: os.path.join(out_dir, t) for t in tiers_out}
 
 
 # ---------------------------------------------------------------------------
@@ -422,5 +488,46 @@ def validate_tiers(
             expected = expected.where(F.col("bucket_ts") >= lb)
         n, m = _mismatch_counts(actual, expected)
         report[tier] = {"checked": n, "mismatches": m}
+
+    # sketch tiers (when materialized): committed upper tier == exact merge
+    # of the committed tier below — FULL comparison, not sampled (sketch
+    # tables are bounded per (source, bucket), and the doc_id sample
+    # predicate can't apply: sketches aggregate across docs). The 1m level
+    # is pinned by the contract query + unit suites; the merge audit here
+    # catches torn/stale upper sketch tiers.
+    from .hll import merge_registers
+    from .sketch import merge_sketch
+
+    for family, merge, id_col, val_col in (
+        ("psk", merge_sketch, "bucket_id", "cnt"),
+        ("hll", merge_registers, "bucket", "rho"),
+    ):
+        for tier, below, secs in SKETCH_CASCADE[family]:
+            if not os.path.isdir(os.path.join(out_dir, tier)):
+                continue
+            try:
+                below_df = catalog.read_tier(spark, below)
+                actual = catalog.read_tier(spark, tier)
+            except FileNotFoundError:
+                continue
+            coarse = (F.floor(F.col("bucket_ts") / secs) * secs).cast("long")
+            expected = merge(
+                below_df.withColumn("bucket_ts", coarse), ["source", "bucket_ts"]
+            )
+            hs = [horizon[x] for x in (tier, below) if x in horizon]
+            if hs:
+                lb = -(-max(hs) // secs) * secs
+                actual = actual.where(F.col("bucket_ts") >= lb)
+                expected = expected.where(F.col("bucket_ts") >= lb)
+            keys = ["source", "bucket_ts", id_col]
+            a = actual.select(*keys, F.col(val_col).alias("_a"))
+            e = expected.select(*keys, F.col(val_col).alias("_e"))
+            j = a.join(e, keys, "full_outer")
+            bad = ~F.col("_a").eqNullSafe(F.col("_e"))
+            row = j.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(bad, 1).otherwise(0)).alias("m"),
+            ).collect()[0]
+            report[tier] = {"checked": int(row["n"]), "mismatches": int(row["m"] or 0)}
 
     return report

@@ -36,6 +36,9 @@ def main() -> None:
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--salt", action="store_true",
                         help="salted repartition before the map-only tiers (see jobs.py)")
+    parser.add_argument("--sketches", action="store_true",
+                        help="also materialize the psk_* (percentile) and "
+                             "hll_* (distinct) sketch tiers (see jobs.py)")
     parser.add_argument("--validate", type=float, default=0.0, metavar="FRAC",
                         help="after the cascade, audit a deterministic FRAC "
                              "of doc_ids on disk (decompress round-trip + "
@@ -66,6 +69,7 @@ def main() -> None:
         with_blocks=not args.no_blocks,
         resume=not args.no_resume,
         salt=args.salt,
+        with_sketches=args.sketches,
     )
     summary = {
         "tiers": tiers,
