@@ -118,3 +118,33 @@ def test_validate_catches_tampered_sketch_tier(spark, seq_path, tmp_path):
     # the untouched hll family still audits clean
     assert report["hll_1h"]["mismatches"] == 0
     assert report["hll_1d"]["mismatches"] == 0
+
+
+def test_retention_and_audit_on_sketch_tiers(spark, seq_path, tmp_path):
+    """Sketch tiers participate in retention (they carry bucket_ts), and the
+    retention-aware audit bound keeps a trimmed family auditing clean."""
+    from tersets_spark.jobs import apply_retention
+    from tersets_spark.tables import EPOCH
+
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out, with_sketches=True)
+    cat = TierCatalog(out, superseded_grace_sec=0.0)
+    m1 = cat.read_tier(spark, "psk_1m")
+    lo, hi = m1.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    cut = (lo + hi) // 2
+    now = EPOCH + 10 * 86400
+    before = m1.count()
+    expected = m1.filter(F.col("bucket_ts") < cut).count()
+    assert 0 < expected < before
+
+    policy = {t: None for t in ("raw", "1m", "1h", "1d", *SKETCH_TIER_NAMES)}
+    policy["psk_1m"] = now - cut
+    dropped = apply_retention(spark, out, now, policy=policy,
+                              superseded_grace_sec=0.0)
+    assert dropped["psk_1m"] == expected
+
+    # the 1h-vs-merge(1m) audit is restricted to buckets where BOTH sides
+    # are complete (horizon lineage), so the trimmed catalog audits clean
+    report = validate_tiers(spark, seq_path, out, sample_frac=1.0)
+    assert report["psk_1h"]["mismatches"] == 0, report["psk_1h"]
+    assert report["psk_1h"]["checked"] > 0
