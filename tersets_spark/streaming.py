@@ -131,6 +131,7 @@ def stream_cascade_to_tiers(
     block_method: Method = Method.DeltaOfDelta,
     schema=None,
     max_files_per_trigger: int = 8,
+    with_sketches: bool = False,
 ):
     """Streamed FULL cascade: each micro-batch ingests raw sequences into the
     1m tier AND cascades its own contribution up into 1h and 1d, so all three
@@ -148,6 +149,13 @@ def stream_cascade_to_tiers(
     from the just-written parquet (re-scan of the small 1m output beats
     re-running the kernel via lineage). Idempotent per-batch dirs give
     restart-safe effectively-once appends, same as stream_sequences_to_tier.
+
+    ``with_sketches=True`` streams the sketch tier families too (psk_* HDR
+    percentile counts, hll_* distinct registers — see jobs.run_cascade).
+    Unlike the core tiers (per-doc keys land whole in one batch), sketches
+    aggregate ACROSS docs, so even the 1m level accumulates cross-batch
+    partials per (source, bucket_ts); they combine exactly at read
+    (``read_streamed_tier(..., finalize=True)`` -> groupBy sum / max).
     """
     from .shipping import ensure_shipped
 
@@ -198,6 +206,34 @@ def stream_cascade_to_tiers(
         day.write.mode("overwrite").parquet(dir_1d)
         _record_once("1d", dir_1d)
 
+        if with_sketches:
+            from .hll import hll_registers, merge_registers
+            from .jobs import _sketch_points
+            from .sketch import merge_sketch, sketch as hdr_sketch
+
+            pts = _sketch_points(batch_df)
+            for family, build, merge in (
+                ("psk", hdr_sketch, merge_sketch),
+                ("hll", hll_registers, merge_registers),
+            ):
+                fine = build(pts, ["source", "bucket_ts"], "v")
+                prev_dir = os.path.join(
+                    catalog.base_dir, f"{family}_1m", f"batch={batch_id}"
+                )
+                fine.write.mode("overwrite").parquet(prev_dir)
+                _record_once(f"{family}_1m", prev_dir)
+                for suffix, secs in (("1h", TIERS["1h"]), ("1d", TIERS["1d"])):
+                    below = spark.read.parquet(prev_dir)
+                    coarse = (F.floor(F.col("bucket_ts") / secs) * secs).cast("long")
+                    up_sk = merge(
+                        below.withColumn("bucket_ts", coarse), ["source", "bucket_ts"]
+                    )
+                    prev_dir = os.path.join(
+                        catalog.base_dir, f"{family}_{suffix}", f"batch={batch_id}"
+                    )
+                    up_sk.write.mode("overwrite").parquet(prev_dir)
+                    _record_once(f"{family}_{suffix}", prev_dir)
+
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
@@ -246,8 +282,16 @@ def read_streamed_tier(
     df = spark.read.option("basePath", base).parquet(os.path.join(base, "batch=*"))
     if not finalize:
         return df
+    if "bucket_id" in df.columns:  # psk_* sketch tier: sum is the combine
+        from .sketch import merge_sketch
+
+        return merge_sketch(df.drop("batch"), ["source", "bucket_ts"])
+    if "rho" in df.columns:  # hll_* sketch tier: max is the combine
+        from .hll import merge_registers
+
+        return merge_registers(df.drop("batch"), ["source", "bucket_ts"])
     if "first_ts" not in df.columns:
-        return df  # finest tier: rows are already final
+        return df  # finest core tier: per-doc rows are already final
     # same-tier combine: floor(bucket_ts / 1) keeps the bucket; reuse the
     # anchor-aware partial combine then drop the anchors
     return _rollup_up_partial(df.drop("batch"), 1).drop("first_ts", "last_ts")

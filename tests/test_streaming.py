@@ -502,3 +502,52 @@ def test_stream_dedup_restart_is_idempotent(spark, tmp_path):
     }
     assert got == want
     assert len(got) >= n_first
+
+
+def test_stream_sketch_tiers_match_batch(spark, staged_input, tmp_path):
+    """Streamed sketch tiers (cross-batch partials, combine = sum / max at
+    finalize) must equal direct builds over the whole input — per-batch
+    one-file triggers force every (source, bucket) to span batches."""
+    from tersets_spark.hll import hll_registers, merge_registers
+    from tersets_spark.jobs import _sketch_points
+    from tersets_spark.sketch import merge_sketch, sketch as hdr_sketch
+    from tersets_spark.streaming import stream_cascade_to_tiers
+
+    out = str(tmp_path / "tiers")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_cascade_to_tiers(
+        spark, staged_input, out, ckpt, max_files_per_trigger=1,
+        with_blocks=False, with_sketches=True,
+    )
+    q.awaitTermination()
+
+    pts = _sketch_points(spark.read.parquet(staged_input))
+    day = (F.floor(F.col("bucket_ts") / 86400) * 86400).cast("long")
+    exp_psk_1m = hdr_sketch(pts, ["source", "bucket_ts"], "v")
+    exp_hll_1m = hll_registers(pts, ["source", "bucket_ts"], "v")
+    cases = {
+        "psk_1m": (exp_psk_1m, ["source", "bucket_ts", "bucket_id", "cnt"]),
+        "psk_1d": (
+            merge_sketch(exp_psk_1m.withColumn("bucket_ts", day),
+                         ["source", "bucket_ts"]),
+            ["source", "bucket_ts", "bucket_id", "cnt"],
+        ),
+        "hll_1m": (exp_hll_1m, ["source", "bucket_ts", "bucket", "rho"]),
+        "hll_1d": (
+            merge_registers(exp_hll_1m.withColumn("bucket_ts", day),
+                            ["source", "bucket_ts"]),
+            ["source", "bucket_ts", "bucket", "rho"],
+        ),
+    }
+    for tier, (expected, cols) in cases.items():
+        streamed = read_streamed_tier(spark, out, tier, finalize=True).select(cols)
+        # cross-batch partials must exist at the 1m level (sketches aggregate
+        # across docs, unlike the per-doc core tiers)
+        if tier.endswith("_1m"):
+            raw = read_streamed_tier(spark, out, tier, finalize=False)
+            key = [c for c in cols if c not in ("cnt", "rho")]
+            dupes = raw.groupBy(*key).count().filter(F.col("count") > 1).count()
+            assert dupes > 0, f"{tier}: expected cross-batch partials"
+        assert streamed.count() == expected.count(), tier
+        assert streamed.exceptAll(expected.select(cols)).count() == 0, tier
+        assert expected.select(cols).exceptAll(streamed).count() == 0, tier
