@@ -930,7 +930,7 @@ def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((F.col("ts0") + F.col("pos")) / 60) * 60).cast("long").alias("bucket_ts"),
         "v",
     )
-    regs = hll_registers(pts, ["source", "bucket_ts"], "v")
+    regs = hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True)
     summary = hll_summary(merge_registers(regs, ["source"]), ["source"])
     exact = pts.groupBy("source").agg(F.countDistinct("v").alias("exact_distinct"))
     return exact.join(summary, "source").select(

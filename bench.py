@@ -85,7 +85,9 @@ def _fresh_session(cpus: int):
     return get_spark(master=f"local[{cpus}]", app_name=f"bench-local{cpus}")
 
 
-def run_cascade_once(spark, seq_path: str, total_tokens: int) -> dict:
+def run_cascade_once(
+    spark, seq_path: str, total_tokens: int, with_sketches: bool = False
+) -> dict:
     """One full cascade run on a fresh output dir (session provided/reused)."""
     from tersets_spark.catalog import TierCatalog
     from tersets_spark.jobs import run_cascade
@@ -93,7 +95,8 @@ def run_cascade_once(spark, seq_path: str, total_tokens: int) -> dict:
     out = tempfile.mkdtemp(prefix="tersets_bench_")
     try:
         t0 = time.monotonic()
-        run_cascade(spark, seq_path, out, with_blocks=True, resume=False)
+        run_cascade(spark, seq_path, out, with_blocks=True, resume=False,
+                    with_sketches=with_sketches)
         total = time.monotonic() - t0
         per_tier: dict[str, float] = {}
         for rec in TierCatalog(out).metrics():
@@ -123,11 +126,17 @@ def run_default(cpus: int, seq_path: str, total_tokens: int, n_runs: int) -> dic
             r = run_cascade_once(spark, seq_path, total_tokens)
             log(f"default-mode run {i + 1}/{n_runs}: {r}")
             runs.append(r)
+        # evidence field, not part of the headline: the same cascade with the
+        # psk_*/hll_* sketch tiers materialized (one run; compare to the
+        # headline to see the sketch families' marginal cost)
+        sk = run_cascade_once(spark, seq_path, total_tokens, with_sketches=True)
+        log(f"default-mode with_sketches run (evidence): {sk}")
     finally:
         spark.stop()
     best = min(runs, key=lambda r: r["total_sec"])
     best["all_runs_sec"] = [r["total_sec"] for r in runs]
     best["median_sec"] = round(statistics.median(r["total_sec"] for r in runs), 3)
+    best["with_sketch_tiers_sec"] = sk["total_sec"]
     return best
 
 
@@ -245,6 +254,7 @@ def main() -> None:
         "protocol": "warmup + best-of-%d" % args.runs,
         "all_runs_sec": r["all_runs_sec"],
         "median_sec": r["median_sec"],
+        "with_sketch_tiers_sec": r["with_sketch_tiers_sec"],
         "host_stream_melem_s": probe,
         "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
     }))

@@ -67,8 +67,24 @@ def hll_bucket_rho(value: Column) -> tuple[Column, Column]:
     return bucket, rho
 
 
-def hll_registers(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    """Register table ``(keys..., bucket, rho)`` — at most m rows per key."""
+def hll_registers(
+    df: DataFrame, keys: list[str], value_col: str, dict_hash: bool = False
+) -> DataFrame:
+    """Register table ``(keys..., bucket, rho)`` — at most m rows per key.
+
+    ``dict_hash=True`` is the bounded-domain fast path (token ids): hash only
+    the DISTINCT values (a vocab-sized dictionary, built with one map-side-
+    bounded distinct) and broadcast-join (bucket, rho) back onto the points —
+    an int-key hash probe per point instead of a string-cast + md5 + substring
+    chain per point. Identical output (pinned by tests); leave False when the
+    value domain is unbounded (the dictionary must fit in a broadcast).
+    """
+    if dict_hash:
+        vals = df.select(F.col(value_col).alias("_v")).distinct()
+        b, r = hll_bucket_rho(F.col("_v"))
+        lut = vals.select("_v", b.alias("bucket"), r.alias("_rho"))
+        joined = df.join(F.broadcast(lut), F.col(value_col) == F.col("_v"))
+        return joined.groupBy(*keys, "bucket").agg(F.max("_rho").alias("rho"))
     bucket, rho = hll_bucket_rho(F.col(value_col))
     return (
         df.groupBy(*keys, bucket.alias("bucket"))

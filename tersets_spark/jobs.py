@@ -226,7 +226,8 @@ def run_cascade(
                 )
             if pend_hll:
                 _write_tier(
-                    catalog, hll_registers(pts, ["source", "bucket_ts"], "v"),
+                    catalog,
+                    hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True),
                     "hll_1m", pend_hll,
                 )
         if fail_after_tier == "psk_1m":

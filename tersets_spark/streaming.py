@@ -212,9 +212,12 @@ def stream_cascade_to_tiers(
             from .sketch import merge_sketch, sketch as hdr_sketch
 
             pts = _sketch_points(batch_df)
+            def _hll_dict(d, keys, col):
+                return hll_registers(d, keys, col, dict_hash=True)
+
             for family, build, merge in (
                 ("psk", hdr_sketch, merge_sketch),
-                ("hll", hll_registers, merge_registers),
+                ("hll", _hll_dict, merge_registers),
             ):
                 fine = build(pts, ["source", "bucket_ts"], "v")
                 prev_dir = os.path.join(

@@ -76,3 +76,15 @@ def test_summary_deterministic_under_partitioning(spark):
     ra = hll_summary(hll_registers(a, ["k"], "v"), ["k"]).collect()[0]
     rb = hll_summary(hll_registers(b, ["k"], "v"), ["k"]).collect()[0]
     assert tuple(ra) == tuple(rb)
+
+
+def test_dict_hash_path_is_identical(spark):
+    """Bounded-domain fast path (distinct-value dictionary + broadcast join)
+    must produce the exact register table of the per-point md5 path."""
+    rng = random.Random(17)
+    rows = [(f"s{i % 3}", i % 20, rng.randrange(0, 21000)) for i in range(15000)]
+    df = spark.createDataFrame(rows, "source string, bucket_ts long, v int")
+    keys = ["source", "bucket_ts"]
+    slow = hll_registers(df, keys, "v").orderBy(*keys, "bucket")
+    fast = hll_registers(df, keys, "v", dict_hash=True).orderBy(*keys, "bucket")
+    assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in slow.collect()]
