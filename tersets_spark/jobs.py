@@ -137,9 +137,13 @@ def run_cascade(
     distinct registers, merge = max). Same catalog commits, same per-source
     resume, same retention machinery (they carry ``bucket_ts``); upper tiers
     derive from the committed tier below, so the whole family audits with
-    ``validate_tiers``. Each sketch tier is bounded rows per (source, bucket),
-    so the extra cost is one posexplode aggregation pass for the 1m level and
-    near-zero above it.
+    ``validate_tiers``. Cost profile (measured at sf0.1, BENCH
+    ``with_sketch_tiers_sec``): each family's 1m level is one posexplode
+    aggregation pass over the token stream — the explode itself is the floor
+    (~4 s of each ~5-6 s build at 73.6M tokens on local[32]) — so sketches
+    add roughly two extra corpus scans (~3x the core cascade wall, the same
+    one-pass-per-aggregate-family cost model as any continuous aggregate);
+    the 1h/1d levels merge the bounded committed tier below and are near-free.
     """
     ensure_shipped(spark)
     # superseded_grace: a CONCURRENT cascade's reader may still be scanning
