@@ -49,6 +49,12 @@ def hdr_bucket(value: Column, sub_bits: int = SUB_BITS) -> Column:
     ordering by value range. Pure JVM expressions.
     """
     v = value.cast("long")
+    # fail fast on negatives: bin() of a negative long is its 64-bit two's
+    # complement in Spark but engine-specific elsewhere, so a silent pass
+    # would mis-bucket AND break oracle parity
+    v = F.when(v >= 0, v).otherwise(
+        F.raise_error("hdr_bucket: negative value (sketch domain is v >= 0)")
+    )
     bitlen = F.length(F.bin(v)).cast("long")
     shift = F.greatest(bitlen - F.lit(sub_bits), F.lit(0)).cast("int")
     # call_function: the Python shiftrightunsigned wrapper only takes an int

@@ -108,3 +108,9 @@ def test_sketch_is_bounded(spark):
     df = spark.range(0, 200000).select((F.col("id") % 65536).cast("int").alias("v"))
     n = sketch(df.withColumn("k", F.lit("x")), ["k"], "v").count()
     assert n <= 17 * (1 << SUB_BITS)  # bitlen <= 17 for v < 2^17
+
+
+def test_negative_values_fail_fast(spark):
+    df = spark.createDataFrame([(-3, "k")], "v int, k string")
+    with pytest.raises(Exception, match="negative value"):
+        sketch(df, ["k"], "v").collect()
