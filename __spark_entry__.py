@@ -898,16 +898,10 @@ def _q_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes the same sketch one-shot from raw points —
     equality IS the re-aggregability proof. All bucket math is integer
     (bit-length + shifts), so the hash match is exact."""
+    from tersets_spark.jobs import _sketch_points
     from tersets_spark.sketch import merge_sketch, percentiles, sketch
 
-    seq = _sequences(spark, sf_dir)
-    pts = seq.select(
-        "source", "ts0", F.posexplode("tokens").alias("pos", "v")
-    ).select(
-        "source",
-        (F.floor((F.col("ts0") + F.col("pos")) / 60) * 60).cast("long").alias("bucket_ts"),
-        "v",
-    )
+    pts = _sketch_points(_sequences(spark, sf_dir))
     tier_sketch = sketch(pts, ["source", "bucket_ts"], "v")
     merged = merge_sketch(tier_sketch, ["source"])
     return percentiles(merged, ["source"], [50, 90, 99])
@@ -921,15 +915,9 @@ def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum with only exactly-rounded * and / ops. exact_distinct rides along so
     the correctness gate also pins the sketch's real error."""
     from tersets_spark.hll import hll_registers, hll_summary, merge_registers
+    from tersets_spark.jobs import _sketch_points
 
-    seq = _sequences(spark, sf_dir)
-    pts = seq.select(
-        "source", "ts0", F.posexplode("tokens").alias("pos", "v")
-    ).select(
-        "source",
-        (F.floor((F.col("ts0") + F.col("pos")) / 60) * 60).cast("long").alias("bucket_ts"),
-        "v",
-    )
+    pts = _sketch_points(_sequences(spark, sf_dir))
     regs = hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True)
     summary = hll_summary(merge_registers(regs, ["source"]), ["source"])
     exact = pts.groupBy("source").agg(F.countDistinct("v").alias("exact_distinct"))

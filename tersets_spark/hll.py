@@ -78,7 +78,13 @@ def hll_registers(
     an int-key hash probe per point instead of a string-cast + md5 + substring
     chain per point. Identical output (pinned by tests); leave False when the
     value domain is unbounded (the dictionary must fit in a broadcast).
+
+    NULL values are ignored on BOTH paths (SQL COUNT DISTINCT semantics) —
+    without the explicit filter the default path would emit a NULL register
+    row that ``hll_summary`` counts in ``_present``, silently deflating
+    ``empty_buckets``, while the dict path's inner join drops the row.
     """
+    df = df.where(F.col(value_col).isNotNull())
     if dict_hash:
         vals = df.select(F.col(value_col).alias("_v")).distinct()
         b, r = hll_bucket_rho(F.col("_v"))

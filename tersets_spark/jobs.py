@@ -97,6 +97,17 @@ SKETCH_CASCADE = {
 SKETCH_TIER_NAMES = ("psk_1m", "psk_1h", "psk_1d", "hll_1m", "hll_1h", "hll_1d")
 
 
+def merge_to_bucket(sketch_df: DataFrame, secs: int, merge_fn) -> DataFrame:
+    """Coarsen a sketch tier's ``bucket_ts`` to ``secs`` and merge with the
+    family's combine (merge_sketch / merge_registers). The ONE definition of
+    upper-sketch-tier derivation — builder (run_cascade), streamed sink, and
+    auditor (validate_tiers) all call it, so they cannot desynchronize."""
+    coarse = (F.floor(F.col("bucket_ts") / secs) * secs).cast("long")
+    return merge_fn(
+        sketch_df.withColumn("bucket_ts", coarse), ["source", "bucket_ts"]
+    )
+
+
 def _sketch_points(seq: DataFrame) -> DataFrame:
     """(source, 1m bucket_ts, v) points for the sketch tiers — one JVM
     posexplode pass, no Python; scan pruned to (source, ts0, tokens)."""
@@ -221,31 +232,28 @@ def run_cascade(
 
         pend_psk = pending_for("psk_1m")
         pend_hll = pending_for("hll_1m")
-        if pend_psk or pend_hll:
-            pts = _sketch_points(seq)
-            if pend_psk:
-                _write_tier(
-                    catalog, hdr_sketch(pts, ["source", "bucket_ts"], "v"),
-                    "psk_1m", pend_psk,
-                )
-            if pend_hll:
-                _write_tier(
-                    catalog,
-                    hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True),
-                    "hll_1m", pend_hll,
-                )
+        pts = _sketch_points(seq) if (pend_psk or pend_hll) else None
+        if pend_psk:
+            _write_tier(
+                catalog, hdr_sketch(pts, ["source", "bucket_ts"], "v"),
+                "psk_1m", pend_psk,
+            )
         if fail_after_tier == "psk_1m":
             raise RuntimeError("injected failure after psk_1m tier")
+        if pend_hll:
+            _write_tier(
+                catalog,
+                hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True),
+                "hll_1m", pend_hll,
+            )
+        if fail_after_tier == "hll_1m":
+            raise RuntimeError("injected failure after hll_1m tier")
         for family, merge in (("psk", merge_sketch), ("hll", merge_registers)):
             for tier, below, secs in SKETCH_CASCADE[family]:
                 pend = pending_for(tier)
                 if pend:
                     b = catalog.read_tier(spark, below)
-                    coarse = (F.floor(F.col("bucket_ts") / secs) * secs).cast("long")
-                    merged = merge(
-                        b.withColumn("bucket_ts", coarse), ["source", "bucket_ts"]
-                    )
-                    _write_tier(catalog, merged, tier, pend)
+                    _write_tier(catalog, merge_to_bucket(b, secs, merge), tier, pend)
         tiers_out += list(SKETCH_TIER_NAMES)
 
     return {t: os.path.join(out_dir, t) for t in tiers_out}
@@ -515,10 +523,7 @@ def validate_tiers(
                 actual = catalog.read_tier(spark, tier)
             except FileNotFoundError:
                 continue
-            coarse = (F.floor(F.col("bucket_ts") / secs) * secs).cast("long")
-            expected = merge(
-                below_df.withColumn("bucket_ts", coarse), ["source", "bucket_ts"]
-            )
+            expected = merge_to_bucket(below_df, secs, merge)
             hs = [horizon[x] for x in (tier, below) if x in horizon]
             if hs:
                 lb = -(-max(hs) // secs) * secs

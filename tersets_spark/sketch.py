@@ -49,11 +49,13 @@ def hdr_bucket(value: Column, sub_bits: int = SUB_BITS) -> Column:
     ordering by value range. Pure JVM expressions.
     """
     v = value.cast("long")
-    # fail fast on negatives: bin() of a negative long is its 64-bit two's
-    # complement in Spark but engine-specific elsewhere, so a silent pass
-    # would mis-bucket AND break oracle parity
+    # fail fast on negatives (bin() of a negative long is its 64-bit two's
+    # complement in Spark but engine-specific elsewhere — a silent pass
+    # would mis-bucket AND break oracle parity) and on NULLs (callers like
+    # sketch() filter them out first; a bare NULL reaching this expression
+    # is a caller bug, not data to swallow)
     v = F.when(v >= 0, v).otherwise(
-        F.raise_error("hdr_bucket: negative value (sketch domain is v >= 0)")
+        F.raise_error("hdr_bucket: negative or NULL value (domain is v >= 0)")
     )
     bitlen = F.length(F.bin(v)).cast("long")
     shift = F.greatest(bitlen - F.lit(sub_bits), F.lit(0)).cast("int")
@@ -77,10 +79,12 @@ def sketch(
     """Build a sketch: one hash-aggregate pass over the points.
 
     Returns ``(keys..., bucket_id, cnt)`` — at most ``32 * 2^sub_bits``
-    rows per key. Values must be non-negative integers (token ids are).
+    rows per key. Values must be non-negative integers (token ids are);
+    NULL values are ignored (SQL aggregate semantics), negatives fail fast.
     """
+    pts = df.where(F.col(value_col).isNotNull())
     return (
-        df.groupBy(*keys, hdr_bucket(F.col(value_col), sub_bits).alias("bucket_id"))
+        pts.groupBy(*keys, hdr_bucket(F.col(value_col), sub_bits).alias("bucket_id"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

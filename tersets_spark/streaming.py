@@ -208,7 +208,7 @@ def stream_cascade_to_tiers(
 
         if with_sketches:
             from .hll import hll_registers, merge_registers
-            from .jobs import _sketch_points
+            from .jobs import _sketch_points, merge_to_bucket
             from .sketch import merge_sketch, sketch as hdr_sketch
 
             pts = _sketch_points(batch_df)
@@ -227,10 +227,7 @@ def stream_cascade_to_tiers(
                 _record_once(f"{family}_1m", prev_dir)
                 for suffix, secs in (("1h", TIERS["1h"]), ("1d", TIERS["1d"])):
                     below = spark.read.parquet(prev_dir)
-                    coarse = (F.floor(F.col("bucket_ts") / secs) * secs).cast("long")
-                    up_sk = merge(
-                        below.withColumn("bucket_ts", coarse), ["source", "bucket_ts"]
-                    )
+                    up_sk = merge_to_bucket(below, secs, merge)
                     prev_dir = os.path.join(
                         catalog.base_dir, f"{family}_{suffix}", f"batch={batch_id}"
                     )
@@ -285,11 +282,11 @@ def read_streamed_tier(
     df = spark.read.option("basePath", base).parquet(os.path.join(base, "batch=*"))
     if not finalize:
         return df
-    if "bucket_id" in df.columns:  # psk_* sketch tier: sum is the combine
+    if tier.startswith("psk_"):  # percentile sketch tier: sum is the combine
         from .sketch import merge_sketch
 
         return merge_sketch(df.drop("batch"), ["source", "bucket_ts"])
-    if "rho" in df.columns:  # hll_* sketch tier: max is the combine
+    if tier.startswith("hll_"):  # HLL register tier: max is the combine
         from .hll import merge_registers
 
         return merge_registers(df.drop("batch"), ["source", "bucket_ts"])

@@ -88,3 +88,17 @@ def test_dict_hash_path_is_identical(spark):
     slow = hll_registers(df, keys, "v").orderBy(*keys, "bucket")
     fast = hll_registers(df, keys, "v", dict_hash=True).orderBy(*keys, "bucket")
     assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in slow.collect()]
+
+
+def test_null_values_ignored_on_both_paths(spark):
+    """NULL v is skipped like SQL COUNT(DISTINCT): no NULL register row,
+    both hash paths identical, empty_buckets unaffected."""
+    rows = [(1, "k"), (2, "k"), (None, "k"), (2, "k")]
+    df = spark.createDataFrame(rows, "v int, k string")
+    clean = spark.createDataFrame([(1, "k"), (2, "k")], "v int, k string")
+    for dh in (False, True):
+        got = hll_registers(df, ["k"], "v", dict_hash=dh).orderBy("bucket")
+        exp = hll_registers(clean, ["k"], "v").orderBy("bucket")
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()], dh
+    s = hll_summary(hll_registers(df, ["k"], "v"), ["k"]).collect()[0]
+    assert s.empty_buckets == M - 2

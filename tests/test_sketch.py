@@ -112,5 +112,11 @@ def test_sketch_is_bounded(spark):
 
 def test_negative_values_fail_fast(spark):
     df = spark.createDataFrame([(-3, "k")], "v int, k string")
-    with pytest.raises(Exception, match="negative value"):
+    with pytest.raises(Exception, match="negative or NULL"):
         sketch(df, ["k"], "v").collect()
+
+
+def test_null_values_ignored(spark):
+    df = spark.createDataFrame([(5, "k"), (None, "k"), (5, "k")], "v int, k string")
+    rows = sketch(df, ["k"], "v").collect()
+    assert len(rows) == 1 and rows[0].cnt == 2
