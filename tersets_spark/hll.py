@@ -4,6 +4,10 @@
 Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the analysis of a
 near-optimal cardinality estimation algorithm", AofA 2007.
 
+Reference parity note: the reference engine (TerseTS) has no distinct
+sketch — like sketch.py this extends the tier cascade the way TimescaleDB's
+``hyperloglog``/``approx_count_distinct`` extends continuous aggregates.
+
 Why not ``F.approx_count_distinct``: its HLL++ registers hash with a JVM
 Murmur3 variant no SQL engine reproduces, so results can only ever be
 rows-only-checked. This sketch derives everything from ``md5`` (available
