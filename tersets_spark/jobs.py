@@ -259,6 +259,39 @@ def run_cascade(
     return {t: os.path.join(out_dir, t) for t in tiers_out}
 
 
+def percentiles_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str = "psk_1d",
+    keys: tuple[str, ...] = ("source",),
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Serve percentile estimates from a COMMITTED sketch tier — the consumer
+    side of ``with_sketches=True``: no token scan, just a merge of the
+    bounded sketch rows down to ``keys`` plus one window. Keys may include
+    ``bucket_ts`` for per-bucket percentiles."""
+    from .sketch import merge_sketch, percentiles
+
+    df = TierCatalog(out_dir).read_tier(spark, tier)
+    return percentiles(merge_sketch(df, list(keys)), list(keys), list(pcts))
+
+
+def distinct_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str = "hll_1d",
+    keys: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Serve distinct-count estimates from a COMMITTED HLL register tier
+    (empty_buckets / exact-integer harmonic / bit-stable estimate columns,
+    see hll.hll_summary). Same no-rescan property as
+    :func:`percentiles_from_catalog`."""
+    from .hll import hll_summary, merge_registers
+
+    df = TierCatalog(out_dir).read_tier(spark, tier)
+    return hll_summary(merge_registers(df, list(keys)), list(keys))
+
+
 # ---------------------------------------------------------------------------
 # retention expiry
 # ---------------------------------------------------------------------------

@@ -148,3 +148,32 @@ def test_retention_and_audit_on_sketch_tiers(spark, seq_path, tmp_path):
     report = validate_tiers(spark, seq_path, out, sample_frac=1.0)
     assert report["psk_1h"]["mismatches"] == 0, report["psk_1h"]
     assert report["psk_1h"]["checked"] > 0
+
+
+def test_serving_from_catalog_matches_direct(spark, seq_path, tmp_path):
+    """percentiles_from_catalog / distinct_from_catalog over committed tiers
+    equal direct builds from the raw points — serving never rescans tokens."""
+    from tersets_spark.hll import hll_summary
+    from tersets_spark.jobs import distinct_from_catalog, percentiles_from_catalog
+    from tersets_spark.sketch import percentiles
+
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out, with_sketches=True)
+    pts = _sketch_points(spark.read.parquet(seq_path))
+
+    served = percentiles_from_catalog(spark, out).orderBy("source", "pct")
+    direct = percentiles(
+        merge_sketch(hdr_sketch(pts, ["source"], "v"), ["source"]),
+        ["source"], [50, 90, 99],
+    ).orderBy("source", "pct")
+    assert [tuple(r) for r in served.select(*sorted(served.columns)).collect()] == [
+        tuple(r) for r in direct.select(*sorted(direct.columns)).collect()
+    ]
+
+    served_d = distinct_from_catalog(spark, out).orderBy("source")
+    direct_d = hll_summary(
+        hll_registers(pts, ["source"], "v"), ["source"]
+    ).orderBy("source")
+    assert [tuple(r) for r in served_d.select(*sorted(served_d.columns)).collect()] == [
+        tuple(r) for r in direct_d.select(*sorted(direct_d.columns)).collect()
+    ]
