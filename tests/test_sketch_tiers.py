@@ -177,3 +177,27 @@ def test_serving_from_catalog_matches_direct(spark, seq_path, tmp_path):
     assert [tuple(r) for r in served_d.select(*sorted(served_d.columns)).collect()] == [
         tuple(r) for r in direct_d.select(*sorted(direct_d.columns)).collect()
     ]
+
+
+def test_time_travel_on_sketch_tier(spark, seq_path, tmp_path):
+    """Snapshot time travel is tier-generic: a retention rewrite of psk_1m
+    supersedes runs, but as_of the pre-retention snapshot still reads the
+    full sketch (runs survive vacuum for the reader-grace window)."""
+    from tersets_spark.jobs import apply_retention
+    from tersets_spark.tables import EPOCH
+
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out, with_sketches=True)
+    cat = TierCatalog(out, superseded_grace_sec=600.0)
+    snap = cat.snapshot()
+    before = cat.read_tier(spark, "psk_1m").count()
+
+    m1 = cat.read_tier(spark, "psk_1m")
+    lo, hi = m1.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    now = EPOCH + 10 * 86400
+    policy = {t: None for t in ("raw", "1m", "1h", "1d", *SKETCH_TIER_NAMES)}
+    policy["psk_1m"] = now - (lo + hi) // 2
+    apply_retention(spark, out, now, policy=policy)
+
+    assert cat.read_tier(spark, "psk_1m").count() < before  # head moved on
+    assert cat.read_tier(spark, "psk_1m", as_of=snap).count() == before
