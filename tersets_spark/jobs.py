@@ -130,6 +130,7 @@ def run_cascade(
     num_partitions: int | None = None,
     salt: bool = False,
     with_sketches: bool = False,
+    sketch_kernel: bool = True,
     fail_after_tier: str | None = None,  # test hook for kill/resume
 ) -> dict[str, str]:
     """Run the full cascade; returns tier -> output dir. Resumable.
@@ -148,13 +149,16 @@ def run_cascade(
     distinct registers, merge = max). Same catalog commits, same per-source
     resume, same retention machinery (they carry ``bucket_ts``); upper tiers
     derive from the committed tier below, so the whole family audits with
-    ``validate_tiers``. Cost profile (measured at sf0.1, BENCH
-    ``with_sketch_tiers_sec``): each family's 1m level is one posexplode
-    aggregation pass over the token stream — the explode itself is the floor
-    (~4 s of each ~5-6 s build at 73.6M tokens on local[32]) — so sketches
-    add roughly two extra corpus scans (~3x the core cascade wall, the same
-    one-pass-per-aggregate-family cost model as any continuous aggregate);
-    the 1h/1d levels merge the bounded committed tier below and are near-free.
+    ``validate_tiers``. ``sketch_kernel=True`` (default) builds both 1m
+    levels from ONE fused zero-copy Arrow pass over the token payload
+    (kernels.sketch_partials_map_in_arrow) — partials staged once, combined
+    by two tiny JVM aggregations. ``sketch_kernel=False`` keeps the pure
+    expression path (one posexplode aggregation pass PER family; the explode
+    is the floor, ~4 s of each ~5-6 s build at sf0.1/local[32]) — bit-
+    identical output, pinned by tests/test_sketch_kernel.py, and the path
+    the DuckDB-oracled contract queries use, so kernel and expression check
+    each other. The 1h/1d levels merge the bounded committed tier below and
+    are near-free either way.
     """
     ensure_shipped(spark)
     # superseded_grace: a CONCURRENT cascade's reader may still be scanning
@@ -232,22 +236,45 @@ def run_cascade(
 
         pend_psk = pending_for("psk_1m")
         pend_hll = pending_for("hll_1m")
-        pts = _sketch_points(seq) if (pend_psk or pend_hll) else None
-        if pend_psk:
-            _write_tier(
-                catalog, hdr_sketch(pts, ["source", "bucket_ts"], "v"),
-                "psk_1m", pend_psk,
+        stage_dir = None
+        if (pend_psk or pend_hll) and sketch_kernel:
+            # Fused Arrow kernel: ONE zero-copy pass over the token payload
+            # emits per-batch partials for both families (kernels.py); stage
+            # them once so the two tier aggregations don't re-run the kernel.
+            from .kernels import SKETCH_PARTIALS_SCHEMA, sketch_partials_map_in_arrow
+
+            partials = seq.select("source", "ts0", "tokens").mapInArrow(
+                sketch_partials_map_in_arrow(60), SKETCH_PARTIALS_SCHEMA
             )
+            stage_dir = os.path.join(
+                out_dir, f"_tmp_skpart_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+            )
+            partials.write.mode("overwrite").parquet(stage_dir)
+            part_df = spark.read.parquet(stage_dir)
+            psk_1m_df = (
+                part_df.filter(F.col("family") == "p")
+                .groupBy("source", "bucket_ts", F.col("bucket").alias("bucket_id"))
+                .agg(F.sum("val").alias("cnt"))
+            )
+            hll_1m_df = (
+                part_df.filter(F.col("family") == "h")
+                .groupBy("source", "bucket_ts", "bucket")
+                .agg(F.max("val").alias("rho"))
+            )
+        elif pend_psk or pend_hll:
+            pts = _sketch_points(seq)
+            psk_1m_df = hdr_sketch(pts, ["source", "bucket_ts"], "v")
+            hll_1m_df = hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True)
+        if pend_psk:
+            _write_tier(catalog, psk_1m_df, "psk_1m", pend_psk)
         if fail_after_tier == "psk_1m":
             raise RuntimeError("injected failure after psk_1m tier")
         if pend_hll:
-            _write_tier(
-                catalog,
-                hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True),
-                "hll_1m", pend_hll,
-            )
+            _write_tier(catalog, hll_1m_df, "hll_1m", pend_hll)
         if fail_after_tier == "hll_1m":
             raise RuntimeError("injected failure after hll_1m tier")
+        if stage_dir is not None:
+            shutil.rmtree(stage_dir, ignore_errors=True)
         for family, merge in (("psk", merge_sketch), ("hll", merge_registers)):
             for tier, below, secs in SKETCH_CASCADE[family]:
                 pend = pending_for(tier)

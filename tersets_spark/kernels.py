@@ -347,3 +347,128 @@ def rollup_map_in_arrow(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return _gen
+
+
+# ---------------------------------------------------------------------------
+# fused sketch partials (both families, one zero-copy pass) — mapInArrow
+# ---------------------------------------------------------------------------
+#
+# The expression path for the sketch tiers (jobs._sketch_points -> sketch.py /
+# hll.py) costs one posexplode scan of the token payload PER FAMILY; profiled
+# at sf0.1 the explode is ~4 s of each ~5-6 s build. This kernel reads the
+# ListArray flat buffer once (same zero-copy idiom as rollup_map_in_arrow)
+# and emits per-batch partials for BOTH families, tagged by a `family`
+# column: 'p' rows are (bucket_id, count) HDR-percentile partials, 'h' rows
+# are (register, rho-max) HLL partials. Partials combine exactly downstream
+# (groupBy sum / max), so the result is bit-identical to the expression path
+# (pinned by tests/test_sketch_kernel.py).
+
+SKETCH_PARTIALS_SCHEMA = StructType(
+    [
+        StructField("family", StringType()),
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("bucket", LongType()),
+        StructField("val", LongType()),
+    ]
+)
+
+#: value -> (hll register, rho) cache; vocab-bounded, worker-process lifetime.
+_HLL_VALUE_LUT: dict[int, tuple[int, int]] = {}
+
+
+def _hll_lut_arrays(uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) for each unique value — md5-derived, identical to
+    hll.hll_bucket_rho (same hex-digit math), memoized across batches."""
+    import hashlib
+
+    bkt = np.empty(len(uniq), dtype=np.int64)
+    rho = np.empty(len(uniq), dtype=np.int64)
+    for i, v in enumerate(uniq.tolist()):
+        hit = _HLL_VALUE_LUT.get(v)
+        if hit is None:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            bits = bin(int(h[2:14], 16))[2:].zfill(48)
+            hit = (int(h[:2], 16), (len(bits) - len(bits.lstrip("0"))) + 1)
+            _HLL_VALUE_LUT[v] = hit
+        bkt[i], rho[i] = hit
+    return bkt, rho
+
+
+def sketch_partials_map_in_arrow(tier_seconds: int = 60):
+    """mapInArrow generator: sequences -> tagged sketch partials.
+
+    Bit-length comes from ``np.frexp`` (exact for integer doubles: the
+    exponent of v in [2^(k-1), 2^k) is k — tokens are < 2^31, far inside
+    float64 exactness), matching ``length(bin(v))`` of the expression path;
+    negatives fail fast like sketch.hdr_bucket. NULL token elements are not
+    supported (same contract as the rollup kernels).
+    """
+    import pyarrow as pa
+
+    delta = np.int64(tier_seconds)
+
+    def _gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, offsets = _list_column_flat(batch, "tokens")
+            if flat.size == 0:
+                continue
+            if flat.min() < 0:
+                raise ValueError("sketch kernel: negative token value")
+            lens = np.diff(offsets)
+            ts0 = np.asarray(
+                batch.column(batch.schema.get_field_index("ts0")), dtype=np.int64
+            )
+            src_col = batch.column(batch.schema.get_field_index("source"))
+            src_codes_row, src_uniques = pd.factorize(
+                pd.Series(src_col.to_pylist()), sort=False
+            )
+            src_strings = np.asarray(src_uniques, dtype=object)
+            if len(src_strings) > 255:
+                raise ValueError("sketch kernel: >255 sources per batch")
+
+            row_of_tok = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+            bucket_ts = ((ts0[row_of_tok] + pos) // delta) * delta
+            bts_min = bucket_ts.min()
+            minute_idx = (bucket_ts - bts_min) // delta
+            if minute_idx.max() >= (1 << 31):
+                raise ValueError("sketch kernel: bucket span too large for key packing")
+            src_tok = src_codes_row[row_of_tok].astype(np.int64)
+            key_base = (src_tok << 42) | (minute_idx << 11)
+
+            # psk family: HDR bucket id = bitlen*32 + top-5-bits
+            _, exp = np.frexp(flat.astype(np.float64))
+            bitlen = np.where(flat == 0, 1, exp).astype(np.int64)
+            shift = np.maximum(bitlen - 5, 0)
+            bucket_id = bitlen * 32 + (flat >> shift)
+            pk, pc_ = np.unique(key_base | bucket_id, return_counts=True)
+
+            # hll family: md5 LUT over batch-unique values, then max-rho
+            uniq, inv = np.unique(flat, return_inverse=True)
+            lut_bkt, lut_rho = _hll_lut_arrays(uniq)
+            hkey = key_base | lut_bkt[inv]
+            hk, hinv = np.unique(hkey, return_inverse=True)
+            hrho = np.zeros(len(hk), dtype=np.int64)
+            np.maximum.at(hrho, hinv, lut_rho[inv])
+
+            def _emit(keys, vals, fam):
+                n = len(keys)
+                src = src_strings[(keys >> 42).astype(np.intp)]
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([fam] * n, type=pa.string()),
+                        pa.array(src, type=pa.string()),
+                        pa.array(((keys >> 11) & ((1 << 31) - 1)) * delta + bts_min),
+                        pa.array(keys & ((1 << 11) - 1)),
+                        pa.array(vals),
+                    ],
+                    names=["family", "source", "bucket_ts", "bucket", "val"],
+                )
+
+            yield _emit(pk, pc_, "p")
+            yield _emit(hk, hrho, "h")
+
+    return _gen

@@ -1,0 +1,73 @@
+"""Fused sketch-partials Arrow kernel vs the expression path: the committed
+psk_1m / hll_1m tiers must be bit-identical whichever builder ran."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tersets_spark.catalog import TierCatalog
+from tersets_spark.jobs import run_cascade
+from tersets_spark.tables import generate_sequences
+
+
+@pytest.fixture(scope="module")
+def seq_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("skkseq") / "seq.parquet")
+    pq.write_table(generate_sequences(300, seed=31), path)
+    return path
+
+
+def _tier_rows(spark, out, tier):
+    df = TierCatalog(out).read_tier(spark, tier)
+    cols = sorted(df.columns)
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_kernel_path_matches_expression_path(spark, seq_path, tmp_path):
+    out_k = str(tmp_path / "kernel")
+    out_e = str(tmp_path / "expr")
+    run_cascade(spark, seq_path, out_k, with_sketches=True, sketch_kernel=True)
+    run_cascade(spark, seq_path, out_e, with_sketches=True, sketch_kernel=False)
+    for tier in ("psk_1m", "psk_1d", "hll_1m", "hll_1d"):
+        assert _tier_rows(spark, out_k, tier) == _tier_rows(spark, out_e, tier), tier
+    # no staging leftovers
+    assert not [d for d in os.listdir(out_k) if d.startswith("_tmp_")]
+
+
+def test_frexp_bitlen_matches_bin_length():
+    """np.frexp exponent == int.bit_length for every value the kernel can
+    see (exactness argument in the kernel docstring); sweep boundaries."""
+    vals = [0, 1, 2, 3] + [(1 << k) + d for k in range(1, 32) for d in (-1, 0, 1)]
+    arr = np.array(sorted({v for v in vals if 0 <= v < (1 << 31)}), dtype=np.int64)
+    _, exp = np.frexp(arr.astype(np.float64))
+    bitlen = np.where(arr == 0, 1, exp)
+    expected = np.array([max(int(v).bit_length(), 1) for v in arr])
+    assert np.array_equal(bitlen, expected)
+
+
+def test_kernel_rejects_negative_tokens(spark, tmp_path):
+    import pyarrow as pa
+
+    p = str(tmp_path / "neg.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ["d0"],
+                "tokens": [[5, -1, 7]],
+                "n_tok": pa.array([3], type=pa.int32()),
+                "source": ["src_00"],
+                "ts0": pa.array([1_700_000_000], type=pa.int64()),
+            }
+        ),
+        p,
+    )
+    out = str(tmp_path / "tiers")
+    with pytest.raises(Exception, match="negative token"):
+        run_cascade(spark, p, out, with_sketches=True, sketch_kernel=True)
