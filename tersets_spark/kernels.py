@@ -390,7 +390,10 @@ def _hll_lut_arrays(uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             h = hashlib.md5(str(v).encode()).hexdigest()
             bits = bin(int(h[2:14], 16))[2:].zfill(48)
             hit = (int(h[:2], 16), (len(bits) - len(bits.lstrip("0"))) + 1)
-            _HLL_VALUE_LUT[v] = hit
+            # cap: memoization is a vocab-sized win for token ids; an
+            # unbounded value domain must not leak worker memory forever
+            if len(_HLL_VALUE_LUT) < 1_000_000:
+                _HLL_VALUE_LUT[v] = hit
         bkt[i], rho[i] = hit
     return bkt, rho
 
