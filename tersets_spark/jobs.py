@@ -566,8 +566,9 @@ def validate_tiers(
     # of the committed tier below — FULL comparison, not sampled (sketch
     # tables are bounded per (source, bucket), and the doc_id sample
     # predicate can't apply: sketches aggregate across docs). The 1m level
-    # is pinned by the contract query + unit suites; the merge audit here
-    # catches torn/stale upper sketch tiers.
+    # is pinned by the contract query + unit suites, and 1m DISK corruption
+    # still surfaces here: a corrupted 1m makes its (pre-corruption) upper
+    # tier mismatch merge(1m). The merge audit thus covers the whole family.
     from .hll import merge_registers
     from .sketch import merge_sketch
 
