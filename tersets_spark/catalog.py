@@ -81,12 +81,42 @@ class TierCatalog:
                 done.add(rec["partition"])
         return done
 
+    def _manifest_lock(self):
+        """Exclusive sidecar flock serializing ALL manifest appends (readers
+        never lock). Returned as a context manager; flock is per open file
+        description, so each acquisition opens its own fd — holders must
+        not nest (internal appends under the lock go through
+        :meth:`_append_record`, which does not lock)."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def _held():
+            with open(self.manifest_path + ".lock", "a") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
+
+        return _held()
+
+    def _append_record(self, rec: dict) -> None:
+        """Unsynchronized manifest append — call ONLY under _manifest_lock."""
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     def record(self, tier: str, partition: str, status: str = "done", **metrics) -> None:
         """Append one manifest record — THE commit point for a run dir.
 
-        POSIX appends of one JSONL line are atomic; an object-store port
-        would put one immutable manifest object per commit instead (the
-        record shape already carries everything needed)."""
+        Every append takes the manifest sidecar flock, so a conditional
+        committer's check-then-append (:meth:`record_if_current`) is atomic
+        against ALL writers, not just other lock holders — a plain commit
+        can never interleave between a compactor's currency check and its
+        append. (POSIX single-line appends are atomic on their own, but
+        atomicity of the *check+append pair* needs every appender to share
+        the lock.) An object-store port would put one immutable manifest
+        object per commit instead."""
         rec = {
             "tier": tier,
             "partition": partition,
@@ -94,8 +124,8 @@ class TierCatalog:
             "wall_clock_unix": time.time(),
             **metrics,
         }
-        with open(self.manifest_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        with self._manifest_lock():
+            self._append_record(rec)
 
     def record_if_current(
         self, tier: str, partition: str, expected_rel: str | None,
@@ -106,20 +136,20 @@ class TierCatalog:
         Iceberg ``rewrite_data_files`` does at commit time. A maintenance
         rewrite (compaction) derived from run R must not supersede a run a
         concurrent WRITER committed after R was read: check + append are
-        atomic under an exclusive manifest lock. Returns False (nothing
-        appended) on conflict; the caller abandons its rewrite."""
-        import fcntl
-
-        # Lock a sidecar, not the manifest itself: readers never lock.
-        with open(self.manifest_path + ".lock", "a") as lockf:
-            fcntl.flock(lockf, fcntl.LOCK_EX)
-            try:
-                if self.current_runs(tier).get(partition) != expected_rel:
-                    return False
-                self.record(tier, partition, status=status, **metrics)
-                return True
-            finally:
-                fcntl.flock(lockf, fcntl.LOCK_UN)
+        atomic under the same exclusive manifest lock every :meth:`record`
+        takes. Returns False (nothing appended) on conflict; the caller
+        abandons its rewrite."""
+        with self._manifest_lock():
+            if self.current_runs(tier).get(partition) != expected_rel:
+                return False
+            self._append_record({
+                "tier": tier,
+                "partition": partition,
+                "status": status,
+                "wall_clock_unix": time.time(),
+                **metrics,
+            })
+            return True
 
     def metrics(self) -> list[dict]:
         if not os.path.exists(self.manifest_path):

@@ -420,6 +420,12 @@ def sketch_partials_map_in_arrow(tier_seconds: int = 60):
                 continue
             if flat.min() < 0:
                 raise ValueError("sketch kernel: negative token value")
+            if flat.max() >= (1 << 53):
+                # frexp-based bit length goes through float64, whose rounding
+                # can change the computed exponent at >= 2^53 and silently
+                # mis-bucket vs the expression path's length(bin(v)) — fail
+                # fast, mirroring the negative-value guard
+                raise ValueError("sketch kernel: token value >= 2^53")
             lens = np.diff(offsets)
             ts0 = np.asarray(
                 batch.column(batch.schema.get_field_index("ts0")), dtype=np.int64

@@ -291,7 +291,10 @@ def read_streamed_tier(
 
         return merge_registers(df.drop("batch"), ["source", "bucket_ts"])
     if "first_ts" not in df.columns:
-        return df  # finest core tier: per-doc rows are already final
+        # finest core tier: per-doc rows are already final, but finalize
+        # must still shed the micro-batch partition column so the committed
+        # schema matches the batch cascade's tier exactly
+        return df.drop("batch")
     # same-tier combine: floor(bucket_ts / 1) keeps the bucket; reuse the
     # anchor-aware partial combine then drop the anchors
     return _rollup_up_partial(df.drop("batch"), 1).drop("first_ts", "last_ts")

@@ -235,6 +235,36 @@ def test_record_if_current_rejects_stale_rewrite(tmp_path):
     assert cat.current_runs("1m")["p1"] == "source=p1/run=dddd"
 
 
+def test_plain_record_serializes_with_conditional_commits(tmp_path):
+    """Every manifest append — including plain record() commits — must go
+    through the same sidecar flock record_if_current uses, or a concurrent
+    writer's commit can interleave between a compactor's currency check and
+    its append (the exact clobber the guard documents). Pin it by holding
+    the lock and verifying record() blocks until release."""
+    import threading
+    import time as _time
+
+    base = str(tmp_path / "t")
+    cat = TierCatalog(base, auto_vacuum=False)
+    cat.record("1m", "p1", path="source=p1/run=aaaa", bytes_out=0)
+
+    appended = threading.Event()
+
+    def writer():
+        cat.record("1m", "p1", path="source=p1/run=bbbb", bytes_out=0)
+        appended.set()
+
+    with cat._manifest_lock():
+        t = threading.Thread(target=writer)
+        t.start()
+        # the plain commit must NOT land while the lock is held
+        assert not appended.wait(timeout=0.5), "record() bypassed the manifest lock"
+        assert cat.current_runs("1m")["p1"] == "source=p1/run=aaaa"
+    t.join(timeout=10)
+    assert appended.is_set(), "record() never completed after lock release"
+    assert cat.current_runs("1m")["p1"] == "source=p1/run=bbbb"
+
+
 def test_two_concurrent_cascades_converge(spark, seq_path, tmp_path):
     """Two cascades racing on the SAME catalog (threads sharing the session,
     both resume=False so every partition is committed twice): every reader

@@ -71,3 +71,27 @@ def test_kernel_rejects_negative_tokens(spark, tmp_path):
     out = str(tmp_path / "tiers")
     with pytest.raises(Exception, match="negative token"):
         run_cascade(spark, p, out, with_sketches=True, sketch_kernel=True)
+
+
+def test_kernel_rejects_tokens_beyond_float53(spark, tmp_path):
+    """Values >= 2^53 would have their frexp-derived bit length computed
+    through float64 rounding and silently diverge from the expression
+    path's length(bin(v)) — the kernel must fail fast instead."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ["d0"],
+                "tokens": [[5, (1 << 53), 7]],
+                "n_tok": pa.array([3], type=pa.int32()),
+                "source": ["src_00"],
+                "ts0": pa.array([1_700_000_000], type=pa.int64()),
+            }
+        ),
+        p,
+    )
+    out = str(tmp_path / "tiers")
+    with pytest.raises(Exception, match="2\\^53"):
+        run_cascade(spark, p, out, with_sketches=True, sketch_kernel=True)

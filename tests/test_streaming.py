@@ -191,7 +191,12 @@ def test_stream_full_cascade_matches_batch_all_tiers(spark, staged_input, tmp_pa
     batch_tiers = cascade(spark.read.parquet(staged_input), with_blocks=False)
     cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
     for tier in ("1m", "1h", "1d"):
-        streamed = read_streamed_tier(spark, out, tier, finalize=True).select(cols)
+        finalized = read_streamed_tier(spark, out, tier, finalize=True)
+        # finalize must shed the micro-batch partition column on EVERY tier
+        # (incl. the finest early-return branch) so committed schemas match
+        # the batch cascade exactly
+        assert "batch" not in finalized.columns, f"{tier}: finalize kept 'batch'"
+        streamed = finalized.select(cols)
         batch = batch_tiers[tier].select(cols)
         n_s, n_b = streamed.count(), batch.count()
         assert n_s == n_b, f"{tier}: {n_s} streamed vs {n_b} batch rows"
