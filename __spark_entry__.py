@@ -142,7 +142,7 @@ def _lang_id_oracle_sql() -> str:
 
 def _ann_ivf_oracle_sql(
     k: int = 10, n_centroids: int = 16, n_probe: int = 6, iterations: int = 5,
-    n_probes_ids: int = 10, scale: int = 4096,
+    n_probes_ids: int = 10, scale: int = 4096, sample_hex_lt: str = "4000",
 ) -> str:
     """DuckDB replay of the ENTIRE IVF pipeline (similarity.knn_ivf) — made
     possible by the integer-exact coarse quantizer: embeddings snap to the
@@ -150,8 +150,12 @@ def _ann_ivf_oracle_sql(
     DOUBLE regardless of aggregation order, so Spark long-sums and DuckDB
     double-sums agree bit-for-bit), assignment/probe argmins are exact
     integer comparisons with ties to the smaller cluster id, and the final
-    cosine re-rank mirrors the knn_bruteforce oracle. The recall numbers
-    are therefore hash-matched end-to-end, not self-reported."""
+    cosine re-rank mirrors the knn_bruteforce oracle. Training (init +
+    every Lloyd iteration) runs over the same deterministic md5-hex sample
+    the engine uses (similarity.train_sample_filter — lowercase hex sorts
+    numerically, so the string compare is engine-portable); the final index
+    assignment and the probes cover ALL vectors. The recall numbers are
+    therefore hash-matched end-to-end, not self-reported."""
     dot = "list_dot_product"
     parts = [f"""
         WITH qq AS (
@@ -161,9 +165,13 @@ def _ann_ivf_oracle_sql(
             FROM embeddings
         ),
         qx AS (SELECT vec_id, qvd, {dot}(qvd, qvd) AS xx FROM qq),
+        qs AS (
+            SELECT * FROM qx
+            WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{sample_hex_lt}'
+        ),
         c0 AS (
             SELECT CAST(rn - 1 AS BIGINT) AS cluster, qvd AS cvd
-            FROM (SELECT vec_id, qvd, row_number() OVER (ORDER BY vec_id) AS rn FROM qq)
+            FROM (SELECT vec_id, qvd, row_number() OVER (ORDER BY vec_id) AS rn FROM qs)
             WHERE rn <= {n_centroids}
         )"""]
     prev = "c0"
@@ -176,7 +184,7 @@ def _ann_ivf_oracle_sql(
                            PARTITION BY q.vec_id
                            ORDER BY q.xx - 2 * {dot}(q.qvd, c.cvd) + {dot}(c.cvd, c.cvd) ASC,
                                     c.cluster ASC) AS rn
-                FROM qx q CROSS JOIN {prev} c
+                FROM qs q CROSS JOIN {prev} c
             ) WHERE rn = 1
         ),
         s{i} AS (

@@ -192,27 +192,93 @@ def quantized_col(vec_col):
     )
 
 
+#: Training-sample predicate: keep a vector iff the first 4 hex digits of
+#: md5(str(id)) compare lexicographically below this threshold. Lowercase
+#: hex sorts identically to its numeric value ('0'<'9'<'a'<'f'), so the
+#: string compare IS the numeric compare — and both Spark and DuckDB
+#: evaluate the identical predicate, making the sampled Lloyd replayable
+#: in pure SQL. "4000"/"10000" = keep ~25% of vectors. k-means practice
+#: trains the coarse quantizer on a sample; shuffling every vector x dim
+#: through five Lloyd iterations is the one cost that would dominate a
+#: 10^9-vector index build for no recall benefit.
+TRAIN_SAMPLE_HEX_LT = "4000"
+
+#: Centroid-axis chunk for nearest-centroid assignment: per-batch scratch
+#: is O(batch x chunk), never O(batch x n_centroids x dim) — at 4096
+#: centroids the dense 3-D difference tensor would be ~21 GB per 10k-row
+#: batch; chunked it is a few MB regardless of centroid count.
+CENTROID_CHUNK = 256
+
+
+def nearest_centroid(mat: np.ndarray, cents: np.ndarray, chunk: int = CENTROID_CHUNK) -> np.ndarray:
+    """Exact-int64 nearest-centroid ids for each row of ``mat``, chunking
+    the centroid axis so scratch memory is O(rows x chunk).
+
+    Uses the integer identity ||x-c||^2 = x.x - 2 x.c + c.c — int64 matmul
+    is exact (values bounded ~dim*(2*scale)^2 << 2^63), so distances are
+    the same integers the dense difference tensor would produce. Ties break
+    to the SMALLEST centroid id (strict < across chunks + first-argmin
+    within a chunk == global first occurrence, matching np.argmin and the
+    SQL oracle's ORDER BY dist, cluster)."""
+    mat = np.ascontiguousarray(mat, dtype=np.int64)
+    cents = np.ascontiguousarray(cents, dtype=np.int64)
+    xx = (mat * mat).sum(axis=1)
+    best_d = None
+    best_i = None
+    for c0 in range(0, len(cents), chunk):
+        cc = cents[c0 : c0 + chunk]
+        d = xx[:, None] - 2 * (mat @ cc.T) + (cc * cc).sum(axis=1)[None, :]
+        i = d.argmin(axis=1)
+        dm = np.take_along_axis(d, i[:, None], axis=1).ravel()
+        if best_d is None:
+            best_d, best_i = dm, i + c0
+        else:
+            better = dm < best_d
+            best_d = np.where(better, dm, best_d)
+            best_i = np.where(better, i + c0, best_i)
+    return best_i.astype(np.int64)
+
+
+def train_sample_filter(id_col, hex_lt: str = TRAIN_SAMPLE_HEX_LT):
+    """Deterministic hash-sample predicate on the id column, engine-portable
+    (same md5-hex string compare in Spark and DuckDB)."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 4) < hex_lt
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_hex_lt: str | None = TRAIN_SAMPLE_HEX_LT,
 ) -> np.ndarray:
     """Deterministic INTEGER-EXACT coarse quantizer; returns quantized
     centroids as int64 (n_centroids x dim).
 
-    Init = the quantized vectors with the ``n_centroids`` smallest ids
-    (deterministic, seed-free). Each Lloyd iteration assigns every vector to
-    its nearest centroid (vectorized pandas UDF, exact int64 distances,
-    ties to the smallest cluster id) and recomputes centroids JVM-side
-    (posexplode + groupBy(cluster, dim) sum over LONGS — exact, shuffle-
-    order-independent). New centroid element = round-half-up of the mean,
-    computed as floor((2*s + n) / (2*n)) in exact integer arithmetic.
-    Empty clusters keep their previous centroid.
+    Trains on a deterministic md5 hash SAMPLE of the vectors
+    (``sample_hex_lt``, ~25% by default; None = all) — a 10^9-vector index
+    must not shuffle every vector x dim through every Lloyd iteration, and
+    the sample predicate is replayed verbatim by the SQL oracle so results
+    stay hash-matched. Init = the quantized SAMPLED vectors with the
+    ``n_centroids`` smallest ids (deterministic, seed-free). Each Lloyd
+    iteration assigns every sampled vector to its nearest centroid
+    (vectorized pandas UDF, exact int64 distances via
+    :func:`nearest_centroid`, ties to the smallest cluster id) and
+    recomputes centroids JVM-side (posexplode + groupBy(cluster, dim) sum
+    over LONGS — exact, shuffle-order-independent). New centroid element =
+    round-half-up of the mean, computed as floor((2*s + n) / (2*n)) in
+    exact integer arithmetic. Empty clusters keep their previous centroid.
     """
     q = emb.select(F.col(id_col).alias("vid"), quantized_col(F.col(vec_col)).alias("qvec"))
+    if sample_hex_lt is not None:
+        q = q.filter(train_sample_filter(F.col("vid"), sample_hex_lt))
     init_rows = q.orderBy("vid").limit(n_centroids).select("qvec").collect()
+    if len(init_rows) < n_centroids:
+        raise ValueError(
+            f"training sample has {len(init_rows)} vectors < n_centroids={n_centroids}; "
+            "widen sample_hex_lt"
+        )
     centroids = np.stack([np.asarray(r[0], dtype=np.int64) for r in init_rows])
 
     for _ in range(iterations):
@@ -238,10 +304,9 @@ def _assign_udf(centroids: np.ndarray):
     @F.pandas_udf(LongType())
     def assign(vecs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
-        # exact int64 squared L2; values bounded ~dim*(2*scale)^2 << 2^63.
-        # np.argmin ties -> first (smallest cluster id), matching the oracle.
-        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int64))
+        # chunked exact assignment: memory O(batch x CENTROID_CHUNK), not
+        # O(batch x n_centroids x dim); same integers, same tie-break
+        return pd.Series(nearest_centroid(mat, cents))
 
     return assign
 
@@ -255,16 +320,20 @@ def knn_ivf(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_hex_lt: str | None = TRAIN_SAMPLE_HEX_LT,
 ) -> DataFrame:
     """IVF ANN: assign vectors to coarse clusters, search the ``n_probe``
     nearest clusters per probe, exact cosine re-rank. Same output schema as
     :func:`knn_bruteforce`.
 
-    Scale: the index assignment is one map pass; a query touches
-    n_probe/n_centroids of the data — the classic IVF trade measured by
-    :func:`ann_recall`.
+    Scale: training runs on a deterministic hash sample, the index
+    assignment is one map pass with O(batch x CENTROID_CHUNK) scratch, and
+    a query touches n_probe/n_centroids of the data — the classic IVF trade
+    measured by :func:`ann_recall`.
     """
-    centroids = train_ivf_centroids(emb, n_centroids, iterations, id_col, vec_col)
+    centroids = train_ivf_centroids(
+        emb, n_centroids, iterations, id_col, vec_col, sample_hex_lt=sample_hex_lt
+    )
     assign = _assign_udf(centroids)
     indexed = emb.select(
         F.col(id_col).alias("neighbor_id"),
