@@ -415,6 +415,33 @@ _MEDIA_ORACLE = """
     FROM feats GROUP BY kind
 """
 
+#: DuckDB replica of the REAL media decode path: even doc_id -> 8-bit PCM
+#: WAV whose samples are exactly the text bytes (decoded length == text
+#: length); odd doc_id -> binary PPM zero-padded to a 16-wide RGB grid
+#: (decoded length rounds up to 48*ceil(len/48), min 48; the pad bytes are
+#: zeros so byte_sum and hist bin 7 are untouched). The Spark side parses
+#: genuine RIFF/P6 containers built by synthesize_real_media_from_documents;
+#: the oracle replays the header math.
+_MEDIA_REAL_ORACLE = """
+    WITH feats AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(octet_length(encode(text)) AS BIGINT)
+                    ELSE 48 * GREATEST(1, CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT))
+               END AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+               CAST(len(list_filter(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1))), c -> c // 16 = 7)) AS BIGINT) AS hist_bin7
+        FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           CAST(SUM(byte_sum) AS BIGINT) AS byte_sum,
+           CAST(SUM(hist_bin7) AS BIGINT) AS hist_bin7
+    FROM feats GROUP BY kind
+"""
+
 
 def _gate_workdir(prefix: str, max_age_sec: float = 6 * 3600.0) -> str:
     """mkdtemp for a streaming gate query, after sweeping STALE siblings.
@@ -1266,6 +1293,26 @@ def _q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decoding (no fake stand-in): genuine RIFF/PCM WAV and
+    binary-PPM containers synthesized from documents, parsed by the
+    pure-NumPy decoders inside mapInPandas (allow_fake=False), feature
+    stats hash-matched against the oracle's header-math replay."""
+    from tersets_spark.multimodal import (
+        media_features,
+        synthesize_real_media_from_documents,
+    )
+
+    media = synthesize_real_media_from_documents(_docs(spark, sf_dir))
+    feats = media_features(media, allow_fake=False)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("byte_sum").alias("byte_sum"),
+        F.sum(F.element_at("hist16", 8)).alias("hist_bin7"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -1312,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "lang_id_dist": _q_lang_id_dist,
         "media_feature_stats": _q_media_feature_stats,
+        "media_real_decode_stats": _q_media_real_decode_stats,
     }
 
 
@@ -1870,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_ORACLE,
         "lang_id_dist": _lang_id_oracle_sql(),
         "media_feature_stats": _MEDIA_ORACLE,
+        "media_real_decode_stats": _MEDIA_REAL_ORACLE,
         # connected components over the same pairs, via recursive CTE
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),

@@ -5,11 +5,14 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so payload bytes stream through worker memory batch-by-batch
 and never materialize on the driver.
 
-The decode step itself is STUBBED: this container has no image/audio
-libraries, so :func:`decode_payload` raises ``NotImplementedError`` for real
-media kinds unless the deterministic fake decoder is requested. Everything
-Spark-side — schema, partitioning, UDF signature, batch shape — is real and
-tested; swapping the stub for PIL/libav is a one-function change.
+Decoders: WAV (RIFF/PCM, 8- and 16-bit) and PPM (binary P6) are REAL,
+pure-NumPy parsers — no external library needed for uncompressed formats —
+with matching encoders for fixture synthesis. Compressed formats (PNG/JPEG/
+MP3/MP4...) would need PIL/libav, absent in this container, so for payloads
+that are not a recognized uncompressed container :func:`decode_payload`
+raises ``NotImplementedError`` unless the deterministic fake decoder is
+requested. Everything Spark-side — schema, partitioning, UDF signature,
+batch shape — is real and tested either way.
 
 Scale notes (100 TB): payloads dominate the scan; ``media_features`` selects
 only (media_id, kind, payload), so Parquet column pruning drops any sibling
@@ -68,21 +71,147 @@ FEATURE_SCHEMA = StructType(
 _REAL_KINDS = ("image", "audio", "video")
 
 
+# ---------------------------------------------------------------------------
+# real decoders: uncompressed containers need no external library
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Real RIFF/WAVE PCM decoder (pure NumPy): returns uint8 samples.
+
+    Walks the RIFF chunk list (word-aligned, unknown chunks skipped — e.g.
+    LIST/INFO), reads 'fmt ' and 'data'. 8-bit PCM is unsigned by spec and
+    returned verbatim; 16-bit signed PCM is mapped deterministically to
+    uint8 as (s >> 8) + 128 (arithmetic-shift high byte, rebiased).
+    Multichannel data stays interleaved — callers treat samples as a flat
+    signal. Raises ValueError on malformed/unsupported payloads (never a
+    silent fake): truncation, non-PCM codecs, other bit widths."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV codec {audio_format} (PCM only)")
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.uint8)
+    if bits == 16:
+        if len(data) % 2:
+            raise ValueError("odd data length for 16-bit PCM")
+        s = np.frombuffer(data, dtype="<i2").astype(np.int32)
+        return ((s >> 8) + 128).astype(np.uint8)
+    raise ValueError(f"unsupported PCM width {bits}")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal canonical-44-byte-header WAV encoder (mono PCM) for fixture
+    synthesis: uint8 -> 8-bit unsigned PCM, int16 -> 16-bit signed PCM."""
+    samples = np.asarray(samples)
+    if samples.dtype == np.uint8:
+        bits, data = 8, samples.tobytes()
+    elif samples.dtype == np.int16:
+        bits, data = 16, samples.astype("<i2").tobytes()
+    else:
+        raise ValueError(f"encode_wav: unsupported dtype {samples.dtype}")
+    block = bits // 8
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data + (b"\x00" if len(data) & 1 else b"")
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real binary-PPM (P6) decoder: returns the interleaved RGB bytes as a
+    flat uint8 array. Full header grammar: whitespace-separated width /
+    height / maxval with '#' comments, one whitespace byte before the
+    raster. Only maxval <= 255 (1 byte/sample) is supported."""
+    b = payload or b""
+    if b[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    vals, i = [], 2
+    while len(vals) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(b[i:j]))
+        i = j
+    width, height, maxval = vals
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # exactly one whitespace byte before the raster
+    need = width * height * 3
+    data = b[i : i + need]
+    if len(data) < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def encode_ppm(rgb: np.ndarray, width: int, height: int) -> bytes:
+    """Minimal P6 encoder for fixture synthesis; rgb = flat uint8 raster."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.size != width * height * 3:
+        raise ValueError("encode_ppm: raster size != width*height*3")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb.tobytes()
+
+
 def decode_payload(payload: bytes, kind: str, *, allow_fake: bool = False) -> np.ndarray:
     """Decode a media payload into a uint8 sample array.
 
-    Real decoders (PIL / soundfile / libav) are unavailable in this
-    container; for ``kind`` in image/audio/video this raises
-    ``NotImplementedError`` unless ``allow_fake=True``, in which case the
-    deterministic fake decoder (payload bytes verbatim) stands in so the
-    downstream plumbing is exercised end-to-end.
+    On the real path (``allow_fake=False``), uncompressed containers decode
+    for REAL, pure NumPy: RIFF/WAVE PCM (kind='audio'/'video' dumps) and
+    binary PPM (kind='image'), recognized by magic bytes; a recognized
+    container that fails to parse raises ValueError (corrupt media fails
+    loudly, never silently fakes). Compressed formats would need PIL/libav
+    — unavailable in this container — so unrecognized payloads of a real
+    media kind raise ``NotImplementedError``.
+
+    With ``allow_fake=True`` EVERY payload takes the deterministic
+    stand-in (bytes verbatim) — including real containers — so synthetic
+    opaque-byte fixtures are never mis-sniffed (a text payload starting
+    with 'P6' must not be parsed as an image) and fake-path results are
+    bit-stable across releases.
     """
+    b = bytes(payload or b"")
     if kind in _REAL_KINDS and not allow_fake:
+        if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return decode_wav(b)
+        if b[:2] == b"P6":
+            return decode_ppm(b)
         raise NotImplementedError(
-            f"no {kind} decoder available in this environment; "
+            f"no decoder for this {kind} payload in this environment "
+            "(real decoders: RIFF/PCM WAV, binary PPM); "
             "pass allow_fake=True to use the deterministic stand-in"
         )
-    return np.frombuffer(payload or b"", dtype=np.uint8)
+    return np.frombuffer(b, dtype=np.uint8)
 
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -106,6 +235,49 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
             (F.col("n_chars") % 300).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
+
+
+def synthesize_real_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL decodable containers derived
+    deterministically from the documents table: even doc_id -> 8-bit PCM
+    WAV whose samples are the utf-8 text bytes (kind='audio'); odd doc_id
+    -> binary PPM (16 px wide, height = ceil(len/48)) whose raster is the
+    text bytes zero-padded to the 16*h*3 grid (kind='image').
+
+    Runs as Arrow-batched mapInPandas — container assembly is Python, but
+    this is fixture synthesis, not a hot path; real deployments read media
+    payloads straight off storage. The derivation is simple enough that
+    the SQL oracle replays the decoded feature stats exactly (samples ==
+    text bytes; PPM length rounds up to the grid, padding zeros land in
+    histogram bin 0 only)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                if int(doc_id) % 2 == 0:
+                    payloads.append(encode_wav(data, 16000))
+                    kinds.append("audio")
+                    metas.append(
+                        {"width": 0, "height": 0, "sample_rate": 16000, "n_frames": 0}
+                    )
+                else:
+                    w = 16
+                    h = max(1, -(-len(data) // (w * 3)))
+                    raster = np.zeros(w * h * 3, dtype=np.uint8)
+                    raster[: len(data)] = data
+                    payloads.append(encode_ppm(raster, w, h))
+                    kinds.append("image")
+                    metas.append(
+                        {"width": w, "height": h, "sample_rate": 0, "n_frames": 1}
+                    )
+                ids.append(int(doc_id))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def extract_features_batch(pdf: pd.DataFrame, *, allow_fake: bool = True) -> pd.DataFrame:
