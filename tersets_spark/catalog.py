@@ -72,6 +72,7 @@ class TierCatalog:
         self.superseded_grace_sec = superseded_grace_sec
         os.makedirs(base_dir, exist_ok=True)
         self.manifest_path = os.path.join(base_dir, "_manifest.jsonl")
+        self._pinned: int | None = None
 
     # -- manifest ----------------------------------------------------------
     def completed(self, tier: str) -> set[str]:
@@ -162,6 +163,27 @@ class TierCatalog:
         ``read_tier(as_of=...)`` for a consistent historical read (valid
         while superseded run dirs exist, i.e. before vacuum)."""
         return len(self.metrics())
+
+    def pin(self) -> int:
+        """Pin every subsequent :meth:`read_tier` in this catalog handle to
+        the CURRENT manifest snapshot — the cross-tier consistency Iceberg
+        gets from a single table snapshot. Without a pin, a consumer
+        joining 1m+1h while a cascade is committing can read the 1m tier
+        one commit ahead of the 1h tier (each read_tier resolves 'latest'
+        independently); pinned, both reads resolve against one manifest
+        prefix. Returns the snapshot id (also accepted by
+        ``read_tier(as_of=...)`` on other handles).
+
+        A pinned read needs the superseded run dirs to still exist:
+        run with ``auto_vacuum=False`` or a ``superseded_grace_sec``
+        longer than the consumer session — the same retention trade
+        Iceberg's ``expire_snapshots`` makes. :meth:`unpin` restores
+        latest-read semantics."""
+        self._pinned = self.snapshot()
+        return self._pinned
+
+    def unpin(self) -> None:
+        self._pinned = None
 
     def current_runs(self, tier: str, as_of: int | None = None) -> dict[str, str | None]:
         """partition -> current run path (relative to the tier dir), or
@@ -358,7 +380,12 @@ class TierCatalog:
         resolved run dir is vacuumed between our manifest read and the scan
         setup (a concurrent commit superseded it), re-resolve from the
         now-newer manifest and retry — the replacement commit is complete
-        by the time its vacuum could have removed what we resolved."""
+        by the time its vacuum could have removed what we resolved.
+
+        When the catalog handle is pinned (:meth:`pin`) and no explicit
+        ``as_of`` is given, reads resolve against the pinned snapshot."""
+        if as_of is None:
+            as_of = getattr(self, "_pinned", None)
         base = os.path.join(self.base_dir, tier)
         last_err: Exception | None = None
         for _attempt in range(3):

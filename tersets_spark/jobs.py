@@ -130,7 +130,7 @@ def run_cascade(
     num_partitions: int | None = None,
     salt: bool = False,
     with_sketches: bool = False,
-    sketch_kernel: bool = True,
+    sketch_kernel: bool | None = None,
     fail_after_tier: str | None = None,  # test hook for kill/resume
 ) -> dict[str, str]:
     """Run the full cascade; returns tier -> output dir. Resumable.
@@ -149,8 +149,8 @@ def run_cascade(
     distinct registers, merge = max). Same catalog commits, same per-source
     resume, same retention machinery (they carry ``bucket_ts``); upper tiers
     derive from the committed tier below, so the whole family audits with
-    ``validate_tiers``. ``sketch_kernel=True`` (default) builds both 1m
-    levels from ONE fused zero-copy Arrow pass over the token payload
+    ``validate_tiers``. ``sketch_kernel=True`` builds both 1m levels from
+    ONE fused zero-copy Arrow pass over the token payload
     (kernels.sketch_partials_map_in_arrow) — partials staged once, combined
     by two tiny JVM aggregations. ``sketch_kernel=False`` keeps the pure
     expression path (one posexplode aggregation pass PER family; the explode
@@ -159,6 +159,15 @@ def run_cascade(
     the DuckDB-oracled contract queries use, so kernel and expression check
     each other. The 1h/1d levels merge the bounded committed tier below and
     are near-free either way.
+
+    ``sketch_kernel=None`` (default) AUTO-SELECTS: the kernel's HLL stage
+    memoizes an md5 LUT per batch-UNIQUE value — a big win on vocab-sized
+    token domains, but on an unbounded/high-cardinality domain every batch
+    pays a Python md5 loop over ~every value, so there the pure-JVM
+    expression path wins. The chooser probes a bounded token sample
+    (:func:`_auto_sketch_kernel`, documented thresholds) and the decision
+    is reported in the returned dict under ``"_sketch_path"``. Both paths
+    are bit-identical, so the choice is performance-only.
     """
     ensure_shipped(spark)
     # superseded_grace: a CONCURRENT cascade's reader may still be scanning
@@ -230,10 +239,14 @@ def run_cascade(
             raise RuntimeError(f"injected failure after {tier} tier")
 
     tiers_out = ["raw", "1m", "1h", "1d"]
+    sketch_path = None
     if with_sketches:
         from .hll import hll_registers, merge_registers
         from .sketch import merge_sketch, sketch as hdr_sketch
 
+        if sketch_kernel is None:
+            sketch_kernel = _auto_sketch_kernel(seq)
+        sketch_path = "kernel" if sketch_kernel else "expression"
         pend_psk = pending_for("psk_1m")
         pend_hll = pending_for("hll_1m")
         stage_dir = None
@@ -283,7 +296,43 @@ def run_cascade(
                     _write_tier(catalog, merge_to_bucket(b, secs, merge), tier, pend)
         tiers_out += list(SKETCH_TIER_NAMES)
 
-    return {t: os.path.join(out_dir, t) for t in tiers_out}
+    out = {t: os.path.join(out_dir, t) for t in tiers_out}
+    if sketch_path is not None:
+        out["_sketch_path"] = sketch_path
+    return out
+
+
+#: Auto-selection thresholds for the fused sketch kernel (see run_cascade):
+#: probe this many tokens; pick the kernel only when the estimated distinct
+#: count is BOTH under the worker LUT cap (kernels._HLL_VALUE_LUT, 1M) and
+#: a small fraction of the probed tokens (memoization actually repays its
+#: Python md5 cost only when values repeat).
+SKETCH_KERNEL_PROBE_TOKENS = 200_000
+SKETCH_KERNEL_MAX_DISTINCT = 1_000_000
+SKETCH_KERNEL_MAX_DISTINCT_FRAC = 0.25
+
+
+def _auto_sketch_kernel(seq: DataFrame) -> bool:
+    """True -> fused Arrow kernel; False -> pure-JVM expression path.
+
+    Probes a bounded token prefix (explode + limit: Catalyst stops the scan
+    after SKETCH_KERNEL_PROBE_TOKENS values, so this reads a handful of
+    row groups, not the corpus) and estimates the value-domain size with
+    approx_count_distinct. Vocab-shaped domains (tokens: ~50k distinct)
+    repeat heavily inside every batch -> the kernel's per-unique md5 memo
+    amortizes to ~zero; unbounded domains (hashes, ids) would pay a Python
+    md5 per value per batch -> expression path. Both paths produce
+    bit-identical tiers, so a wrong guess costs time, never correctness."""
+    probe = seq.select(F.explode("tokens").alias("v")).limit(SKETCH_KERNEL_PROBE_TOKENS)
+    row = probe.agg(
+        F.approx_count_distinct("v").alias("d"), F.count(F.lit(1)).alias("n")
+    ).head()
+    if not row.n:
+        return True
+    return (
+        row.d < SKETCH_KERNEL_MAX_DISTINCT
+        and row.d <= SKETCH_KERNEL_MAX_DISTINCT_FRAC * row.n
+    )
 
 
 def percentiles_from_catalog(

@@ -174,11 +174,66 @@ def default_order_key() -> Column:
     return F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1).try_cast("long")
 
 
+#: Dense-key acceptance slack: the fast path is taken when the key range
+#: (max-min+1) is at most this multiple of the row count. Density bounds
+#: the bucket-offset broadcast at slack * rows / bucket_docs entries (with
+#: unique keys a bucket never EXCEEDS bucket_docs rows either way — the
+#: sparse-key failure mode is too MANY near-empty buckets, not fat ones).
+DENSE_KEY_SLACK = 8
+
+
+def _densify_keys(df: DataFrame) -> DataFrame:
+    """Replace ``_so_key`` with its 0-based global rank, scalably — the
+    sparse-key pre-pass: hash-shaped keys would shatter the DIV-bucketing
+    into ~one bucket per row, making the bucket-offset broadcast
+    data-sized.
+
+    Same two-level trick, one level up: range-repartition the (narrow,
+    unique) key column, rank within each range partition, and add the
+    exclusive prefix of per-partition counts. The keyed projection is
+    localCheckpoint-ed so the count job and the rank window see the SAME
+    sampled range boundaries (two executions of repartitionByRange may
+    sample different splits); only the 8-byte key column is materialized,
+    never the token payload. Ranks join back on the unique key — one
+    equi-join shuffle. Rank VALUES are deterministic (global order of
+    unique keys) regardless of where the sampled boundaries land."""
+    spark = df.sparkSession
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    keys = (
+        df.select("_so_key")
+        .repartitionByRange(n_parts, "_so_key")
+        .withColumn("_so_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_so_pid"]: r["n"]
+        for r in keys.groupBy("_so_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs, acc = {}, 0
+    for pid in range(n_parts):
+        offs[pid] = acc
+        acc += counts.get(pid, 0)
+    off_expr = F.element_at(
+        F.array(*[F.lit(offs[p]) for p in range(n_parts)]), F.col("_so_pid") + 1
+    )
+    w = Window.partitionBy("_so_pid").orderBy("_so_key")
+    ranks = keys.select(
+        "_so_key",
+        (F.row_number().over(w) - 1 + off_expr).cast("long").alias("_so_rank"),
+    )
+    return (
+        df.join(ranks, "_so_key")
+        .drop("_so_key")
+        .withColumnRenamed("_so_rank", "_so_key")
+    )
+
+
 def sequence_offsets(
     seq: DataFrame,
     cost: Column,
     order_key: Column | None = None,
     bucket_docs: int = 65536,
+    dense_keys: bool | None = None,
 ) -> DataFrame:
     """Exclusive running sum of ``cost`` over documents in ``order_key``
     order, as ``pack_start`` (long) — i.e. each document's first position
@@ -199,6 +254,15 @@ def sequence_offsets(
     the bucket equi-join (dropping the doc AND shifting every later
     offset), so it fails fast instead.
 
+    Keys must be UNIQUE (they are a total order). ``dense_keys``: the
+    DIV-bucketing in step 1 assumes keys are roughly dense — hash-shaped
+    keys would make the bucket-offset broadcast data-sized. ``None``
+    (default) probes min/max/count (one cheap agg over the key column) and
+    takes the fast path iff the key range is within ``DENSE_KEY_SLACK`` x
+    the row count; otherwise a :func:`_densify_keys` rank pre-pass
+    converts keys to 0-based positions first (ingest-generated monotone
+    row ids always take the fast path). ``True``/``False`` forces.
+
     Output contract: the input columns plus ``pack_start`` — internal
     working columns are dropped (and prefixed ``_so_`` so a caller column
     named e.g. ``_cost`` is never clobbered).
@@ -211,6 +275,17 @@ def sequence_offsets(
         )
     )
     df = seq.withColumn("_so_key", key).withColumn("_so_cost", cost.cast("long"))
+    if dense_keys is None:
+        stats = df.agg(
+            F.min("_so_key").alias("lo"),
+            F.max("_so_key").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        dense_keys = stats.n == 0 or (
+            stats.hi - stats.lo + 1 <= DENSE_KEY_SLACK * stats.n
+        )
+    if not dense_keys:
+        df = _densify_keys(df)
     df = df.withColumn("_so_bucket", F.expr(f"_so_key DIV {int(bucket_docs)}"))
     btot = df.groupBy("_so_bucket").agg(F.sum("_so_cost").alias("_so_btot"))
     wb = Window.orderBy("_so_bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -239,6 +314,7 @@ def pack_sequences(
     sep_token: int | None = None,
     order_key: Column | None = None,
     bucket_docs: int = 65536,
+    dense_keys: bool | None = None,
 ) -> DataFrame:
     """Concat-and-chunk context packing: the documents are laid out
     back-to-back in ``order_key`` order (with ``sep_token`` appended after
@@ -259,7 +335,7 @@ def pack_sequences(
     carries each token once, to its output block.
     """
     cost = (F.col("n_tok").cast("long") + (1 if sep_token is not None else 0)).alias("c")
-    off = sequence_offsets(seq, cost, order_key, bucket_docs)
+    off = sequence_offsets(seq, cost, order_key, bucket_docs, dense_keys)
     toks = (
         F.concat(F.col("tokens"), F.array(F.lit(int(sep_token)).cast("int")))
         if sep_token is not None

@@ -235,6 +235,44 @@ def test_record_if_current_rejects_stale_rewrite(tmp_path):
     assert cat.current_runs("1m")["p1"] == "source=p1/run=dddd"
 
 
+def test_pin_gives_cross_tier_snapshot_consistency(spark, tmp_path):
+    """A consumer joining two tiers under a concurrently-committing cascade
+    must see ONE manifest prefix. Interleave a full-cascade commit between
+    the consumer's 1m read and its 1h read: latest-read semantics serve
+    mixed versions (the documented gap), pinned reads stay consistent."""
+    base = str(tmp_path / "t")
+    cat = TierCatalog(base, auto_vacuum=False)
+
+    def commit_version(v: int):
+        for tier in ("1m", "1h"):
+            cat.write_partition(
+                spark.createDataFrame([(v,)], "version long"), tier, "p0"
+            )
+
+    commit_version(1)
+
+    # --- latest-read consumer: cascade commits BETWEEN its two tier reads
+    v_1m = cat.read_tier(spark, "1m").head().version
+    commit_version(2)  # concurrent cascade
+    v_1h = cat.read_tier(spark, "1h").head().version
+    assert (v_1m, v_1h) == (1, 2), "latest reads should expose the race"
+
+    # --- pinned consumer: same interleaving, one manifest prefix
+    snap = cat.pin()
+    v_1m = cat.read_tier(spark, "1m").head().version
+    commit_version(3)  # concurrent cascade
+    v_1h = cat.read_tier(spark, "1h").head().version
+    assert v_1m == v_1h == 2, f"pinned reads diverged: {v_1m} vs {v_1h}"
+
+    # explicit as_of on another handle resolves the same snapshot
+    other = TierCatalog(base, auto_vacuum=False)
+    assert other.read_tier(spark, "1h", as_of=snap).head().version == 2
+
+    # unpin restores latest-read semantics
+    cat.unpin()
+    assert cat.read_tier(spark, "1h").head().version == 3
+
+
 def test_plain_record_serializes_with_conditional_commits(tmp_path):
     """Every manifest append — including plain record() commits — must go
     through the same sidecar flock record_if_current uses, or a concurrent

@@ -116,6 +116,91 @@ def test_sequence_offsets_two_level_equals_naive(spark):
         assert got == naive, f"bucket_docs={bucket_docs}"
 
 
+def _hash_keyed_seq(spark, n_docs=80, seed=13):
+    """Sequences whose order keys are HASH-SHAPED (sparse 48-bit values):
+    the DIV-bucketing fast path would create ~one bucket per doc."""
+    import hashlib
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_docs):
+        key = int(hashlib.md5(f"k{i}".encode()).hexdigest()[:12], 16)  # 48-bit
+        n = int(rng.integers(1, 30))
+        rows.append(
+            (f"doc_{i:012d}", key, rng.integers(0, 100, n).astype(int).tolist(),
+             n, f"src_{i % 3:02d}")
+        )
+    return spark.createDataFrame(
+        rows, "doc_id string, sort_key long, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_sequence_offsets_sparse_keys_match_duckdb_cumsum(spark):
+    """Hash-shaped keys: the auto dense-probe must fall back to the rank
+    pre-pass and still produce the exact exclusive running sum — replayed
+    by a DuckDB window cumsum over the same (key, cost) pairs."""
+    import duckdb
+
+    from tersets_spark.seqops import sequence_offsets
+
+    seq = _hash_keyed_seq(spark)
+    pdf = seq.select("doc_id", "sort_key", "n_tok").toPandas()
+    oracle = duckdb.sql(
+        """
+        SELECT doc_id,
+               COALESCE(SUM(n_tok) OVER (
+                   ORDER BY sort_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_start
+        FROM pdf
+        """
+    ).df()
+    want = dict(zip(oracle["doc_id"], oracle["pack_start"].astype(int)))
+
+    # small bucket_docs: the fast path would need ~2^48/4 bucket offsets
+    got_df = sequence_offsets(seq, F.col("n_tok"), order_key=F.col("sort_key"),
+                              bucket_docs=4)
+    got = {r["doc_id"]: r["pack_start"] for r in got_df.collect()}
+    assert got == want
+
+    # forcing the dense path off/on explicitly agrees too
+    forced = sequence_offsets(seq, F.col("n_tok"), order_key=F.col("sort_key"),
+                              bucket_docs=4, dense_keys=False)
+    assert {r["doc_id"]: r["pack_start"] for r in forced.collect()} == want
+
+
+def test_pack_sparse_keys_matches_python_reference(spark):
+    """Full pack over hash-shaped keys == the plain-Python packer run in
+    key order (seq_pack_blocks' dense-key behavior is untouched — this is
+    the new fallback path end-to-end)."""
+    from tersets_spark.seqops import pack_sequences
+
+    seq = _hash_keyed_seq(spark, n_docs=40, seed=21)
+    docs = [r["tokens"] for r in seq.orderBy("sort_key").collect()]
+    ctx = 16
+    got = {
+        r["block_id"]: r
+        for r in pack_sequences(
+            seq, ctx=ctx, sep_token=None, order_key=F.col("sort_key"), bucket_docs=4
+        ).collect()
+    }
+    blocks, n_docs_b, n_starts = _pack_py(docs, ctx, None)
+    assert set(got) == set(blocks)
+    for b in blocks:
+        assert got[b]["tokens"] == blocks[b], f"block {b}"
+        assert got[b]["n_docs"] == n_docs_b[b]
+        assert got[b]["n_starts"] == n_starts[b]
+
+
+def test_dense_probe_keeps_fast_path_for_monotone_ids(spark):
+    """Dense ingest ids must NOT trigger the rank pre-pass: the plan stays
+    free of a second range-exchange + join (plan-shape regression)."""
+    from tersets_spark.seqops import sequence_offsets
+
+    seq = _mk_seq(spark, [3, 5, 2, 8])
+    plan = sequence_offsets(seq, F.col("n_tok"))._jdf.queryExecution().optimizedPlan().toString()
+    assert "_so_rank" not in plan
+
+
 def test_token_stats_known_answer(spark):
     from tersets_spark.seqops import token_stats
 

@@ -52,6 +52,50 @@ def test_frexp_bitlen_matches_bin_length():
     assert np.array_equal(bitlen, expected)
 
 
+def test_auto_selects_kernel_on_vocab_domain(spark, seq_path, tmp_path):
+    """Default (sketch_kernel=None): token-vocab inputs repeat heavily, so
+    the fused kernel is chosen — same behavior the old hardcoded default
+    had on the contract fixtures."""
+    out = str(tmp_path / "auto_vocab")
+    dirs = run_cascade(spark, seq_path, out, with_sketches=True)
+    assert dirs["_sketch_path"] == "kernel"
+
+
+def test_auto_selects_expression_on_high_cardinality(spark, tmp_path):
+    """>=10^6 DISTINCT non-token values: the auto-chooser must take the
+    pure-JVM expression path (the kernel's per-unique Python md5 loop
+    degrades on unbounded domains), and the tiers must equal an explicit
+    kernel run — the choice is performance-only."""
+    import pyarrow as pa
+
+    n_docs, per_doc = 1100, 1000  # 1.1M tokens, ALL distinct values
+    tokens = [
+        np.arange(i * per_doc, (i + 1) * per_doc, dtype=np.int64).tolist()
+        for i in range(n_docs)
+    ]
+    p = str(tmp_path / "hc.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [f"d{i}" for i in range(n_docs)],
+                "tokens": tokens,
+                "n_tok": pa.array([per_doc] * n_docs, type=pa.int32()),
+                "source": [f"src_{i % 3:02d}" for i in range(n_docs)],
+                "ts0": pa.array([1_700_000_000 + i for i in range(n_docs)], type=pa.int64()),
+            }
+        ),
+        p,
+    )
+    out_auto = str(tmp_path / "auto")
+    dirs = run_cascade(spark, p, out_auto, with_sketches=True, with_blocks=False)
+    assert dirs["_sketch_path"] == "expression"
+    out_k = str(tmp_path / "kern")
+    run_cascade(spark, p, out_k, with_sketches=True, with_blocks=False,
+                sketch_kernel=True)
+    for tier in ("psk_1m", "hll_1m"):
+        assert _tier_rows(spark, out_auto, tier) == _tier_rows(spark, out_k, tier), tier
+
+
 def test_kernel_rejects_negative_tokens(spark, tmp_path):
     import pyarrow as pa
 
