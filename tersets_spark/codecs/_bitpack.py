@@ -15,8 +15,9 @@ _ONE = np.uint64(1)
 _SIXTYFOUR = np.uint64(64)
 
 
-def bit_length_u64(x: np.ndarray) -> np.ndarray:
-    """Vectorized bit length of uint64 values (0 -> 0)."""
+def _bit_length_u64_ref(x: np.ndarray) -> np.ndarray:
+    """Reference bit length (6 masked shift passes) — kept for the
+    differential test pinning the frexp fast path below."""
     x = x.astype(np.uint64, copy=True)
     bl = np.zeros(x.shape, dtype=np.int64)
     for k in (32, 16, 8, 4, 2, 1):
@@ -27,18 +28,53 @@ def bit_length_u64(x: np.ndarray) -> np.ndarray:
     return bl
 
 
+def bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 values (0 -> 0).
+
+    frexp exponent of an EXACT float64 equals the bit length; a uint64 ->
+    float64 conversion rounds above 2^53 (2^k - 1 can round UP to 2^k and
+    overstate by one), so split into 32-bit halves — each half is < 2^32,
+    far inside float64 exactness. ~3 cheap passes vs the 6 masked
+    shift/copy passes of the reference (the Gorilla clz/ctz hot path)."""
+    x = np.asarray(x, dtype=np.uint64)
+    hi = (x >> np.uint64(32)).astype(np.float64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    bl_hi = np.frexp(hi)[1]  # 0 -> 0
+    bl_lo = np.frexp(lo)[1]
+    return np.where(bl_hi > 0, 32 + bl_hi, bl_lo).astype(np.int64)
+
+
 def clz64(x: np.ndarray) -> np.ndarray:
     """Vectorized count-leading-zeros for uint64 (0 -> 64)."""
     return 64 - bit_length_u64(x)
 
 
 def ctz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-trailing-zeros for uint64 (0 -> 64)."""
+    """Vectorized count-trailing-zeros for uint64 (0 -> 64).
+
+    The isolated lowest set bit is a power of two, and EVERY power of two
+    up to 2^63 converts to float64 exactly, so a single frexp gives its
+    exponent — one pass instead of a bit-length cascade."""
     x = np.asarray(x, dtype=np.uint64)
     low = x & (np.uint64(0) - x)  # isolate lowest set bit (two's complement)
-    out = bit_length_u64(low) - 1
+    out = (np.frexp(low.astype(np.float64))[1] - 1).astype(np.int64)
     out[x == 0] = 64
     return out
+
+
+def or_scatter_monotone(words: np.ndarray, w: np.ndarray, contrib: np.ndarray) -> None:
+    """``words[w] |= contrib`` elementwise-accumulating, REQUIRING ``w``
+    nondecreasing (true for every bit-stream scatter here: bit offsets are
+    running sums). Groups equal word indices with one ``bitwise_or.
+    reduceat`` — orders of magnitude faster than ``np.bitwise_or.at``'s
+    per-element dispatch."""
+    if len(w) == 0:
+        return
+    first = np.zeros(len(w), dtype=bool)
+    first[0] = True
+    first[1:] = w[1:] != w[:-1]
+    idx = np.flatnonzero(first)
+    words[w[idx]] |= np.bitwise_or.reduceat(contrib, idx)
 
 
 def _mask(lengths: np.ndarray) -> np.ndarray:
@@ -67,11 +103,11 @@ def pack_bits(values: np.ndarray, lengths: np.ndarray) -> tuple[bytes, int]:
     vals = values & _mask(lengths)
     w = (offsets >> np.uint64(6)).astype(np.int64)
     s = offsets & np.uint64(63)
-    np.bitwise_or.at(words, w, vals << s)
+    or_scatter_monotone(words, w, vals << s)  # offsets are a running sum
     has_hi = s > 0
     if np.any(has_hi):
         hi = vals[has_hi] >> (_SIXTYFOUR - s[has_hi])
-        np.bitwise_or.at(words, w[has_hi] + 1, hi)
+        or_scatter_monotone(words, w[has_hi] + 1, hi)
     return words.astype("<u8").tobytes(), total
 
 

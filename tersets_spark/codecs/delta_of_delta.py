@@ -196,11 +196,15 @@ def _segmented_pack(
         vals = values.astype(np.uint64) & _pack_mask(lengths)
         w = (offsets >> np.uint64(6)).astype(np.int64)
         s = offsets & np.uint64(63)
-        np.bitwise_or.at(words, w, vals << s)
+        # offsets are nondecreasing across segments too (each segment's
+        # word budget covers its bits, so the next word_base never backs up)
+        from ._bitpack import or_scatter_monotone
+
+        or_scatter_monotone(words, w, vals << s)
         has_hi = s > 0
         if np.any(has_hi):
             hi = vals[has_hi] >> (np.uint64(64) - s[has_hi])
-            np.bitwise_or.at(words, w[has_hi] + 1, hi)
+            or_scatter_monotone(words, w[has_hi] + 1, hi)
     return words.astype("<u8").view(np.uint8)
 
 

@@ -62,6 +62,94 @@ def compress(values: np.ndarray, error_bound: float = 0.0) -> bytes:
     )
 
 
+def compress_blocks(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
+    """Batched compression of many segments of one flat int64 token array.
+
+    Byte-identical to ``compress(flat[s:e].astype(float64))`` per segment
+    (without the method byte), but amortizes all NumPy work across the
+    batch — one float64 widen + one global XOR pass + one global
+    clz/ctz/meaningful extraction + ONE global bit-pack per stream
+    (segments padded exactly like a standalone ``pack_bits``/``packbits``
+    call), then per-segment byte slicing. Same shape as
+    ``delta_of_delta.compress_blocks``, whose helpers it reuses — this is
+    what keeps Gorilla off the per-row-Python-call slow path in
+    ``kernels.compress_map_in_arrow``.
+    """
+    from .delta_of_delta import _ranges_concat, _segmented_pack
+
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    nseg = len(starts)
+    if nseg == 0:
+        return []
+    lens = ends - starts
+    if np.any(lens <= 0):
+        raise UnsupportedInputError("empty input")
+
+    bits = flat.astype(np.float64).view(np.uint64)
+    xall = np.zeros(len(bits), dtype=np.uint64)
+    if len(bits) > 1:
+        xall[1:] = bits[1:] ^ bits[:-1]
+
+    # per-segment xor stream = positions (start, end); empty for n=1 rows
+    stream_lens = lens - 1
+    idx = _ranges_concat(starts + 1, ends)
+    seg_of = np.repeat(np.arange(nseg), stream_lens)
+    xs_stream = xall[idx]
+    nzmask = xs_stream != 0
+
+    # ctrl stream: per-segment little-bit-order packbits, byte-padded —
+    # scatter the nz bits into one global byte-aligned bit canvas, pack once
+    ctrl_bytes = (stream_lens + 7) // 8
+    ctrl_base_bits = np.zeros(nseg, dtype=np.int64)
+    np.cumsum(ctrl_bytes[:-1] * 8, out=ctrl_base_bits[1:])
+    stream_base = np.zeros(nseg, dtype=np.int64)
+    np.cumsum(stream_lens[:-1], out=stream_base[1:])
+    within = np.arange(len(xs_stream), dtype=np.int64) - stream_base[seg_of]
+    canvas = np.zeros(int(ctrl_bytes.sum()) * 8, dtype=np.uint8)
+    canvas[(ctrl_base_bits[seg_of] + within)[nzmask]] = 1
+    ctrl_buf = np.packbits(canvas, bitorder="little").tobytes()
+    ctrl_off = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(ctrl_bytes, out=ctrl_off[1:])
+
+    # non-zero xors: lz/ml byte streams + one segmented meaningful-bit pack
+    xs = xs_stream[nzmask]
+    seg_nz = seg_of[nzmask]
+    lz = clz64(xs)
+    tz = ctz64(xs)
+    ml = 64 - lz - tz
+    meaningful = xs >> tz.astype(np.uint64)
+    k = np.bincount(seg_nz, minlength=nseg).astype(np.int64)
+    k_off = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(k, out=k_off[1:])
+    pay_bits = np.zeros(nseg, dtype=np.int64)
+    np.add.at(pay_bits, seg_nz, ml)
+    pay_words = np.where(k > 0, (pay_bits + 63) // 64 + 1, 0)
+    pay_buf = _segmented_pack(meaningful, ml.astype(np.uint64), seg_nz, pay_words, nseg)
+    pay_off = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(pay_words, out=pay_off[1:])
+
+    lz8 = lz.astype(np.uint8).tobytes()
+    ml8 = ml.astype(np.uint8).tobytes()
+    first_bits = bits[starts]
+    out: list[bytes] = []
+    for i in range(nseg):
+        n = int(lens[i])
+        header = struct.pack("<IQ", n, int(first_bits[i]))
+        if n == 1:
+            out.append(header)
+            continue
+        out.append(
+            header
+            + ctrl_buf[ctrl_off[i] : ctrl_off[i + 1]]
+            + lz8[k_off[i] : k_off[i + 1]]
+            + ml8[k_off[i] : k_off[i + 1]]
+            + bytes(pay_buf[pay_off[i] * 8 : pay_off[i + 1] * 8])
+        )
+    return out
+
+
 def decompress(blob: bytes) -> np.ndarray:
     if len(blob) < 12:
         raise UnsupportedInputError("gorilla blob too short")

@@ -241,23 +241,29 @@ def _list_column_flat(batch, name: str) -> tuple[np.ndarray, np.ndarray]:
 def compress_map_in_arrow(method: Method, out_col: str = "blob", drop_tokens: bool = True):
     """mapInArrow transform: add a binary codec-blob column for `tokens`.
 
-    DeltaOfDelta uses the batched multi-block encoder over the ListArray's
-    flat buffer; other methods fall back to per-row kernel calls.
+    DeltaOfDelta and GorillaXOR use their batched multi-block encoders over
+    the ListArray's flat buffer (one set of global NumPy passes per batch);
+    other methods fall back to per-row kernel calls.
     """
     import pyarrow as pa
 
     method = Method(method)
 
     def _gen(batches):
-        from .codecs import delta_of_delta
+        from .codecs import delta_of_delta, gorilla
 
-        tail = bytes([int(Method.DeltaOfDelta)])
+        tail = bytes([int(method)])
         for batch in batches:
             flat, offsets = _list_column_flat(batch, "tokens")
             if method == Method.DeltaOfDelta:
                 blobs = [
                     b + tail
                     for b in delta_of_delta.compress_blocks(flat, offsets[:-1], offsets[1:])
+                ]
+            elif method == Method.GorillaXOR:
+                blobs = [
+                    b + tail
+                    for b in gorilla.compress_blocks(flat, offsets[:-1], offsets[1:])
                 ]
             else:
                 blobs = [

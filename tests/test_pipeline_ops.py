@@ -47,6 +47,50 @@ def test_compress_blocks_edge_segments(segment):
 
 
 # ---------------------------------------------------------------------------
+# batched gorilla xor
+# ---------------------------------------------------------------------------
+
+
+def test_gorilla_blocks_byte_identical_to_scalar():
+    from tersets_spark.codecs import gorilla
+
+    flat = RNG.integers(0, 50257, 50_000).astype(np.int64)
+    flat[10_000:20_000] = np.repeat(RNG.integers(0, 100, 100), 100)  # zero-xor runs
+    cuts = np.sort(RNG.choice(np.arange(1, len(flat)), 999, replace=False))
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(flat)]))
+    batched = gorilla.compress_blocks(flat, starts, ends)
+    for s, e, blob in zip(starts, ends, batched):
+        assert blob == gorilla.compress(flat[s:e].astype(np.float64))
+        assert np.array_equal(gorilla.decompress(blob), flat[s:e].astype(np.float64))
+
+
+@pytest.mark.parametrize(
+    "segment",
+    [[5], [5, 9], [5, 5], [5, 9, 13], [7] * 10, [0, 2**40, -(2**40), 17], list(range(100))],
+)
+def test_gorilla_blocks_edge_segments(segment):
+    from tersets_spark.codecs import gorilla
+
+    a = np.asarray(segment, dtype=np.int64)
+    got = gorilla.compress_blocks(a, np.array([0]), np.array([len(a)]))[0]
+    assert got == gorilla.compress(a.astype(np.float64))
+    assert np.array_equal(gorilla.decompress(got), a.astype(np.float64))
+
+
+def test_gorilla_blocks_many_tiny_segments():
+    from tersets_spark.codecs import gorilla
+
+    flat = RNG.integers(0, 1000, 3000).astype(np.int64)
+    starts = np.arange(0, 3000, 3)
+    ends = starts + 3
+    # mix in all-equal segments (k=0 payload: empty pack_bits buffer)
+    flat[300:600] = 42
+    for s, e, blob in zip(starts, ends, gorilla.compress_blocks(flat, starts, ends)):
+        assert blob == gorilla.compress(flat[s:e].astype(np.float64))
+
+
+# ---------------------------------------------------------------------------
 # minhash / simhash kernels
 # ---------------------------------------------------------------------------
 

@@ -124,6 +124,27 @@ def main() -> None:
     print(f"DoD batched: {offsets[-1] / dt:,.0f} tokens/s", file=sys.stderr)
     assert n_blobs == len(offsets) - 1
 
+    # batched Gorilla encoder (round 4): same protocol as the DoD block
+    from tersets_spark.codecs import gorilla
+
+    t0 = time.perf_counter()
+    n_blobs = 0
+    for i in range(0, len(offsets) - 1, batch_rows):
+        seg = offsets[i : i + batch_rows + 1]
+        base = seg[0]
+        n_blobs += len(
+            gorilla.compress_blocks(
+                flat[base : seg[-1]], seg[:-1] - base, seg[1:] - base
+            )
+        )
+    dt = time.perf_counter() - t0
+    lines.append(
+        f"| GorillaXOR (batched multi-block, 256-row batches) | {offsets[-1] / dt:,.0f} "
+        "| cascade hot path for compress_method=GorillaXOR |"
+    )
+    print(f"Gorilla batched: {offsets[-1] / dt:,.0f} tokens/s", file=sys.stderr)
+    assert n_blobs == len(offsets) - 1
+
     # LTTB downsampling (not a codec, but benched here so the operator has a
     # recorded per-core number). The PRODUCTION path is the batched C kernel
     # lttb_batch (what lttb_udf routes every Arrow batch through); the pure-
@@ -161,6 +182,23 @@ def main() -> None:
     )
 
     lines += [
+        "",
+        "### Round-4 before/after (same protocol, same input)",
+        "",
+        "| change | before | after |",
+        "|---|---|---|",
+        "| GorillaXOR encoder: batched multi-block (gorilla.compress_blocks, "
+        "byte-identical to per-row compress; one global widen/xor/clz/ctz + "
+        "one segmented bit-pack per Arrow batch) | 2.9M tok/s per-row | see "
+        "table (batched row) |",
+        "| clz64/ctz64: 6-pass masked shift cascade -> frexp on exact "
+        "float64 halves (hi/lo 32-bit split; isolated low bit is a power of "
+        "two, exact to 2^63) | — | shared by Gorilla per-row AND batched "
+        "(~2x on the xor-control stage) |",
+        "| pack_bits / _segmented_pack scatter: np.bitwise_or.at -> "
+        "bitwise_or.reduceat over the monotone word index "
+        "(or_scatter_monotone) | — | benefits DoD + Gorilla + every "
+        "pack_bits caller |",
         "",
         "### Round-3 before/after (same protocol, same input)",
         "",
