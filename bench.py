@@ -126,17 +126,37 @@ def run_default(cpus: int, seq_path: str, total_tokens: int, n_runs: int) -> dic
             r = run_cascade_once(spark, seq_path, total_tokens)
             log(f"default-mode run {i + 1}/{n_runs}: {r}")
             runs.append(r)
-        # evidence field, not part of the headline: the same cascade with the
-        # psk_*/hll_* sketch tiers materialized (one run; compare to the
-        # headline to see the sketch families' marginal cost)
-        sk = run_cascade_once(spark, seq_path, total_tokens, with_sketches=True)
-        log(f"default-mode with_sketches run (evidence): {sk}")
+        # evidence runs, not part of the headline: the same cascade with the
+        # psk_*/hll_* sketch tiers materialized — SAME protocol as the core
+        # cascade (one discarded warmup + best-of-N), with a Spark-free DRAM
+        # probe recorded per run so a throttled-window outlier is visible in
+        # the JSON instead of masquerading as sketch cost (round 3 recorded
+        # a single 75.8 s run from a window whose probe read 61.8 while the
+        # per-tier walls were 2-3x their quiet values)
+        sk_warm = run_cascade_once(spark, seq_path, total_tokens, with_sketches=True)
+        log(f"with_sketches warmup (discarded): {sk_warm}")
+        sk_runs = []
+        for i in range(n_runs):
+            r = run_cascade_once(spark, seq_path, total_tokens, with_sketches=True)
+            r["host_stream_melem_s"] = host_stream_probe()
+            log(f"with_sketches run {i + 1}/{n_runs}: {r}")
+            sk_runs.append(r)
     finally:
         spark.stop()
     best = min(runs, key=lambda r: r["total_sec"])
     best["all_runs_sec"] = [r["total_sec"] for r in runs]
     best["median_sec"] = round(statistics.median(r["total_sec"] for r in runs), 3)
-    best["with_sketch_tiers_sec"] = sk["total_sec"]
+    sk_best = min(sk_runs, key=lambda r: r["total_sec"])
+    best["with_sketch_tiers_sec"] = sk_best["total_sec"]
+    best["with_sketch_tiers_per_tier_sec"] = sk_best["per_tier_sec"]
+    best["with_sketch_runs"] = [
+        {
+            "total_sec": r["total_sec"],
+            "per_tier_sec": r["per_tier_sec"],
+            "host_stream_melem_s": r["host_stream_melem_s"],
+        }
+        for r in sk_runs
+    ]
     return best
 
 
@@ -255,6 +275,8 @@ def main() -> None:
         "all_runs_sec": r["all_runs_sec"],
         "median_sec": r["median_sec"],
         "with_sketch_tiers_sec": r["with_sketch_tiers_sec"],
+        "with_sketch_tiers_per_tier_sec": r["with_sketch_tiers_per_tier_sec"],
+        "with_sketch_runs": r["with_sketch_runs"],
         "host_stream_melem_s": probe,
         "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
     }))

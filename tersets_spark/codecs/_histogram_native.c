@@ -276,9 +276,11 @@ static void mabr_improve(double area, double angle, double min_x, double max_x,
 /* then exactly evaluates ONLY the edges whose interval can contain   */
 /* the global minimum.  The winner's floats come from the exact scan, */
 /* so the result is bit-identical to the full scan:                   */
-/*   - every edge e has exact_area(e) in [lo_e, hi_e] (error budget   */
-/*     3e-14 * magnitude covers value rounding, the trig-vs-dot/len   */
-/*     discrepancy, and the walk's <= 2-ulp extreme slack);           */
+/*   - every edge e has exact_area(e) in [lo_e, hi_e]: a relative     */
+/*     3e-14 budget covers the dot/cross value rounding, and an       */
+/*     ABSOLUTE 64*eps*R*(wx+wy) term covers the trig-vs-true-        */
+/*     rotation discrepancy, which is unbounded RELATIVE to the area  */
+/*     when the thin rectangle side collapses (ang_err comment below);*/
 /*   - hence the first edge attaining the global min is always a      */
 /*     candidate, and iterating candidates in combined order with     */
 /*     the same strict-< rule picks exactly that edge.                */
@@ -512,8 +514,25 @@ static int mabr_line(const Point *points, long n, long n_lower,
         double sy_lo = fmax(cmax - err_c, quirk) - (cmin + err_c);
         if (sx_lo < 0.0) sx_lo = 0.0;
         if (sy_lo < 0.0) sy_lo = 0.0;
-        double hi = (sx_hi / len) * (sy_hi / len) * (1.0 + 1e-12) + 1e-300;
-        double lo = (sx_lo / len) * (sy_lo / len) * (1.0 - 1e-12);
+        /* The interval must contain the TRIG-computed area (that's what
+         * mabr_edge_exact compares), not just the true dot/cross area.
+         * The trig path rotates by atan2->cos/sin: the effective rotation
+         * direction is off by up to a few ulps of the ANGLE, perturbing
+         * each rotated coordinate by up to ~|p| * eps and each rectangle
+         * WIDTH by twice that, so the trig area deviates from the true
+         * area by up to ~C * eps * R * (wx + wy) ABSOLUTE — which is
+         * unbounded RELATIVE to the area as the thin side collapses
+         * (found by hypothesis: [0,0,1,0,999999990,1,0], where the trig
+         * area sits 8 above the true area and a 3e-14-relative interval
+         * pruned the true winner). C = 64 covers atan2 (<=1 ulp of a
+         * value <= pi), correctly-rounded cos/sin, and the two
+         * mul/sub roundings per coordinate, with >4x margin. */
+        double wx_hi = sx_hi / len, wy_hi = sy_hi / len;
+        double ang_err = 64.0 * DBL_EPSILON * (t_mag + v_mag) * (wx_hi + wy_hi)
+                         + 1e-300;
+        double hi = wx_hi * wy_hi * (1.0 + 1e-12) + ang_err;
+        double lo = (sx_lo / len) * (sy_lo / len) * (1.0 - 1e-12) - ang_err;
+        if (lo < 0.0) lo = 0.0;
         g_lo[i] = lo;
         if (hi < min_hi) min_hi = hi;
     }

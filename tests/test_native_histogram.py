@@ -91,6 +91,13 @@ ADVERSARIAL = [
     np.round(0.5 * _T + 700.0 + RNG.uniform(-1, 1, 3000)),  # worst real doc
     1e6 * np.sin(_T * 2 * np.pi / 3000) + _T,             # near-circle
     np.floor(_T / 97.0) * 97.0 + np.round(np.sin(_T / 7.0) * 3.0),  # mixed
+    # thin-rectangle MABR: one huge outlier collapses the short rectangle
+    # side, where the trig area deviates from the dot/cross area by an
+    # amount UNBOUNDED relative to the area — the hypothesis-found input
+    # that pruned the true winner before the ang_err interval widening
+    np.array([0.0, 0.0, 1.0, 0.0, 999999990.0, 1.0, 0.0]),
+    np.array([0.0, 0.0, 1.0, 0.0, -999999990.0, 1.0, 0.0]),  # mirrored
+    np.concatenate([np.zeros(40), [1e12], np.ones(40), [5.0, -3.0]]),
 ]
 
 
