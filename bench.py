@@ -356,6 +356,8 @@ def _write_baseline_md(
         "| sf1.6, seed 42 | 1,175,716,595 | local[32] unpinned | 37.13 | 31,662,431 |",
         "| sf1.6, seed 42 | 1,175,716,595 | local[8] pinned 0-7 | 96.03 | 12,243,846 |",
         "| sf1.6, seed 42 | 1,175,716,595 | local[32] pinned 0-31 | 39.93 | 29,447,223 |",
+        "| sf1.6, seed 42 (round-4 code, mid-throttle window: probes 40-76) "
+        "| 1,175,716,595 | local[32] unpinned | 64.13 | 18,333,332 |",
         "",
         "Full retention cascade (raw -> 1m -> 1h -> 1d), warmup discarded,",
         "fresh output dir. 12x the scaling-gate input on one node with zero",
