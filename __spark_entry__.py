@@ -1293,6 +1293,32 @@ def _q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (seqops.split_assign): one
+    JVM CASE over an md5-prefix string compare — stable across runs and
+    engines, salt-keyed, map-only. Gate output: per (source, split) doc
+    and token totals, hash-matched against a DuckDB CASE replica using
+    the identical thresholds."""
+    from tersets_spark.seqops import split_assign
+
+    df = split_assign(_sequences(spark, sf_dir))
+    return df.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("tokens"),
+    )
+
+
+def _q_seq_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-served curation gate (seqops.length_gate_by_sketch): the
+    per-source p99 document length comes from the bounded HDR sketch of
+    n_tok (no corpus sort/window), thresholds broadcast back, documents
+    gated map-side. Integer-exact end to end, so the oracle replays both
+    the sketch percentile and the gate."""
+    from tersets_spark.seqops import length_gate_by_sketch
+
+    return length_gate_by_sketch(_sequences(spark, sf_dir), pct=99)
+
+
 def _q_media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decoding (no fake stand-in): genuine RIFF/PCM WAV and
     binary-PPM containers synthesized from documents, parsed by the
@@ -1360,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_dist": _q_lang_id_dist,
         "media_feature_stats": _q_media_feature_stats,
         "media_real_decode_stats": _q_media_real_decode_stats,
+        "seq_split_stats": _q_seq_split_stats,
+        "seq_length_gate": _q_seq_length_gate,
     }
 
 
@@ -1370,6 +1398,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     seq = _seq_path_sql()
+    from tersets_spark.seqops import split_thresholds
+
+    split_when = " ".join(
+        f"WHEN substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}' THEN '{name}'"
+        for name, thr in split_thresholds(
+            {"train": 0.98, "val": 0.01, "test": 0.01}
+        )[:-1]
+    )
     pts = f"""
         SELECT doc_id, source,
                ts0 + unnest(generate_series(0, n_tok - 1)) AS ts,
@@ -1724,6 +1761,55 @@ def oracle_sql() -> dict[str, str]:
         # HDR sketch replica: same integer bucket math (bit-length + top-5
         # bits), one-shot over raw points — equality with the Spark side's
         # per-1m-bucket build + merge proves the sketch re-aggregates exactly
+        # split thresholds generated by the SAME helper the engine uses —
+        # lowercase-hex string compare is the numeric compare in both engines
+        "seq_split_stats": f"""
+            WITH a AS (
+                SELECT source, n_tok,
+                       CASE {split_when} ELSE 'test' END AS split
+                FROM read_parquet('{seq}')
+            )
+            SELECT source, split,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS tokens
+            FROM a GROUP BY 1, 2
+        """,
+        # sketch-served length gate: replay the HDR-sketch p99 of n_tok
+        # (same integer bit-length bucket math as sketch_percentiles),
+        # then the same broadcast-threshold gate
+        "seq_length_gate": f"""
+            WITH sk AS (
+                SELECT source,
+                       CAST(length(bin(n_tok)) * 32
+                            + (n_tok >> greatest(length(bin(n_tok)) - 5, 0)) AS BIGINT)
+                           AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM read_parquet('{seq}') GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT source, bucket_id,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY bucket_id) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS total
+                FROM sk
+            ),
+            hit AS (
+                SELECT source, MIN(bucket_id) AS bucket_id
+                FROM c WHERE cum * 100 >= 99 * total GROUP BY 1
+            ),
+            thr AS (
+                SELECT source,
+                       CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                            AS BIGINT) AS p_est
+                FROM hit
+            )
+            SELECT s.source, t.p_est,
+                   CAST(COUNT(*) FILTER (WHERE s.n_tok <= t.p_est) AS BIGINT) AS kept_docs,
+                   CAST(COUNT(*) FILTER (WHERE s.n_tok > t.p_est) AS BIGINT) AS dropped_docs,
+                   CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.n_tok <= t.p_est), 0) AS BIGINT) AS kept_tokens,
+                   CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.n_tok > t.p_est), 0) AS BIGINT) AS dropped_tokens
+            FROM read_parquet('{seq}') s JOIN thr t USING (source)
+            GROUP BY 1, 2
+        """,
         "sketch_percentiles": f"""
             WITH pts AS (
                 SELECT source, unnest(tokens) AS v FROM read_parquet('{seq}')

@@ -413,3 +413,93 @@ def token_stats(seq: DataFrame, top_k: int = 10) -> DataFrame:
         .join(F.broadcast(totals), "source")
         .select("source", "rank", "token", "cnt", "source_tokens", "source_vocab")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment + sketch-served length gating
+# ---------------------------------------------------------------------------
+
+#: hex digits of md5 used for split thresholds (32 bits of headroom:
+#: fraction granularity 2^-32, far finer than any split spec).
+SPLIT_HEX_DIGITS = 8
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str | None]]:
+    """(split, upper-threshold-hex) pairs from ordered fractions.
+
+    Thresholds are cumulative fractions scaled to 16^SPLIT_HEX_DIGITS and
+    formatted as lowercase hex — lowercase hex sorts numerically, so a
+    plain string compare against the md5 prefix IS the numeric compare in
+    Spark and DuckDB alike. The LAST split carries no threshold (it is the
+    CASE else-branch): a full-range threshold would need one more digit
+    than the md5 prefix and break the string compare."""
+    if not fractions or abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must be non-empty and sum to 1")
+    names = list(fractions)
+    out: list[tuple[str, str | None]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, format(round(cum * (16 ** SPLIT_HEX_DIGITS)),
+                                  f"0{SPLIT_HEX_DIGITS}x")))
+    out.append((names[-1], None))
+    return out
+
+
+def split_assign(
+    seq: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one pure-JVM CASE over the
+    first SPLIT_HEX_DIGITS hex digits of ``md5(salt || ':' || id)``.
+
+    Properties a pretraining pipeline needs: (a) stable — a document's
+    split never changes across runs, machines, or engines (md5 + string
+    compare are engine-portable, so the SQL oracle replays it verbatim);
+    (b) salt-keyed — a new salt draws an independent assignment;
+    (c) map-only — no shuffle, no sampling state, whole-stage codegen.
+    Adds a ``split`` string column."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        1, SPLIT_HEX_DIGITS,
+    )
+    pairs = split_thresholds(fractions)
+    expr = F.lit(pairs[-1][0])
+    for name, thr in reversed(pairs[:-1]):
+        expr = F.when(hexpfx < thr, name).otherwise(expr)
+    return seq.withColumn("split", expr)
+
+
+def length_gate_by_sketch(
+    seq: DataFrame, pct: int = 99, keys: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Length-outlier gate whose threshold is served by the HDR sketch —
+    the consumer side of the sketch tiers applied to curation: per-key
+    p``pct`` document length comes from a bounded log-bucket sketch of
+    ``n_tok`` (one hash aggregate + one window over <= 32*2^5 rows/key),
+    NOT from sorting or windowing the corpus; the per-key thresholds
+    broadcast back and each document is gated map-side.
+
+    Output per key: (keys..., p_est, kept_docs, dropped_docs, kept_tokens,
+    dropped_tokens). Integer-exact end to end (bit-length buckets + count
+    compare), so a SQL oracle replays the threshold AND the gate."""
+    from .sketch import percentiles, sketch
+
+    ks = list(keys)
+    thr = percentiles(sketch(seq, ks, "n_tok"), ks, [pct]).select(
+        *ks, F.col("estimate").alias("p_est")
+    )
+    kept = F.col("n_tok").cast("long") <= F.col("p_est")
+    return (
+        seq.join(F.broadcast(thr), ks)
+        .groupBy(*ks, "p_est")
+        .agg(
+            F.sum(kept.cast("long")).alias("kept_docs"),
+            F.sum((~kept).cast("long")).alias("dropped_docs"),
+            F.sum(F.when(kept, F.col("n_tok").cast("long")).otherwise(F.lit(0))).alias("kept_tokens"),
+            F.sum(F.when(~kept, F.col("n_tok").cast("long")).otherwise(F.lit(0))).alias("dropped_tokens"),
+        )
+    )

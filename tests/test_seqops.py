@@ -137,3 +137,96 @@ def test_repetition_stats_threshold(spark):
     assert out["s1"]["repetitive_docs"] == 1 and out["s1"]["max_run"] == 20
     assert out["s1"]["sum_distinct"] == 1 + 2
     assert out["s2"]["repetitive_docs"] == 0 and out["s2"]["sum_distinct"] == 20
+
+
+def test_split_assign_deterministic_and_salted(spark):
+    """split_assign must be a pure function of (salt, id): stable across
+    runs, fractions roughly honored, new salt draws an independent
+    assignment, and the thresholds replicate in plain Python md5."""
+    import hashlib
+
+    from tersets_spark.seqops import split_assign, split_thresholds
+
+    n = 4000
+    df = spark.createDataFrame(
+        [(f"doc_{i:012d}", [1, 2], 2, "s0") for i in range(n)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(df, fr).collect()}
+    assert a == b, "assignment must be deterministic"
+
+    # python replica of the same CASE
+    pairs = split_thresholds(fr)
+    for doc, got in list(a.items())[:500]:
+        h = hashlib.md5(f"split-v1:{doc}".encode()).hexdigest()[:8]
+        want = next((name for name, thr in pairs[:-1] if h < thr), pairs[-1][0])
+        assert got == want, doc
+
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / n - 0.9) < 0.03
+    assert abs(c["val"] / n - 0.05) < 0.02
+    assert abs(c["test"] / n - 0.05) < 0.02
+
+    # a different salt reassigns a nontrivial share
+    c2 = {r["doc_id"]: r["split"] for r in split_assign(df, fr, salt="v2").collect()}
+    moved = sum(1 for d in a if a[d] != c2[d])
+    assert moved > 0.05 * n
+
+
+def test_split_thresholds_validation():
+    import pytest as _pytest
+
+    from tersets_spark.seqops import split_thresholds
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_thresholds({"a": 0.5, "b": 0.2})
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_thresholds({})
+
+
+def test_length_gate_by_sketch_matches_python_replica(spark):
+    """Threshold == the HDR-sketch p99 replicated in Python (bit-length
+    bucket math), and the gate counts follow exactly."""
+    from tersets_spark.seqops import length_gate_by_sketch
+
+    rng = np.random.default_rng(23)
+    lens = rng.integers(1, 2000, 600).tolist() + [50_000] * 4  # outliers
+    rows = [
+        (f"doc_{i:012d}", [1], int(n), f"s{i % 2}") for i, n in enumerate(lens)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    got = {r["source"]: r.asDict() for r in length_gate_by_sketch(df, pct=99).collect()}
+
+    def bucket(v: int) -> int:
+        bl = max(v.bit_length(), 1)
+        return bl * 32 + (v >> max(bl - 5, 0))
+
+    def lower(b: int) -> int:
+        return (b & 31) << max((b >> 5) - 5, 0)
+
+    for src in ("s0", "s1"):
+        vals = [int(n) for (_, _, n, s) in rows if s == src]
+        from collections import Counter
+
+        sk = Counter(bucket(v) for v in vals)
+        total, cum, thr_bucket = sum(sk.values()), 0, None
+        for b in sorted(sk):
+            cum += sk[b]
+            if cum * 100 >= 99 * total:
+                thr_bucket = b
+                break
+        p_est = lower(thr_bucket)
+        kept = [v for v in vals if v <= p_est]
+        assert got[src]["p_est"] == p_est
+        assert got[src]["kept_docs"] == len(kept)
+        assert got[src]["dropped_docs"] == len(vals) - len(kept)
+        assert got[src]["kept_tokens"] == sum(kept)
+        assert got[src]["dropped_tokens"] == sum(vals) - sum(kept)
+        # the whole point: the outliers are dropped
+        assert got[src]["dropped_docs"] >= 1
