@@ -6,9 +6,11 @@ records lineage + throughput metrics per partition, and a rerun anti-joins
 the completed set so a killed job picks up exactly where it stopped.
 
 Plan shape per tier (PLANS.md has the explain evidence):
-  raw:   scan sequences -> mapInArrow compress -> write (map-only, no shuffle)
-  1m:    scan sequences -> mapInArrow rollup kernel -> write (map-only)
-  1h/1d: scan tier below -> JVM hash aggregate (exact integer combine) -> write
+  raw+1m: ONE scan of sequences -> fused mapInArrow (compress + rollup from
+          the same flat buffer) -> tagged-union staging -> two cheap
+          filtered commits (m1_source="fused", the default; "input"/"raw"
+          variants documented on run_cascade)
+  1h/1d:  scan tier below -> JVM hash aggregate (exact integer combine) -> write
 Filters on pending sources are pushed to the parquet scan (partition/row-group
 pruning); only raw/1m cross the Python boundary, in Arrow batches.
 ``apply_retention`` expires tier rows past their policy horizon.
@@ -26,7 +28,13 @@ from pyspark.sql import functions as F
 
 from .catalog import TierCatalog
 from .methods import Method
-from .rollup import TIERS, rollup_raw, rollup_up, salted_repartition
+from .rollup import (
+    TIERS,
+    rollup_raw,
+    rollup_raw_from_blobs,
+    rollup_up,
+    salted_repartition,
+)
 from .shipping import ensure_shipped
 
 
@@ -131,6 +139,7 @@ def run_cascade(
     salt: bool = False,
     with_sketches: bool = False,
     sketch_kernel: bool | None = None,
+    m1_source: str = "fused",
     fail_after_tier: str | None = None,  # test hook for kill/resume
 ) -> dict[str, str]:
     """Run the full cascade; returns tier -> output dir. Resumable.
@@ -159,6 +168,20 @@ def run_cascade(
     the DuckDB-oracled contract queries use, so kernel and expression check
     each other. The 1h/1d levels merge the bounded committed tier below and
     are near-free either way.
+
+    ``m1_source`` — how the 1m tier is built. ``"fused"`` (default): one
+    tagged-union Arrow pass emits raw blobs AND 1m rollup rows from the
+    same in-memory flat buffer (staged once, each tier commits from the
+    staging) — the original corpus is scanned exactly ONCE per cascade; at
+    10^12 sequences the second full input scan is the largest avoidable
+    cost, and the rollup itself adds only reduceat work to the compress
+    pass. ``"raw"``: 1m decodes the COMMITTED raw tier's blobs (no input
+    rescan either, but pays a per-blob decode — the shape a later backfill
+    of 1m from an existing raw tier uses; also the fused path's resume
+    fallback when raw is already committed). ``"input"``: rescans the
+    sequences table (the pre-round-4 two-scan shape). All three produce
+    bit-identical tiers for the (lossless-at-eb-0) cascade codecs — pinned
+    by tests and by the rollup_from_blobs contract query.
 
     ``sketch_kernel=None`` (default) AUTO-SELECTS: the kernel's HLL stage
     memoizes an md5 LUT per batch-UNIQUE value — a big win on vocab-sized
@@ -193,36 +216,104 @@ def run_cascade(
         done = catalog.completed(tier) if resume else set()
         return [s for s in sources if s not in done]
 
-    # --- raw tier: compressed per-series blobs ---
-    pend = pending_for("raw")
-    if pend:
-        from pyspark.sql.types import BinaryType, StructField, StructType
+    # --- raw + 1m tiers ---
+    pend_raw = pending_for("raw")
+    pend_m1 = pending_for("1m")
+    staged_union = None
+    stage_fused = None
+    # try/finally: a failure anywhere between staging and the 1m commit
+    # (incl. the injected-crash test hooks) must not strand the staging
+    # dir — the in-process sweeper spares dirs of LIVE pids, so a same-
+    # process resume would never reclaim it
+    try:
+        if m1_source == "fused" and pend_raw:
+            # ONE zero-copy pass over the token payload emits both tiers as a
+            # tagged union (same staging pattern as the fused sketch kernel);
+            # each tier then commits from the staged rows — the corpus is
+            # scanned exactly once and the 1m rollup reuses the in-memory flat
+            # buffer of the compress step.
+            from .kernels import RAW_M1_UNION_SCHEMA, compress_rollup_map_in_arrow
 
-        from .kernels import compress_map_in_arrow
+            need = sorted(set(pend_raw) | set(pend_m1))
+            src = seq.select("doc_id", "source", "ts0", "n_tok", "tokens").filter(
+                F.col("source").isin(need)
+            )
+            if salt:
+                src = salted_repartition(src, num_partitions, "source")
+            union = src.mapInArrow(
+                compress_rollup_map_in_arrow(
+                    compress_method, TIERS["1m"], with_blocks, compress_method
+                ),
+                RAW_M1_UNION_SCHEMA,
+            )
+            stage_fused = os.path.join(
+                out_dir, f"_tmp_fused_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+            )
+            t_stage = time.monotonic()
+            union.write.mode("overwrite").parquet(stage_fused)
+            # lineage: the fused pass is the cascade's single corpus scan — the
+            # per-tier commit walls below only measure the cheap staged writes,
+            # so record the scan itself (status!="done" keeps it out of
+            # completed()/current_runs; bench.py surfaces it as its own row)
+            catalog.record(
+                "raw+1m", "_stage", status="stage",
+                wall_ms=round((time.monotonic() - t_stage) * 1000, 1),
+                sources=len(need),
+            )
+            staged_union = spark.read.parquet(stage_fused)
+            raw_df = staged_union.filter(F.col("family") == "r").select(
+                "doc_id", "source", "ts0", "n_tok", "blob"
+            )
+            _write_tier(catalog, raw_df, "raw", pend_raw)
+        elif pend_raw:
+            from pyspark.sql.types import BinaryType, StructField, StructType
 
-        src = seq.select("doc_id", "source", "ts0", "n_tok", "tokens")
-        if salt:
-            src = salted_repartition(src, num_partitions, "source")
-        raw_schema = StructType(
-            [f for f in src.schema.fields if f.name != "tokens"]
-            + [StructField("blob", BinaryType())]
-        )
-        raw = src.mapInArrow(compress_map_in_arrow(compress_method), raw_schema)
-        _write_tier(catalog, raw, "raw", pend)
-    if fail_after_tier == "raw":
-        raise RuntimeError("injected failure after raw tier")
+            from .kernels import compress_map_in_arrow
 
-    # --- 1m tier: vectorized bucket rollup (+ optional per-bucket blocks) ---
-    pend = pending_for("1m")
-    if pend:
-        m1_in = salted_repartition(seq, num_partitions, "source") if salt else seq
-        m1 = rollup_raw(
-            m1_in,
-            TIERS["1m"],
-            with_blocks=with_blocks,
-            block_method=compress_method,
-        )
-        _write_tier(catalog, m1, "1m", pend)
+            src = seq.select("doc_id", "source", "ts0", "n_tok", "tokens")
+            if salt:
+                src = salted_repartition(src, num_partitions, "source")
+            raw_schema = StructType(
+                [f for f in src.schema.fields if f.name != "tokens"]
+                + [StructField("blob", BinaryType())]
+            )
+            raw = src.mapInArrow(compress_map_in_arrow(compress_method), raw_schema)
+            _write_tier(catalog, raw, "raw", pend_raw)
+        if fail_after_tier == "raw":
+            raise RuntimeError("injected failure after raw tier")
+
+        # --- 1m tier: vectorized bucket rollup (+ optional per-bucket blocks) ---
+        if pend_m1:
+            if staged_union is not None:
+                m1_cols = [
+                    "doc_id", "source", "bucket_ts", "cnt", "sum",
+                    "vmin", "vmax", "first", "last",
+                ] + (["block"] if with_blocks else [])
+                m1 = staged_union.filter(F.col("family") == "m").select(*m1_cols)
+            elif m1_source in ("fused", "raw"):
+                # fused-resume (raw already committed) or explicit "raw":
+                # decode the COMMITTED raw tier's blobs instead of rescanning
+                # the input — bit-identical rows (lossless codecs; the
+                # rollup_from_blobs contract query pins the equality).
+                m1_in = catalog.read_tier(spark, "raw")
+                if salt:
+                    m1_in = salted_repartition(m1_in, num_partitions, "source")
+                m1 = rollup_raw_from_blobs(
+                    m1_in, TIERS["1m"], with_blocks=with_blocks,
+                    block_method=compress_method,
+                )
+            else:
+                m1_in = salted_repartition(seq, num_partitions, "source") if salt else seq
+                m1 = rollup_raw(
+                    m1_in,
+                    TIERS["1m"],
+                    with_blocks=with_blocks,
+                    block_method=compress_method,
+                )
+            _write_tier(catalog, m1, "1m", pend_m1)
+    finally:
+        if stage_fused is not None:
+            shutil.rmtree(stage_fused, ignore_errors=True)
     if fail_after_tier == "1m":
         raise RuntimeError("injected failure after 1m tier")
 

@@ -250,32 +250,195 @@ def compress_map_in_arrow(method: Method, out_col: str = "blob", drop_tokens: bo
     method = Method(method)
 
     def _gen(batches):
-        from .codecs import delta_of_delta, gorilla
-
-        tail = bytes([int(method)])
         for batch in batches:
             flat, offsets = _list_column_flat(batch, "tokens")
-            if method == Method.DeltaOfDelta:
-                blobs = [
-                    b + tail
-                    for b in delta_of_delta.compress_blocks(flat, offsets[:-1], offsets[1:])
-                ]
-            elif method == Method.GorillaXOR:
-                blobs = [
-                    b + tail
-                    for b in gorilla.compress_blocks(flat, offsets[:-1], offsets[1:])
-                ]
-            else:
-                blobs = [
-                    codecs.compress(flat[s:e].astype(np.float64), method, 0.0)
-                    for s, e in zip(offsets[:-1], offsets[1:])
-                ]
+            blobs = _encode_blobs(flat, offsets, method)
             keep = [n for n in batch.schema.names if n != "tokens" or not drop_tokens]
             arrays = [batch.column(batch.schema.get_field_index(n)) for n in keep]
             arrays.append(pa.array(blobs, type=pa.binary()))
             yield pa.RecordBatch.from_arrays(arrays, names=keep + [out_col])
 
     return _gen
+
+
+def _encode_blobs(flat: np.ndarray, offsets: np.ndarray, method: Method) -> list[bytes]:
+    """Per-row codec blobs (method byte appended) over a flat token buffer —
+    batched multi-block encoders for DoD/Gorilla, per-row dispatch else."""
+    from .codecs import delta_of_delta, gorilla
+
+    tail = bytes([int(method)])
+    if method == Method.DeltaOfDelta:
+        return [
+            b + tail for b in delta_of_delta.compress_blocks(flat, offsets[:-1], offsets[1:])
+        ]
+    if method == Method.GorillaXOR:
+        return [
+            b + tail for b in gorilla.compress_blocks(flat, offsets[:-1], offsets[1:])
+        ]
+    return [
+        codecs.compress(flat[s:e].astype(np.float64), method, 0.0)
+        for s, e in zip(offsets[:-1], offsets[1:])
+    ]
+
+
+#: tagged-union schema of the fused raw+1m pass (see
+#: compress_rollup_map_in_arrow): family 'r' rows carry the raw-tier
+#: columns, family 'm' rows the 1m rollup columns; the others are null.
+RAW_M1_UNION_SCHEMA = StructType(
+    [
+        StructField("family", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("source", StringType()),
+        StructField("ts0", LongType()),
+        StructField("n_tok", IntegerType()),
+        StructField("blob", BinaryType()),
+        StructField("bucket_ts", LongType()),
+        StructField("cnt", LongType()),
+        StructField("sum", LongType()),
+        StructField("vmin", LongType()),
+        StructField("vmax", LongType()),
+        StructField("first", LongType()),
+        StructField("last", LongType()),
+        StructField("block", BinaryType()),
+    ]
+)
+
+_UNION_NAMES = [f.name for f in RAW_M1_UNION_SCHEMA.fields]
+_UNION_ROLLUP = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+
+
+def compress_rollup_map_in_arrow(
+    method: Method,
+    tier_seconds: int = 60,
+    with_blocks: bool = True,
+    block_method: Method | None = None,
+):
+    """FUSED raw-compress + 1m-rollup pass: ONE zero-copy scan of the token
+    payload emits both the raw tier's codec blobs and the 1m tier's bucket
+    rollup rows as a tagged union (same staging pattern as the fused sketch
+    kernel). The cascade then commits each tier from the staged union —
+    the original corpus is scanned exactly once, and the 1m build costs
+    neither a second input scan (the ``"input"`` path) nor a blob decode
+    (the ``"raw"`` path): the flat buffer is already in memory from the
+    compress step, so the rollup adds only the reduceat aggregation.
+
+    Rows are bit-identical to the unfused kernels' (same _encode_blobs,
+    same _rollup_emit)."""
+    import pyarrow as pa
+
+    method = Method(method)
+    block_method = Method(method if block_method is None else block_method)
+
+    pa_types = {
+        "family": pa.string(), "doc_id": pa.string(), "source": pa.string(),
+        "ts0": pa.int64(), "n_tok": pa.int32(), "blob": pa.binary(),
+        "bucket_ts": pa.int64(), "cnt": pa.int64(), "sum": pa.int64(),
+        "vmin": pa.int64(), "vmax": pa.int64(), "first": pa.int64(),
+        "last": pa.int64(), "block": pa.binary(),
+    }
+
+    def _nulls(n, name):
+        return pa.nulls(n, type=pa_types[name])
+
+    def _gen(batches):
+        delta = np.int64(tier_seconds)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, offsets = _list_column_flat(batch, "tokens")
+
+            n = batch.num_rows
+            blobs = _encode_blobs(flat, offsets, method)
+            raw_cols = {
+                "family": pa.array(["r"] * n, type=pa.string()),
+                "doc_id": batch.column(batch.schema.get_field_index("doc_id")),
+                "source": batch.column(batch.schema.get_field_index("source")),
+                "ts0": batch.column(batch.schema.get_field_index("ts0")),
+                "n_tok": batch.column(batch.schema.get_field_index("n_tok")),
+                "blob": pa.array(blobs, type=pa.binary()),
+            }
+            yield pa.RecordBatch.from_arrays(
+                [raw_cols.get(nm, _nulls(n, nm)) for nm in _UNION_NAMES],
+                names=_UNION_NAMES,
+            )
+
+            roll = _rollup_emit(batch, flat, offsets, delta, with_blocks, block_method)
+            m = roll.num_rows
+            m_cols = {
+                nm: roll.column(roll.schema.get_field_index(nm)) for nm in _UNION_ROLLUP
+            }
+            m_cols["family"] = pa.array(["m"] * m, type=pa.string())
+            if with_blocks:
+                m_cols["block"] = roll.column(roll.schema.get_field_index("block"))
+            yield pa.RecordBatch.from_arrays(
+                [m_cols.get(nm, _nulls(m, nm)) for nm in _UNION_NAMES],
+                names=_UNION_NAMES,
+            )
+
+    return _gen
+
+
+def _rollup_emit(batch, flat, offsets, delta, with_blocks, block_method):
+    """Shared raw->tier aggregation body: reduceat aggregates + batched
+    blocks over a flat token buffer (however it was obtained). Same math as
+    bucket_rollup_pdf; doc_id/source replication via Arrow `take`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codecs import delta_of_delta
+
+    tail = bytes([int(Method.DeltaOfDelta)])
+    lens = np.diff(offsets)
+    ts0 = np.asarray(batch.column(batch.schema.get_field_index("ts0")), dtype=np.int64)
+
+    j0 = delta - (ts0 % delta)
+    n_internal = np.maximum(0, (lens - j0 + delta - 1) // delta)
+    counts = 1 + n_internal
+    nseg = int(counts.sum())
+    row_of_seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+    seg_base = np.zeros(batch.num_rows, dtype=np.int64)
+    np.cumsum(counts[:-1], out=seg_base[1:])
+    seg_rank = np.arange(nseg, dtype=np.int64) - seg_base[row_of_seg]
+    in_row_start = np.where(seg_rank == 0, 0, j0[row_of_seg] + (seg_rank - 1) * delta)
+    starts = offsets[row_of_seg] + in_row_start
+
+    sums = np.add.reduceat(flat, starts)
+    vmin = np.minimum.reduceat(flat, starts)
+    vmax = np.maximum.reduceat(flat, starts)
+    cnt = np.diff(starts, append=offsets[-1])
+    first = flat[starts]
+    last = flat[starts + cnt - 1]
+    bucket_ts = ((ts0[row_of_seg] + in_row_start) // delta) * delta
+
+    idx = pa.array(row_of_seg)
+    doc_id = pc.take(batch.column(batch.schema.get_field_index("doc_id")), idx)
+    source = pc.take(batch.column(batch.schema.get_field_index("source")), idx)
+    arrays = [
+        doc_id,
+        source,
+        pa.array(bucket_ts),
+        pa.array(cnt),
+        pa.array(sums),
+        pa.array(vmin),
+        pa.array(vmax),
+        pa.array(first),
+        pa.array(last),
+    ]
+    names = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    if with_blocks:
+        ends = starts + cnt
+        if block_method == Method.DeltaOfDelta:
+            blobs = [
+                b + tail for b in delta_of_delta.compress_blocks(flat, starts, ends)
+            ]
+        else:
+            blobs = [
+                codecs.compress(flat[s:e].astype(np.float64), block_method, 0.0)
+                for s, e in zip(starts, ends)
+            ]
+        arrays.append(pa.array(blobs, type=pa.binary()))
+        names.append("block")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def rollup_map_in_arrow(
@@ -288,69 +451,57 @@ def rollup_map_in_arrow(
     Same math as bucket_rollup_pdf, but doc_id/source replication happens
     with Arrow `take` (C++, no Python objects) and token access is zero-copy.
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
     def _gen(batches):
-        from .codecs import delta_of_delta
-
-        tail = bytes([int(Method.DeltaOfDelta)])
         delta = np.int64(tier_seconds)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             flat, offsets = _list_column_flat(batch, "tokens")
-            lens = np.diff(offsets)
-            ts0 = np.asarray(batch.column(batch.schema.get_field_index("ts0")), dtype=np.int64)
+            yield _rollup_emit(batch, flat, offsets, delta, with_blocks, block_method)
 
-            j0 = delta - (ts0 % delta)
-            n_internal = np.maximum(0, (lens - j0 + delta - 1) // delta)
-            counts = 1 + n_internal
-            nseg = int(counts.sum())
-            row_of_seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
-            seg_base = np.zeros(batch.num_rows, dtype=np.int64)
-            np.cumsum(counts[:-1], out=seg_base[1:])
-            seg_rank = np.arange(nseg, dtype=np.int64) - seg_base[row_of_seg]
-            in_row_start = np.where(seg_rank == 0, 0, j0[row_of_seg] + (seg_rank - 1) * delta)
-            starts = offsets[row_of_seg] + in_row_start
+    return _gen
 
-            sums = np.add.reduceat(flat, starts)
-            vmin = np.minimum.reduceat(flat, starts)
-            vmax = np.maximum.reduceat(flat, starts)
-            cnt = np.diff(starts, append=offsets[-1])
-            first = flat[starts]
-            last = flat[starts + cnt - 1]
-            bucket_ts = ((ts0[row_of_seg] + in_row_start) // delta) * delta
 
-            idx = pa.array(row_of_seg)
-            doc_id = pc.take(batch.column(batch.schema.get_field_index("doc_id")), idx)
-            source = pc.take(batch.column(batch.schema.get_field_index("source")), idx)
-            arrays = [
-                doc_id,
-                source,
-                pa.array(bucket_ts),
-                pa.array(cnt),
-                pa.array(sums),
-                pa.array(vmin),
-                pa.array(vmax),
-                pa.array(first),
-                pa.array(last),
+def rollup_blobs_map_in_arrow(
+    tier_seconds: int,
+    with_blocks: bool = False,
+    block_method: Method = Method.DeltaOfDelta,
+):
+    """mapInArrow RAW-TIER -> 1m rollup: decode the committed codec blobs
+    instead of rescanning the input table.
+
+    This is the single-source-scan cascade shape: with
+    ``run_cascade(m1_source="raw")`` the original corpus is scanned exactly
+    ONCE (the raw compress pass); every other tier derives from the tier
+    below it — 1m from the raw tier's blobs (typically a fraction of the
+    input bytes), 1h from 1m, 1d from 1h. At 100 TB the second full input
+    scan is the single largest avoidable cost in the default cascade.
+
+    Decode is per-blob (each call is a vectorized NumPy decode of a whole
+    document); values round-trip exactly for the lossless raw-tier codecs,
+    so the emitted tier rows are BIT-IDENTICAL to the input-scan kernel's
+    (the rollup_from_blobs contract query pins exactly this equality).
+    """
+    import pyarrow as pa
+
+    def _gen(batches):
+        delta = np.int64(tier_seconds)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            blob_idx = batch.schema.get_field_index("blob")
+            toks = [
+                np.round(codecs.decompress(b.as_py())).astype(np.int64)
+                for b in batch.column(blob_idx)
             ]
-            names = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
-            if with_blocks:
-                ends = starts + cnt
-                if block_method == Method.DeltaOfDelta:
-                    blobs = [
-                        b + tail for b in delta_of_delta.compress_blocks(flat, starts, ends)
-                    ]
-                else:
-                    blobs = [
-                        codecs.compress(flat[s:e].astype(np.float64), block_method, 0.0)
-                        for s, e in zip(starts, ends)
-                    ]
-                arrays.append(pa.array(blobs, type=pa.binary()))
-                names.append("block")
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            offsets = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.cumsum(np.fromiter((len(t) for t in toks), np.int64, len(toks)),
+                      out=offsets[1:])
+            flat = (
+                np.concatenate(toks) if toks else np.zeros(0, dtype=np.int64)
+            )
+            yield _rollup_emit(batch, flat, offsets, delta, with_blocks, block_method)
 
     return _gen
 

@@ -36,6 +36,27 @@ def rollup_raw(
     )
 
 
+def rollup_raw_from_blobs(
+    raw_tier: DataFrame,
+    tier_seconds: int = 60,
+    with_blocks: bool = False,
+    block_method: Method = Method.DeltaOfDelta,
+) -> DataFrame:
+    """COMMITTED raw tier (doc_id, source, ts0, n_tok, blob) -> first-tier
+    buckets, decoding the codec blobs instead of rescanning the input.
+    Bit-identical rows to :func:`rollup_raw` over the original sequences
+    (lossless raw-tier codecs round-trip exactly); the single-source-scan
+    cascade path — see kernels.rollup_blobs_map_in_arrow."""
+    from .kernels import rollup_blobs_map_in_arrow
+
+    schema = ROLLUP_BLOCKS_SCHEMA if with_blocks else ROLLUP_SCHEMA
+    cols = raw_tier.select("doc_id", "blob", "source", "ts0")
+    return cols.mapInArrow(
+        rollup_blobs_map_in_arrow(tier_seconds, with_blocks, block_method),
+        schema=schema,
+    )
+
+
 def rollup_up(tier_df: DataFrame, tier_seconds: int) -> DataFrame:
     """Aggregate a finer tier into coarser buckets (exact integer combine)."""
     bucket = (F.floor(F.col("bucket_ts") / tier_seconds) * tier_seconds).cast("long")

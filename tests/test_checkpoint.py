@@ -38,8 +38,16 @@ def test_cascade_kill_and_resume(spark, seq_path, tmp_path):
     keys = [(m["tier"], m["partition"]) for m in manifest_after]
     assert len(keys) == len(set(keys))
     assert manifest_before.issubset(set(keys))
-    # per-partition lineage metrics present
-    assert all({"rows", "bytes_out", "wall_ms"} <= set(m) for m in manifest_after)
+    # per-partition lineage metrics present on every COMMIT (the fused
+    # corpus-scan stage record carries wall_ms but no run dir)
+    assert all(
+        {"rows", "bytes_out", "wall_ms"} <= set(m)
+        for m in manifest_after if m["status"] == "done"
+    )
+    assert any(
+        m["tier"] == "raw+1m" and m["status"] == "stage" and "wall_ms" in m
+        for m in manifest_after
+    ), "fused corpus scan must be recorded in the lineage"
 
     # tier invariants: total cnt equals total tokens at every tier
     total_tokens = pq.read_table(seq_path, columns=["n_tok"])["n_tok"].to_pandas().sum()
@@ -233,6 +241,52 @@ def test_record_if_current_rejects_stale_rewrite(tmp_path):
     )
     assert ok
     assert cat.current_runs("1m")["p1"] == "source=p1/run=dddd"
+
+
+def test_m1_source_modes_bit_identical(spark, seq_path, tmp_path):
+    """fused (default), raw-decode, and input-rescan 1m builds must commit
+    bit-identical tiers (incl. the per-bucket block blobs)."""
+    outs = {}
+    for mode in ("fused", "raw", "input"):
+        out = str(tmp_path / mode)
+        run_cascade(spark, seq_path, out, m1_source=mode)
+        outs[mode] = TierCatalog(out)
+    for tier in ("raw", "1m", "1h", "1d"):
+        ref = outs["input"].read_tier(spark, tier)
+        cols = sorted(ref.columns)
+        for mode in ("fused", "raw"):
+            got = outs[mode].read_tier(spark, tier)
+            assert sorted(got.columns) == cols, (mode, tier)
+            assert got.count() == ref.count(), (mode, tier)
+            assert got.select(cols).exceptAll(ref.select(cols)).count() == 0, (mode, tier)
+
+
+def test_fused_cascade_resume_after_raw_uses_blob_fallback(spark, seq_path, tmp_path):
+    """Kill the fused cascade right after the raw commit: the resume finds
+    raw committed and 1m pending, takes the decode-from-raw fallback (no
+    input rescan), and completes with no duplicate/missing partitions and
+    no staging leftovers."""
+    import os
+
+    out = str(tmp_path / "t")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_cascade(spark, seq_path, out, fail_after_tier="raw")
+    cat = TierCatalog(out)
+    assert cat.completed("raw") and not cat.completed("1m")
+
+    run_cascade(spark, seq_path, out)
+    keys = [(m["tier"], m["partition"]) for m in cat.metrics()]
+    assert len(keys) == len(set(keys))
+    assert not [d for d in os.listdir(out) if d.startswith("_tmp_")]
+
+    ref_out = str(tmp_path / "ref")
+    run_cascade(spark, seq_path, ref_out, m1_source="input")
+    for tier in ("1m", "1h", "1d"):
+        a = cat.read_tier(spark, tier)
+        b = TierCatalog(ref_out).read_tier(spark, tier)
+        cols = sorted(a.columns)
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0, tier
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0, tier
 
 
 def test_pin_gives_cross_tier_snapshot_consistency(spark, tmp_path):
