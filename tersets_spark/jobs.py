@@ -192,6 +192,11 @@ def run_cascade(
     is reported in the returned dict under ``"_sketch_path"``. Both paths
     are bit-identical, so the choice is performance-only.
     """
+    if m1_source not in ("fused", "raw", "input"):
+        # a typo must not silently fall through to the two-scan "input" shape
+        raise ValueError(
+            f"m1_source must be 'fused', 'raw' or 'input', got {m1_source!r}"
+        )
     ensure_shipped(spark)
     # superseded_grace: a CONCURRENT cascade's reader may still be scanning
     # a run this writer supersedes — keep replaced runs briefly (reader

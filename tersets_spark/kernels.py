@@ -261,24 +261,29 @@ def compress_map_in_arrow(method: Method, out_col: str = "blob", drop_tokens: bo
     return _gen
 
 
-def _encode_blobs(flat: np.ndarray, offsets: np.ndarray, method: Method) -> list[bytes]:
-    """Per-row codec blobs (method byte appended) over a flat token buffer —
-    batched multi-block encoders for DoD/Gorilla, per-row dispatch else."""
+def _encode_blob_segments(
+    flat: np.ndarray, starts: np.ndarray, ends: np.ndarray, method: Method
+) -> list[bytes]:
+    """Per-segment codec blobs (method byte appended) over a flat token
+    buffer — batched multi-block encoders for DoD/Gorilla, per-segment
+    dispatch else. Segments may be any (start, end) ranges, not just the
+    contiguous row offsets (the 1m rollup's per-bucket blocks use this)."""
     from .codecs import delta_of_delta, gorilla
 
     tail = bytes([int(method)])
     if method == Method.DeltaOfDelta:
-        return [
-            b + tail for b in delta_of_delta.compress_blocks(flat, offsets[:-1], offsets[1:])
-        ]
+        return [b + tail for b in delta_of_delta.compress_blocks(flat, starts, ends)]
     if method == Method.GorillaXOR:
-        return [
-            b + tail for b in gorilla.compress_blocks(flat, offsets[:-1], offsets[1:])
-        ]
+        return [b + tail for b in gorilla.compress_blocks(flat, starts, ends)]
     return [
         codecs.compress(flat[s:e].astype(np.float64), method, 0.0)
-        for s, e in zip(offsets[:-1], offsets[1:])
+        for s, e in zip(starts, ends)
     ]
+
+
+def _encode_blobs(flat: np.ndarray, offsets: np.ndarray, method: Method) -> list[bytes]:
+    """Per-row codec blobs over a flat token buffer (rows = offset ranges)."""
+    return _encode_blob_segments(flat, offsets[:-1], offsets[1:], method)
 
 
 #: tagged-union schema of the fused raw+1m pass (see
@@ -385,9 +390,6 @@ def _rollup_emit(batch, flat, offsets, delta, with_blocks, block_method):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .codecs import delta_of_delta
-
-    tail = bytes([int(Method.DeltaOfDelta)])
     lens = np.diff(offsets)
     ts0 = np.asarray(batch.column(batch.schema.get_field_index("ts0")), dtype=np.int64)
 
@@ -426,16 +428,7 @@ def _rollup_emit(batch, flat, offsets, delta, with_blocks, block_method):
     ]
     names = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
     if with_blocks:
-        ends = starts + cnt
-        if block_method == Method.DeltaOfDelta:
-            blobs = [
-                b + tail for b in delta_of_delta.compress_blocks(flat, starts, ends)
-            ]
-        else:
-            blobs = [
-                codecs.compress(flat[s:e].astype(np.float64), block_method, 0.0)
-                for s, e in zip(starts, ends)
-            ]
+        blobs = _encode_blob_segments(flat, starts, starts + cnt, block_method)
         arrays.append(pa.array(blobs, type=pa.binary()))
         names.append("block")
     return pa.RecordBatch.from_arrays(arrays, names=names)

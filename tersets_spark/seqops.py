@@ -205,10 +205,23 @@ def _densify_keys(df: DataFrame) -> DataFrame:
         .withColumn("_so_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    counts = {
-        r["_so_pid"]: r["n"]
-        for r in keys.groupBy("_so_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # Duplicate keys would make the rank join below emit each duplicated
+    # document once PER occurrence (k ranks x k rows = k^2), silently
+    # multiplying tokens in the packed corpus — fail fast instead. Exact
+    # per-partition distinct sums to the global distinct because
+    # repartitionByRange co-locates equal keys.
+    agg = keys.groupBy("_so_pid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("_so_key").alias("nd"),
+    )
+    rows = agg.collect()
+    dup = sum(r["n"] - r["nd"] for r in rows)
+    if dup:
+        raise ValueError(
+            f"sequence_offsets: order_key has {dup} duplicate value(s); "
+            "keys must be a total order (unique per document)"
+        )
+    counts = {r["_so_pid"]: r["n"] for r in rows}
     offs, acc = {}, 0
     for pid in range(n_parts):
         offs[pid] = acc
@@ -438,10 +451,19 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str | None]
     names = list(fractions)
     out: list[tuple[str, str | None]] = []
     cum = 0.0
+    scale = 16 ** SPLIT_HEX_DIGITS
     for name in names[:-1]:
         cum += fractions[name]
-        out.append((name, format(round(cum * (16 ** SPLIT_HEX_DIGITS)),
-                                  f"0{SPLIT_HEX_DIGITS}x")))
+        scaled = round(cum * scale)
+        if scaled >= scale:
+            # Cumulative fraction rounds to 1.0 (e.g. {"a": 1.0, "b": 0.0}):
+            # every remaining prefix belongs to this split. A 9-hex-digit
+            # threshold would sort BELOW most 8-digit prefixes ('1' < '2'..'f')
+            # and silently misassign; 'g' sorts after every hex digit, so
+            # `prefix < 'g'` is always true in Spark and DuckDB alike.
+            out.append((name, "g"))
+        else:
+            out.append((name, format(scaled, f"0{SPLIT_HEX_DIGITS}x")))
     out.append((names[-1], None))
     return out
 

@@ -261,6 +261,13 @@ def test_m1_source_modes_bit_identical(spark, seq_path, tmp_path):
             assert got.select(cols).exceptAll(ref.select(cols)).count() == 0, (mode, tier)
 
 
+def test_m1_source_typo_rejected(spark, seq_path, tmp_path):
+    """An unrecognized m1_source must raise, not silently fall through to
+    the two-scan input-rescan shape."""
+    with pytest.raises(ValueError, match="m1_source"):
+        run_cascade(spark, seq_path, str(tmp_path / "t"), m1_source="Fused")
+
+
 def test_fused_cascade_resume_after_raw_uses_blob_fallback(spark, seq_path, tmp_path):
     """Kill the fused cascade right after the raw commit: the resume finds
     raw committed and 1m pending, takes the decode-from-raw fallback (no

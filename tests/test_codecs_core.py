@@ -210,6 +210,33 @@ def test_clz_ctz_bitlength():
     assert list(ctz64(x)) == [64, 0, 1, 0, 63, 0, 5]
 
 
+def test_bitlength_frexp_fast_path_matches_reference():
+    """Differential pin of the hi/lo-split frexp trick vs the masked-shift
+    reference: a single frexp over the full uint64 would round above 2^53
+    (2^k - 1 rounds UP to 2^k, overstating the length by one) and corrupt
+    every Gorilla lz/ml stream — so sweep exactly those boundaries plus a
+    broad random sample."""
+    from tersets_spark.codecs._bitpack import _bit_length_u64_ref
+
+    edges = []
+    for k in range(64):
+        p = np.uint64(1) << np.uint64(k)
+        edges += [p, p - np.uint64(1), p + np.uint64(1)]
+    edges.append(np.uint64(2**64 - 1))
+    edges = np.array(edges, dtype=np.uint64)
+    assert np.array_equal(bit_length_u64(edges), _bit_length_u64_ref(edges))
+
+    rnd = np.random.default_rng(13)
+    for hi_bits in (8, 24, 40, 53, 54, 63, 64):
+        vals = rnd.integers(0, 2**hi_bits, size=50_000, dtype=np.uint64)
+        assert np.array_equal(bit_length_u64(vals), _bit_length_u64_ref(vals))
+        # ctz shares the exact-power-of-two frexp argument; pin it off the
+        # same sample via the reference identity ctz = bitlen(lowbit) - 1
+        low = vals & (np.uint64(0) - vals)
+        ref_ctz = np.where(vals == 0, 64, _bit_length_u64_ref(low) - 1)
+        assert np.array_equal(ctz64(vals), ref_ctz)
+
+
 def test_dispatch_framing_and_errors():
     values = np.array([1.0, 2.0, 3.0])
     with pytest.raises(UnsupportedInputError):

@@ -188,6 +188,28 @@ def test_split_thresholds_validation():
         split_thresholds({})
 
 
+def test_split_thresholds_full_fraction_sentinel(spark):
+    """A non-final cumulative fraction that rounds to 1.0 must NOT emit a
+    9-hex-digit threshold (it would sort below most 8-digit md5 prefixes
+    and silently send ~15/16 of documents to the wrong split): it emits the
+    'g' sentinel, which sorts after every hex digit in Spark, DuckDB and
+    Python alike, so every document lands in that split."""
+    from tersets_spark.seqops import split_assign, split_thresholds
+
+    pairs = split_thresholds({"a": 1.0, "b": 0.0})
+    assert pairs == [("a", "g"), ("b", None)]
+    # near-1.0 middle fraction rounds up at 2^-32 granularity
+    pairs2 = split_thresholds({"train": 1 - 1e-11, "val": 1e-11})
+    assert pairs2[0][1] == "g"
+
+    df = spark.createDataFrame(
+        [(f"doc_{i:012d}", [1], 1, "s0") for i in range(256)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = {r["split"] for r in split_assign(df, {"a": 1.0, "b": 0.0}).collect()}
+    assert got == {"a"}
+
+
 def test_length_gate_by_sketch_matches_python_replica(spark):
     """Threshold == the HDR-sketch p99 replicated in Python (bit-length
     bucket math), and the gate counts follow exactly."""

@@ -168,6 +168,25 @@ def test_sequence_offsets_sparse_keys_match_duckdb_cumsum(spark):
     assert {r["doc_id"]: r["pack_start"] for r in forced.collect()} == want
 
 
+def test_sparse_keys_duplicate_order_key_fails_fast(spark):
+    """Duplicate order keys on the rank pre-pass path would cross-join in
+    the rank equi-join (each duplicated doc emitted once per occurrence,
+    silently duplicating tokens in the packed corpus) — the densify pass
+    must raise instead."""
+    import pytest as _pytest
+
+    from tersets_spark.seqops import sequence_offsets
+
+    seq = _hash_keyed_seq(spark, n_docs=20)
+    # two docs sharing an epoch-millis-style timestamp key
+    dup = seq.limit(1).withColumn("doc_id", F.lit("doc_dup_000000"))
+    with _pytest.raises(Exception, match="duplicate"):
+        sequence_offsets(
+            seq.union(dup), F.col("n_tok"), order_key=F.col("sort_key"),
+            bucket_docs=4, dense_keys=False,
+        ).collect()
+
+
 def test_pack_sparse_keys_matches_python_reference(spark):
     """Full pack over hash-shaped keys == the plain-Python packer run in
     key order (seq_pack_blocks' dense-key behavior is untouched — this is

@@ -75,6 +75,33 @@ def test_bucket_rollup_blocks_roundtrip(tiny_table):
         assert int(vals[0]) == r["first"] and int(vals[-1]) == r["last"]
 
 
+def test_rollup_emit_gorilla_blocks_batched_and_byte_identical(tiny_table):
+    """1m per-bucket blocks with block_method=GorillaXOR must route through
+    the batched multi-block encoder (not a per-bucket Python compress call)
+    and stay byte-identical to the per-row codec — the fused Gorilla
+    cascade's 1m stage depends on this."""
+    from tersets_spark import codecs, decompress
+    from tersets_spark.kernels import rollup_map_in_arrow
+
+    batch = tiny_table.slice(0, 10).to_batches()[0]
+    gen = rollup_map_in_arrow(60, with_blocks=True, block_method=Method.GorillaXOR)
+    out = list(gen([batch]))[0].to_pandas()
+    pdf = batch.to_pandas()
+    by_doc = {r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64) for _, r in pdf.iterrows()}
+    ts0 = {r["doc_id"]: int(r["ts0"]) for _, r in pdf.iterrows()}
+    assert len(out) > 1
+    for _, r in out.iterrows():
+        blob = bytes(r["block"])
+        vals = decompress(blob)
+        assert len(vals) == r["cnt"] and int(vals.sum()) == r["sum"]
+        toks = by_doc[r["doc_id"]]
+        s = max(0, int(r["bucket_ts"]) - ts0[r["doc_id"]])
+        seg = toks[s : s + int(r["cnt"])]
+        assert blob == codecs.compress(
+            seg.astype(np.float64), Method.GorillaXOR, 0.0
+        ), "batched 1m Gorilla block must be byte-identical to the per-row codec"
+
+
 def test_cascade_matches_duckdb_oracle(spark, tiny_table, tmp_path):
     path = str(tmp_path / "seq.parquet")
     import pyarrow.parquet as pq
