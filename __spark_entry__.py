@@ -1319,6 +1319,62 @@ def _q_seq_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_gate_by_sketch(_sequences(spark, sf_dir), pct=99)
 
 
+def _q_bloom_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership tiers (bloom.py): per-(source, 1m bucket) word
+    tables over the token values — decontamination/audit ROUTING served
+    from O(windows) sketch state with NO false negatives. Probes are the
+    corpus-global min and max token (present) plus two sentinels (absent);
+    output per (source, probe): maybe-window count vs exact truth vs total
+    windows. Everything md5/integer-derived, so the oracle replays the
+    filter construction AND the probe bit-for-bit (windows_maybe >=
+    windows_true is the no-false-negative invariant, visible in the data)."""
+    from tersets_spark.bloom import bloom_words, probe_membership
+    from tersets_spark.jobs import _sketch_points
+
+    seq = _sequences(spark, sf_dir)
+    pts = _sketch_points(seq)
+    # words feeds three consumers below (universe, membership join, counts);
+    # without the checkpoint the 4x-position explode + bit_or aggregation
+    # recomputes per consumer (in production the words live in a committed
+    # blm tier and this recompute never exists — see run_cascade with_blooms)
+    # dict_hash: positions computed once per DISTINCT token (vocab-shaped
+    # domain) and broadcast back — mirrors the oracle's `DISTINCT v` CTE.
+    # localCheckpoint: words feeds three consumers below (universe,
+    # membership join, counts); in production the words live in a committed
+    # blm tier and neither cost exists (see run_cascade with_blooms).
+    words = bloom_words(
+        pts, ["source", "bucket_ts"], "v", dict_hash=True
+    ).localCheckpoint()
+    mm = pts.agg(
+        F.min("v").cast("long").alias("lo"), F.max("v").cast("long").alias("hi")
+    ).head()
+    probe_vals = [int(mm["lo"]), int(mm["hi"]), 1000000007, 1000000009]
+    probes = spark.createDataFrame([(v,) for v in probe_vals], "probe long")
+    mem = probe_membership(words, ["source", "bucket_ts"], probes)
+    maybe = mem.groupBy("source", "probe").agg(
+        F.sum(F.col("maybe").cast("long")).alias("windows_maybe")
+    )
+    truth = (
+        pts.join(F.broadcast(probes), pts["v"] == probes["probe"])
+        .groupBy("source", "probe")
+        .agg(F.countDistinct("bucket_ts").alias("windows_true"))
+    )
+    # every window with >= 1 token has word rows, so the checkpointed words
+    # table IS the window universe — no second corpus explode for the total
+    totals = (
+        words.select("source", "bucket_ts")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("windows_total"))
+    )
+    return (
+        maybe.join(truth, ["source", "probe"], "left")
+        .na.fill({"windows_true": 0})
+        .join(totals, "source")
+        .select("source", "probe", "windows_maybe", "windows_true", "windows_total")
+    )
+
+
 def _q_media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decoding (no fake stand-in): genuine RIFF/PCM WAV and
     binary-PPM containers synthesized from documents, parsed by the
@@ -1388,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode_stats": _q_media_real_decode_stats,
         "seq_split_stats": _q_seq_split_stats,
         "seq_length_gate": _q_seq_length_gate,
+        "bloom_token_windows": _q_bloom_token_windows,
     }
 
 
@@ -1809,6 +1866,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.n_tok > t.p_est), 0) AS BIGINT) AS dropped_tokens
             FROM read_parquet('{seq}') s JOIN thr t USING (source)
             GROUP BY 1, 2
+        """,
+        "bloom_token_windows": f"""
+            WITH pts AS (
+                SELECT source,
+                       CAST(((ts0 + unnest(generate_series(0, n_tok - 1))) // 60) * 60
+                            AS BIGINT) AS bucket_ts,
+                       CAST(unnest(tokens) AS BIGINT) AS v
+                FROM read_parquet('{seq}')
+            ),
+            vals AS (SELECT DISTINCT v FROM pts),
+            vh AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM vals),
+            vpos AS (
+                SELECT v,
+                       CAST((((strpos('0123456789abcdef', substr(h, 4*j+1, 1)) - 1) * 4096
+                            + (strpos('0123456789abcdef', substr(h, 4*j+2, 1)) - 1) * 256
+                            + (strpos('0123456789abcdef', substr(h, 4*j+3, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substr(h, 4*j+4, 1)) - 1))
+                            % 12288) AS BIGINT) AS pos
+                FROM vh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+            ),
+            words AS (
+                SELECT p.source, p.bucket_ts,
+                       CAST(pos // 48 AS BIGINT) AS widx,
+                       CAST(bit_or(1::BIGINT << CAST(pos % 48 AS INT)) AS BIGINT) AS word
+                FROM pts p JOIN vpos USING (v)
+                GROUP BY 1, 2, 3
+            ),
+            mm AS (SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi FROM pts),
+            probes AS (
+                SELECT lo AS probe FROM mm
+                UNION ALL SELECT hi FROM mm
+                UNION ALL SELECT 1000000007
+                UNION ALL SELECT 1000000009
+            ),
+            ph AS (SELECT probe, md5(CAST(probe AS VARCHAR)) AS h FROM probes),
+            pmask AS (
+                SELECT probe,
+                       CAST(pos // 48 AS BIGINT) AS widx,
+                       CAST(bit_or(1::BIGINT << CAST(pos % 48 AS INT)) AS BIGINT) AS mask
+                FROM (
+                    SELECT probe,
+                           CAST((((strpos('0123456789abcdef', substr(h, 4*j+1, 1)) - 1) * 4096
+                                + (strpos('0123456789abcdef', substr(h, 4*j+2, 1)) - 1) * 256
+                                + (strpos('0123456789abcdef', substr(h, 4*j+3, 1)) - 1) * 16
+                                + (strpos('0123456789abcdef', substr(h, 4*j+4, 1)) - 1))
+                                % 12288) AS BIGINT) AS pos
+                    FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+                ) GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT w.source, w.bucket_ts, m.probe, m.widx, m.mask
+                FROM (SELECT DISTINCT source, bucket_ts FROM words) w
+                CROSS JOIN pmask m
+            ),
+            mem AS (
+                SELECT g.source, g.bucket_ts, g.probe,
+                       bool_and((COALESCE(w.word, 0) & g.mask) = g.mask) AS maybe
+                FROM grid g
+                LEFT JOIN words w
+                  ON w.source = g.source AND w.bucket_ts = g.bucket_ts
+                 AND w.widx = g.widx
+                GROUP BY 1, 2, 3
+            ),
+            mc AS (
+                SELECT source, probe,
+                       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                           AS windows_maybe
+                FROM mem GROUP BY 1, 2
+            ),
+            tr AS (
+                SELECT source, v AS probe,
+                       CAST(COUNT(DISTINCT bucket_ts) AS BIGINT) AS windows_true
+                FROM pts JOIN probes ON v = probe GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT source, CAST(COUNT(DISTINCT bucket_ts) AS BIGINT) AS windows_total
+                FROM pts GROUP BY 1
+            )
+            SELECT m.source, m.probe, m.windows_maybe,
+                   CAST(COALESCE(t.windows_true, 0) AS BIGINT) AS windows_true,
+                   o.windows_total
+            FROM mc m
+            LEFT JOIN tr t ON t.source = m.source AND t.probe = m.probe
+            JOIN tot o ON o.source = m.source
         """,
         "sketch_percentiles": f"""
             WITH pts AS (

@@ -101,8 +101,10 @@ def _write_tier(
 SKETCH_CASCADE = {
     "psk": (("psk_1h", "psk_1m", 3600), ("psk_1d", "psk_1h", 86400)),
     "hll": (("hll_1h", "hll_1m", 3600), ("hll_1d", "hll_1h", 86400)),
+    "blm": (("blm_1h", "blm_1m", 3600), ("blm_1d", "blm_1h", 86400)),
 }
 SKETCH_TIER_NAMES = ("psk_1m", "psk_1h", "psk_1d", "hll_1m", "hll_1h", "hll_1d")
+BLOOM_TIER_NAMES = ("blm_1m", "blm_1h", "blm_1d")
 
 
 def merge_to_bucket(sketch_df: DataFrame, secs: int, merge_fn) -> DataFrame:
@@ -139,6 +141,7 @@ def run_cascade(
     salt: bool = False,
     with_sketches: bool = False,
     sketch_kernel: bool | None = None,
+    with_blooms: bool = False,
     m1_source: str = "fused",
     fail_after_tier: str | None = None,  # test hook for kill/resume
 ) -> dict[str, str]:
@@ -168,6 +171,15 @@ def run_cascade(
     the DuckDB-oracled contract queries use, so kernel and expression check
     each other. The 1h/1d levels merge the bounded committed tier below and
     are near-free either way.
+
+    ``with_blooms=True`` additionally materializes the ``blm_1m/1h/1d``
+    Bloom membership tier family (bloom.py): per-(source, bucket) word
+    tables over the token values, merge = bit_or, serving
+    decontamination/audit ROUTING ("which windows might contain value v",
+    no false negatives) from O(windows) state via
+    :func:`windows_maybe_containing`. Same catalog commits, per-source
+    resume, retention and ``validate_tiers`` upper-merge audit as the
+    sketch families; streamed twin in streaming.stream_cascade_to_tiers.
 
     ``m1_source`` — how the 1m tier is built. ``"fused"`` (default): one
     tagged-union Arrow pass emits raw blobs AND 1m rollup rows from the
@@ -392,6 +404,34 @@ def run_cascade(
                     _write_tier(catalog, merge_to_bucket(b, secs, merge), tier, pend)
         tiers_out += list(SKETCH_TIER_NAMES)
 
+    if with_blooms:
+        # Bloom membership tiers (bloom.py): per-(source, 1m bucket) word
+        # tables over the token values — decontamination/audit ROUTING
+        # ("which windows might contain value v") served from O(windows)
+        # state. Build = one posexplode + one bit_or hash aggregate
+        # (map-side partials bound every shuffle at W rows per key); upper
+        # tiers merge the committed tier below (bit_or is re-aggregable),
+        # exactly like the psk/hll families, through the same
+        # merge_to_bucket, resume, retention and validate machinery.
+        from .bloom import bloom_words, merge_words
+
+        pend_blm = pending_for("blm_1m")
+        if pend_blm:
+            _write_tier(
+                catalog,
+                bloom_words(_sketch_points(seq), ["source", "bucket_ts"], "v"),
+                "blm_1m",
+                pend_blm,
+            )
+        if fail_after_tier == "blm_1m":
+            raise RuntimeError("injected failure after blm_1m tier")
+        for tier, below, secs in SKETCH_CASCADE["blm"]:
+            pend = pending_for(tier)
+            if pend:
+                b = catalog.read_tier(spark, below)
+                _write_tier(catalog, merge_to_bucket(b, secs, merge_words), tier, pend)
+        tiers_out += list(BLOOM_TIER_NAMES)
+
     out = {t: os.path.join(out_dir, t) for t in tiers_out}
     if sketch_path is not None:
         out["_sketch_path"] = sketch_path
@@ -462,6 +502,27 @@ def distinct_from_catalog(
 
     df = TierCatalog(out_dir).read_tier(spark, tier)
     return hll_summary(merge_registers(df, list(keys)), list(keys))
+
+
+def windows_maybe_containing(
+    spark: SparkSession,
+    out_dir: str,
+    values: list,
+    tier: str = "blm_1m",
+) -> DataFrame:
+    """Decontamination/audit routing from a COMMITTED Bloom tier: for each
+    probe value, the (source, bucket_ts) windows that MIGHT contain it
+    (``maybe`` false = definitely absent, no false negatives). The consumer
+    rescans only the maybe-windows' raw partitions — O(windows) sketch
+    reads instead of an O(corpus) scan. Coarser tiers (blm_1h/1d) answer
+    with fewer rows but more false positives; route day -> hour -> 1m ->
+    raw for the narrowest rescan set."""
+    from .bloom import probe_membership
+
+    words = TierCatalog(out_dir).read_tier(spark, tier)
+    probes = spark.createDataFrame([(v,) for v in values], "probe long")
+    res = probe_membership(words, ["source", "bucket_ts"], probes)
+    return res.where(F.col("maybe"))
 
 
 # ---------------------------------------------------------------------------
@@ -714,12 +775,14 @@ def validate_tiers(
     # is pinned by the contract query + unit suites, and 1m DISK corruption
     # still surfaces here: a corrupted 1m makes its (pre-corruption) upper
     # tier mismatch merge(1m). The merge audit thus covers the whole family.
+    from .bloom import merge_words
     from .hll import merge_registers
     from .sketch import merge_sketch
 
     for family, merge, id_col, val_col in (
         ("psk", merge_sketch, "bucket_id", "cnt"),
         ("hll", merge_registers, "bucket", "rho"),
+        ("blm", merge_words, "widx", "word"),
     ):
         for tier, below, secs in SKETCH_CASCADE[family]:
             if not os.path.isdir(os.path.join(out_dir, tier)):

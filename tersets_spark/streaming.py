@@ -132,6 +132,7 @@ def stream_cascade_to_tiers(
     schema=None,
     max_files_per_trigger: int = 8,
     with_sketches: bool = False,
+    with_blooms: bool = False,
 ):
     """Streamed FULL cascade: each micro-batch ingests raw sequences into the
     1m tier AND cascades its own contribution up into 1h and 1d, so all three
@@ -206,7 +207,8 @@ def stream_cascade_to_tiers(
         day.write.mode("overwrite").parquet(dir_1d)
         _record_once("1d", dir_1d)
 
-        if with_sketches:
+        if with_sketches or with_blooms:
+            from .bloom import bloom_words, merge_words
             from .hll import hll_registers, merge_registers
             from .jobs import _sketch_points, merge_to_bucket
             from .sketch import merge_sketch, sketch as hdr_sketch
@@ -215,10 +217,21 @@ def stream_cascade_to_tiers(
             def _hll_dict(d, keys, col):
                 return hll_registers(d, keys, col, dict_hash=True)
 
-            for family, build, merge in (
-                ("psk", hdr_sketch, merge_sketch),
-                ("hll", _hll_dict, merge_registers),
-            ):
+            def _blm_dict(d, keys, col):
+                return bloom_words(d, keys, col, dict_hash=True)
+
+            families = []
+            if with_sketches:
+                families += [
+                    ("psk", hdr_sketch, merge_sketch),
+                    ("hll", _hll_dict, merge_registers),
+                ]
+            if with_blooms:
+                # Bloom word tiers stream with the same cross-batch-partial
+                # contract: bit_or is idempotent AND associative, so per-
+                # batch word rows combine exactly at read/finalize.
+                families.append(("blm", _blm_dict, merge_words))
+            for family, build, merge in families:
                 fine = build(pts, ["source", "bucket_ts"], "v")
                 prev_dir = os.path.join(
                     catalog.base_dir, f"{family}_1m", f"batch={batch_id}"
@@ -290,6 +303,10 @@ def read_streamed_tier(
         from .hll import merge_registers
 
         return merge_registers(df.drop("batch"), ["source", "bucket_ts"])
+    if tier.startswith("blm_"):  # Bloom word tier: bit_or is the combine
+        from .bloom import merge_words
+
+        return merge_words(df.drop("batch"), ["source", "bucket_ts"])
     if "first_ts" not in df.columns:
         # finest core tier: per-doc rows are already final, but finalize
         # must still shed the micro-batch partition column so the committed
