@@ -86,7 +86,8 @@ def _fresh_session(cpus: int):
 
 
 def run_cascade_once(
-    spark, seq_path: str, total_tokens: int, with_sketches: bool = False
+    spark, seq_path: str, total_tokens: int, with_sketches: bool = False,
+    with_blooms: bool = False,
 ) -> dict:
     """One full cascade run on a fresh output dir (session provided/reused)."""
     from tersets_spark.catalog import TierCatalog
@@ -96,7 +97,7 @@ def run_cascade_once(
     try:
         t0 = time.monotonic()
         run_cascade(spark, seq_path, out, with_blocks=True, resume=False,
-                    with_sketches=with_sketches)
+                    with_sketches=with_sketches, with_blooms=with_blooms)
         total = time.monotonic() - t0
         per_tier: dict[str, float] = {}
         for rec in TierCatalog(out).metrics():
@@ -141,6 +142,15 @@ def run_default(cpus: int, seq_path: str, total_tokens: int, n_runs: int) -> dic
             r["host_stream_melem_s"] = host_stream_probe()
             log(f"with_sketches run {i + 1}/{n_runs}: {r}")
             sk_runs.append(r)
+        # same evidence protocol for the Bloom membership tier family
+        bl_warm = run_cascade_once(spark, seq_path, total_tokens, with_blooms=True)
+        log(f"with_blooms warmup (discarded): {bl_warm}")
+        bl_runs = []
+        for i in range(n_runs):
+            r = run_cascade_once(spark, seq_path, total_tokens, with_blooms=True)
+            r["host_stream_melem_s"] = host_stream_probe()
+            log(f"with_blooms run {i + 1}/{n_runs}: {r}")
+            bl_runs.append(r)
     finally:
         spark.stop()
     best = min(runs, key=lambda r: r["total_sec"])
@@ -156,6 +166,17 @@ def run_default(cpus: int, seq_path: str, total_tokens: int, n_runs: int) -> dic
             "host_stream_melem_s": r["host_stream_melem_s"],
         }
         for r in sk_runs
+    ]
+    bl_best = min(bl_runs, key=lambda r: r["total_sec"])
+    best["with_bloom_tiers_sec"] = bl_best["total_sec"]
+    best["with_bloom_tiers_per_tier_sec"] = bl_best["per_tier_sec"]
+    best["with_bloom_runs"] = [
+        {
+            "total_sec": r["total_sec"],
+            "per_tier_sec": r["per_tier_sec"],
+            "host_stream_melem_s": r["host_stream_melem_s"],
+        }
+        for r in bl_runs
     ]
     return best
 
@@ -277,6 +298,9 @@ def main() -> None:
         "with_sketch_tiers_sec": r["with_sketch_tiers_sec"],
         "with_sketch_tiers_per_tier_sec": r["with_sketch_tiers_per_tier_sec"],
         "with_sketch_runs": r["with_sketch_runs"],
+        "with_bloom_tiers_sec": r["with_bloom_tiers_sec"],
+        "with_bloom_tiers_per_tier_sec": r["with_bloom_tiers_per_tier_sec"],
+        "with_bloom_runs": r["with_bloom_runs"],
         "host_stream_melem_s": probe,
         "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
     }))

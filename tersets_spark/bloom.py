@@ -104,8 +104,15 @@ def bloom_words(
     set; without the filter its positions would be NULL and the explode
     would emit rows that bit_or as NULL words — the dict path's inner
     join drops them the same way).
+
+    A Bloom filter is a SET: duplicate (key, value) pairs OR the same
+    bits, so the build first reduces to distinct pairs (one narrow
+    partial-aggregated shuffle) before the Kx position explode feeds the
+    word aggregation — on token streams where a window revisits values
+    heavily this shrinks the heavy aggregation's input by the repeat
+    factor. Output is bit-identical with or without the distinct.
     """
-    df = df.where(F.col(value_col).isNotNull())
+    df = df.where(F.col(value_col).isNotNull()).select(*keys, value_col).distinct()
     if dict_hash:
         vals = df.select(F.col(value_col).alias("_v")).distinct()
         pos = F.explode(F.array(*bloom_positions(F.col("_v")))).alias("_pos")

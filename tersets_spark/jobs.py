@@ -348,24 +348,41 @@ def run_cascade(
 
     tiers_out = ["raw", "1m", "1h", "1d"]
     sketch_path = None
-    if with_sketches:
+    if with_sketches or with_blooms:
+        # Sketch families share one machinery: psk (HDR percentile counts,
+        # merge = sum), hll (distinct registers, merge = max) and blm
+        # (Bloom membership words, merge = bit_or — decontamination/audit
+        # ROUTING, see bloom.py). When the value domain is vocab-shaped the
+        # fused Arrow kernel emits ALL requested families' partials in ONE
+        # zero-copy pass over the token payload (staged once, one tiny JVM
+        # aggregation per family); otherwise each family builds through its
+        # pure-JVM expression path. Upper tiers always merge the committed
+        # tier below through merge_to_bucket — same resume, retention and
+        # validate machinery for all three.
+        from .bloom import bloom_words, merge_words
         from .hll import hll_registers, merge_registers
         from .sketch import merge_sketch, sketch as hdr_sketch
 
         if sketch_kernel is None:
             sketch_kernel = _auto_sketch_kernel(seq)
         sketch_path = "kernel" if sketch_kernel else "expression"
-        pend_psk = pending_for("psk_1m")
-        pend_hll = pending_for("hll_1m")
+        pend_psk = pending_for("psk_1m") if with_sketches else []
+        pend_hll = pending_for("hll_1m") if with_sketches else []
+        pend_blm = pending_for("blm_1m") if with_blooms else []
+        fams = []
+        if sketch_kernel:
+            if pend_psk or pend_hll:
+                fams += ["p", "h"]
+            if pend_blm:
+                fams.append("b")
         stage_dir = None
-        if (pend_psk or pend_hll) and sketch_kernel:
-            # Fused Arrow kernel: ONE zero-copy pass over the token payload
-            # emits per-batch partials for both families (kernels.py); stage
-            # them once so the two tier aggregations don't re-run the kernel.
+        psk_1m_df = hll_1m_df = blm_1m_df = None
+        if fams:
             from .kernels import SKETCH_PARTIALS_SCHEMA, sketch_partials_map_in_arrow
 
             partials = seq.select("source", "ts0", "tokens").mapInArrow(
-                sketch_partials_map_in_arrow(60), SKETCH_PARTIALS_SCHEMA
+                sketch_partials_map_in_arrow(60, families=tuple(fams)),
+                SKETCH_PARTIALS_SCHEMA,
             )
             stage_dir = os.path.join(
                 out_dir, f"_tmp_skpart_{os.getpid()}_{uuid.uuid4().hex[:8]}"
@@ -382,10 +399,21 @@ def run_cascade(
                 .groupBy("source", "bucket_ts", "bucket")
                 .agg(F.max("val").alias("rho"))
             )
-        elif pend_psk or pend_hll:
+            blm_1m_df = (
+                part_df.filter(F.col("family") == "b")
+                .groupBy("source", "bucket_ts", F.col("bucket").alias("widx"))
+                .agg(F.bit_or("val").alias("word"))
+            )
+        if (pend_psk or pend_hll) and not sketch_kernel:
             pts = _sketch_points(seq)
             psk_1m_df = hdr_sketch(pts, ["source", "bucket_ts"], "v")
             hll_1m_df = hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True)
+        if pend_blm and not sketch_kernel:
+            # expression path (also the contract oracle's shape): positions
+            # once per DISTINCT value via the dict-hash broadcast
+            blm_1m_df = bloom_words(
+                _sketch_points(seq), ["source", "bucket_ts"], "v", dict_hash=True
+            )
         if pend_psk:
             _write_tier(catalog, psk_1m_df, "psk_1m", pend_psk)
         if fail_after_tier == "psk_1m":
@@ -394,43 +422,25 @@ def run_cascade(
             _write_tier(catalog, hll_1m_df, "hll_1m", pend_hll)
         if fail_after_tier == "hll_1m":
             raise RuntimeError("injected failure after hll_1m tier")
+        if pend_blm:
+            _write_tier(catalog, blm_1m_df, "blm_1m", pend_blm)
+        if fail_after_tier == "blm_1m":
+            raise RuntimeError("injected failure after blm_1m tier")
         if stage_dir is not None:
             shutil.rmtree(stage_dir, ignore_errors=True)
-        for family, merge in (("psk", merge_sketch), ("hll", merge_registers)):
+        families_up = []
+        if with_sketches:
+            families_up += [("psk", merge_sketch), ("hll", merge_registers)]
+            tiers_out += list(SKETCH_TIER_NAMES)
+        if with_blooms:
+            families_up.append(("blm", merge_words))
+            tiers_out += list(BLOOM_TIER_NAMES)
+        for family, merge in families_up:
             for tier, below, secs in SKETCH_CASCADE[family]:
                 pend = pending_for(tier)
                 if pend:
                     b = catalog.read_tier(spark, below)
                     _write_tier(catalog, merge_to_bucket(b, secs, merge), tier, pend)
-        tiers_out += list(SKETCH_TIER_NAMES)
-
-    if with_blooms:
-        # Bloom membership tiers (bloom.py): per-(source, 1m bucket) word
-        # tables over the token values — decontamination/audit ROUTING
-        # ("which windows might contain value v") served from O(windows)
-        # state. Build = one posexplode + one bit_or hash aggregate
-        # (map-side partials bound every shuffle at W rows per key); upper
-        # tiers merge the committed tier below (bit_or is re-aggregable),
-        # exactly like the psk/hll families, through the same
-        # merge_to_bucket, resume, retention and validate machinery.
-        from .bloom import bloom_words, merge_words
-
-        pend_blm = pending_for("blm_1m")
-        if pend_blm:
-            _write_tier(
-                catalog,
-                bloom_words(_sketch_points(seq), ["source", "bucket_ts"], "v"),
-                "blm_1m",
-                pend_blm,
-            )
-        if fail_after_tier == "blm_1m":
-            raise RuntimeError("injected failure after blm_1m tier")
-        for tier, below, secs in SKETCH_CASCADE["blm"]:
-            pend = pending_for(tier)
-            if pend:
-                b = catalog.read_tier(spark, below)
-                _write_tier(catalog, merge_to_bucket(b, secs, merge_words), tier, pend)
-        tiers_out += list(BLOOM_TIER_NAMES)
 
     out = {t: os.path.join(out_dir, t) for t in tiers_out}
     if sketch_path is not None:

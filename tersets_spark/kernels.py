@@ -548,8 +548,38 @@ def _hll_lut_arrays(uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return bkt, rho
 
 
-def sketch_partials_map_in_arrow(tier_seconds: int = 60):
+#: value -> K bloom bit positions; vocab-bounded, worker-process lifetime.
+_BLOOM_VALUE_LUT: dict[int, tuple[int, ...]] = {}
+
+
+def _bloom_lut_arrays(uniq: np.ndarray) -> np.ndarray:
+    """(len(uniq), K) bit positions — md5-derived, identical to
+    bloom.bloom_positions_py, memoized across batches (same vocab-sized
+    cap rationale as _hll_lut_arrays)."""
+    from .bloom import bloom_positions_py
+
+    out = np.empty((len(uniq), 4), dtype=np.int64)
+    for i, v in enumerate(uniq.tolist()):
+        hit = _BLOOM_VALUE_LUT.get(v)
+        if hit is None:
+            hit = tuple(bloom_positions_py(v))
+            if len(_BLOOM_VALUE_LUT) < 1_000_000:
+                _BLOOM_VALUE_LUT[v] = hit
+        out[i] = hit
+    return out
+
+
+def sketch_partials_map_in_arrow(
+    tier_seconds: int = 60, families: tuple[str, ...] = ("p", "h")
+):
     """mapInArrow generator: sequences -> tagged sketch partials.
+
+    ``families`` selects which sketch families the single zero-copy pass
+    emits: "p" (HDR percentile counts), "h" (HLL max-rho registers), "b"
+    (Bloom words: per-(source, bucket) distinct values' K md5 positions
+    OR-ed into 48-bit words — the partial rows reuse the shared schema
+    with bucket = widx and val = word). All requested families come from
+    ONE scan of the token payload.
 
     Bit-length comes from ``np.frexp`` (exact for integer doubles: the
     exponent of v in [2^(k-1), 2^k) is k — tokens are < 2^31, far inside
@@ -598,20 +628,54 @@ def sketch_partials_map_in_arrow(tier_seconds: int = 60):
             src_tok = src_codes_row[row_of_tok].astype(np.int64)
             key_base = (src_tok << 42) | (minute_idx << 11)
 
-            # psk family: HDR bucket id = bitlen*32 + top-5-bits
-            _, exp = np.frexp(flat.astype(np.float64))
-            bitlen = np.where(flat == 0, 1, exp).astype(np.int64)
-            shift = np.maximum(bitlen - 5, 0)
-            bucket_id = bitlen * 32 + (flat >> shift)
-            pk, pc_ = np.unique(key_base | bucket_id, return_counts=True)
-
-            # hll family: md5 LUT over batch-unique values, then max-rho
             uniq, inv = np.unique(flat, return_inverse=True)
-            lut_bkt, lut_rho = _hll_lut_arrays(uniq)
-            hkey = key_base | lut_bkt[inv]
-            hk, hinv = np.unique(hkey, return_inverse=True)
-            hrho = np.zeros(len(hk), dtype=np.int64)
-            np.maximum.at(hrho, hinv, lut_rho[inv])
+            if "p" in families:
+                # psk family: HDR bucket id = bitlen*32 + top-5-bits
+                _, exp = np.frexp(flat.astype(np.float64))
+                bitlen = np.where(flat == 0, 1, exp).astype(np.int64)
+                shift = np.maximum(bitlen - 5, 0)
+                bucket_id = bitlen * 32 + (flat >> shift)
+                pk, pc_ = np.unique(key_base | bucket_id, return_counts=True)
+
+            if "h" in families:
+                # hll family: md5 LUT over batch-unique values, then max-rho
+                lut_bkt, lut_rho = _hll_lut_arrays(uniq)
+                hkey = key_base | lut_bkt[inv]
+                hk, hinv = np.unique(hkey, return_inverse=True)
+                hrho = np.zeros(len(hk), dtype=np.int64)
+                np.maximum.at(hrho, hinv, lut_rho[inv])
+
+            if "b" in families:
+                # bloom family: a filter is a SET, so reduce to distinct
+                # (src-minute, value) pairs first, then OR each pair's K
+                # positions into its (src-minute, widx) word. Pair packing
+                # is (km * n_uniq + value_idx) — guard the int64 headroom.
+                from .bloom import K as _BK, WORD_BITS as _BWB
+
+                km_all = key_base >> np.int64(11)
+                n_uniq = np.int64(len(uniq))
+                if (int(km_all.max()) + 1) * int(n_uniq) >= (1 << 62):
+                    raise ValueError("sketch kernel: bloom pair key overflow")
+                pair = np.unique(km_all * n_uniq + inv)
+                km = pair // n_uniq
+                vi = (pair % n_uniq).astype(np.intp)
+                lut_pos = _bloom_lut_arrays(uniq)  # (n_uniq, K)
+                pos = lut_pos[vi]  # (n_pairs, K)
+                widx = pos // _BWB
+                bitmask = np.int64(1) << (pos % _BWB).astype(np.int64)
+                bkey_all = ((km[:, None] << np.int64(11)) | widx).ravel()
+                # group-OR via sort + reduceat (bitwise_or.at's per-element
+                # dispatch is the slow path — same idiom as
+                # _bitpack.or_scatter_monotone)
+                order = np.argsort(bkey_all, kind="stable")
+                sorted_keys = bkey_all[order]
+                group_starts = np.flatnonzero(
+                    np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+                )
+                bk = sorted_keys[group_starts]
+                bwords = np.bitwise_or.reduceat(
+                    bitmask.ravel()[order], group_starts
+                )
 
             def _emit(keys, vals, fam):
                 n = len(keys)
@@ -627,7 +691,11 @@ def sketch_partials_map_in_arrow(tier_seconds: int = 60):
                     names=["family", "source", "bucket_ts", "bucket", "val"],
                 )
 
-            yield _emit(pk, pc_, "p")
-            yield _emit(hk, hrho, "h")
+            if "p" in families:
+                yield _emit(pk, pc_, "p")
+            if "h" in families:
+                yield _emit(hk, hrho, "h")
+            if "b" in families:
+                yield _emit(bk, bwords, "b")
 
     return _gen

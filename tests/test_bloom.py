@@ -182,6 +182,35 @@ def test_cascade_bloom_tiers_commit_validate_and_serve(spark, seq_path, tmp_path
     assert len(cat.metrics()) == before
 
 
+def test_retention_and_audit_on_bloom_tiers(spark, seq_path, tmp_path):
+    """Bloom tiers participate in row-level retention (they carry
+    bucket_ts) and the retention-aware audit bound keeps a trimmed family
+    auditing clean — same contract as the psk/hll families."""
+    from tersets_spark.jobs import apply_retention
+    from tersets_spark.tables import EPOCH
+
+    out = str(tmp_path / "tiers")
+    run_cascade(spark, seq_path, out, with_blooms=True)
+    cat = TierCatalog(out, superseded_grace_sec=0.0)
+    m1 = cat.read_tier(spark, "blm_1m")
+    lo, hi = m1.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    cut = (lo + hi) // 2
+    now = EPOCH + 10 * 86400
+    before = m1.count()
+    expected = m1.filter(F.col("bucket_ts") < cut).count()
+    assert 0 < expected < before
+
+    policy = {t: None for t in ("raw", "1m", "1h", "1d", *BLOOM_TIER_NAMES)}
+    policy["blm_1m"] = now - cut
+    dropped = apply_retention(spark, out, now, policy=policy,
+                              superseded_grace_sec=0.0)
+    assert dropped["blm_1m"] == expected
+
+    report = validate_tiers(spark, seq_path, out, sample_frac=1.0)
+    assert report["blm_1h"]["mismatches"] == 0, report["blm_1h"]
+    assert report["blm_1h"]["checked"] > 0
+
+
 def test_cascade_bloom_resume_after_injected_crash(spark, seq_path, tmp_path):
     out = str(tmp_path / "tiers")
     with pytest.raises(RuntimeError, match="injected failure after blm_1m"):

@@ -41,6 +41,33 @@ def test_kernel_path_matches_expression_path(spark, seq_path, tmp_path):
     assert not [d for d in os.listdir(out_k) if d.startswith("_tmp_")]
 
 
+def test_bloom_kernel_path_matches_expression_path(spark, seq_path, tmp_path):
+    """The 'b' family of the fused kernel (distinct-pair dedup + LUT
+    positions + bitwise_or.at) must commit blm tiers bit-identical to the
+    expression path's bloom_words build — with and without the psk/hll
+    families sharing the pass."""
+    out_k = str(tmp_path / "kernel")
+    out_e = str(tmp_path / "expr")
+    out_all = str(tmp_path / "kernel_all")
+    run_cascade(spark, seq_path, out_k, with_blooms=True, sketch_kernel=True)
+    run_cascade(spark, seq_path, out_e, with_blooms=True, sketch_kernel=False)
+    run_cascade(
+        spark, seq_path, out_all,
+        with_sketches=True, with_blooms=True, sketch_kernel=True,
+    )
+    for tier in ("blm_1m", "blm_1h", "blm_1d"):
+        rows_e = _tier_rows(spark, out_e, tier)
+        assert _tier_rows(spark, out_k, tier) == rows_e, tier
+        assert _tier_rows(spark, out_all, tier) == rows_e, tier
+    # the shared pass did not perturb the psk/hll families
+    ref = str(tmp_path / "sk_only")
+    run_cascade(spark, seq_path, ref, with_sketches=True, sketch_kernel=True)
+    for tier in ("psk_1m", "hll_1m"):
+        assert _tier_rows(spark, out_all, tier) == _tier_rows(spark, ref, tier), tier
+    for out in (out_k, out_all):
+        assert not [d for d in os.listdir(out) if d.startswith("_tmp_")]
+
+
 def test_frexp_bitlen_matches_bin_length():
     """np.frexp exponent == int.bit_length for every value the kernel can
     see (exactness argument in the kernel docstring); sweep boundaries."""
