@@ -182,6 +182,41 @@ def test_cascade_bloom_tiers_commit_validate_and_serve(spark, seq_path, tmp_path
     assert len(cat.metrics()) == before
 
 
+def test_gram_keyed_bloom_routes_contamination_rescans(spark):
+    """The filters are value-generic: keyed by token n-gram strings
+    (concat_ws — portable to a SQL replay), a per-window bloom answers
+    'which windows might contain this benchmark gram' — the targeted-
+    rescan form of 13-gram decontamination. Every window truly containing
+    the gram must probe maybe (no false negatives)."""
+    n = 3
+    rows = [
+        # (window, tokens): window w2 and w4 contain the gram (7, 8, 9)
+        ("w1", [1, 2, 3, 4, 5]),
+        ("w2", [6, 7, 8, 9, 10]),
+        ("w3", [11, 12, 13, 14]),
+        ("w4", [7, 8, 9]),
+    ]
+    df = spark.createDataFrame(rows, "w string, tokens array<int>")
+    grams = df.select(
+        "w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - n + 1),
+                lambda i: F.slice(F.col("tokens"), i, n),
+            )
+        ).alias("gram"),
+    ).select("w", F.concat_ws(",", "gram").alias("gram_key"))
+    words = bloom_words(grams, ["w"], "gram_key")
+    probes = spark.createDataFrame([("7,8,9",), ("1,2,99",)], "probe string")
+    res = {
+        (r["w"], r["probe"]): r["maybe"]
+        for r in probe_membership(words, ["w"], probes).collect()
+    }
+    assert res[("w2", "7,8,9")] and res[("w4", "7,8,9")]
+    assert not res[("w1", "7,8,9")] and not res[("w3", "7,8,9")]
+    assert not any(res[(w, "1,2,99")] for w in ("w1", "w2", "w3", "w4"))
+
+
 def test_retention_and_audit_on_bloom_tiers(spark, seq_path, tmp_path):
     """Bloom tiers participate in row-level retention (they carry
     bucket_ts) and the retention-aware audit bound keeps a trimmed family
