@@ -1333,10 +1333,6 @@ def _q_bloom_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = _sequences(spark, sf_dir)
     pts = _sketch_points(seq)
-    # words feeds three consumers below (universe, membership join, counts);
-    # without the checkpoint the 4x-position explode + bit_or aggregation
-    # recomputes per consumer (in production the words live in a committed
-    # blm tier and this recompute never exists — see run_cascade with_blooms)
     # dict_hash: positions computed once per DISTINCT token (vocab-shaped
     # domain) and broadcast back — mirrors the oracle's `DISTINCT v` CTE.
     # localCheckpoint: words feeds three consumers below (universe,
@@ -1879,10 +1875,14 @@ def oracle_sql() -> dict[str, str]:
             vh AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM vals),
             vpos AS (
                 SELECT v,
-                       CAST((((strpos('0123456789abcdef', substr(h, 4*j+1, 1)) - 1) * 4096
-                            + (strpos('0123456789abcdef', substr(h, 4*j+2, 1)) - 1) * 256
-                            + (strpos('0123456789abcdef', substr(h, 4*j+3, 1)) - 1) * 16
-                            + (strpos('0123456789abcdef', substr(h, 4*j+4, 1)) - 1))
+                       CAST((((((((((strpos('0123456789abcdef', substr(h, 8*j+1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+2, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+3, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+4, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+5, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+6, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+7, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+8, 1)) - 1))
                             % 12288) AS BIGINT) AS pos
                 FROM vh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
             ),
@@ -1907,10 +1907,14 @@ def oracle_sql() -> dict[str, str]:
                        CAST(bit_or(1::BIGINT << CAST(pos % 48 AS INT)) AS BIGINT) AS mask
                 FROM (
                     SELECT probe,
-                           CAST((((strpos('0123456789abcdef', substr(h, 4*j+1, 1)) - 1) * 4096
-                                + (strpos('0123456789abcdef', substr(h, 4*j+2, 1)) - 1) * 256
-                                + (strpos('0123456789abcdef', substr(h, 4*j+3, 1)) - 1) * 16
-                                + (strpos('0123456789abcdef', substr(h, 4*j+4, 1)) - 1))
+                           CAST((((((((((strpos('0123456789abcdef', substr(h, 8*j+1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+2, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+3, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+4, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+5, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+6, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+7, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+8, 1)) - 1))
                                 % 12288) AS BIGINT) AS pos
                     FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
                 ) GROUP BY 1, 2

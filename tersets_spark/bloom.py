@@ -21,8 +21,11 @@ hash functions (xxHash/Murmur) are not reproducible in a SQL oracle, so
 results could only ever be rows-only-checked. Everything here derives
 from ``md5`` (byte-identical in Spark and DuckDB) and integer ops:
 
-* ``K`` = 4 bit positions per value, each 4 hex digits of the md5 of the
-  value's string form, reduced ``% M``;
+* ``K`` = 4 bit positions per value, each 8 hex digits (32 bits) of the
+  md5 of the value's string form, reduced ``% M`` — with 32-bit slices
+  the modulo bias is ~1 part in 2^32/M (~350k), so the false-positive
+  formula below holds to well under a percent (a 16-bit slice would
+  skew low positions by 20%);
 * the filter is ``W`` 48-bit words per key — ``(keys..., widx, word)``
   rows, at most ``W`` per key. 48 bits per word keeps every
   ``shiftleft`` result strictly positive in both engines (no two's-
@@ -51,6 +54,9 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# the portable instr-based hex-digit decoder is shared with the HLL sketch
+from .hll import _hex_val
+
 #: words per key; total filter size M = W * WORD_BITS bits.
 W = 256
 #: bits used per 64-bit word (<= 48 keeps every shifted bit positive —
@@ -60,32 +66,32 @@ M = W * WORD_BITS
 #: hash functions (md5 hex slices) per value.
 K = 4
 
-_HEX = "0123456789abcdef"
+#: hex digits per hash slice; 8 digits = 32 bits, so the % M reduction's
+#: bias is negligible (see module docstring). K * SLICE_HEX = 32 uses the
+#: whole md5.
+SLICE_HEX = 8
 
 
-def _hex_val(c: Column) -> Column:
-    """0..15 value of one lowercase hex-digit column (portable: instr)."""
-    return (F.call_function("instr", F.lit(_HEX), c) - 1).cast("long")
-
-
-def _hex4(h: Column, start: int) -> Column:
-    """Integer value of 4 hex digits of ``h`` starting at 1-based ``start``."""
+def _hexn(h: Column, start: int, n: int = SLICE_HEX) -> Column:
+    """Integer value of ``n`` hex digits of ``h`` at 1-based ``start``."""
     v = _hex_val(F.substring(h, start, 1))
-    for i in range(1, 4):
+    for i in range(1, n):
         v = v * 16 + _hex_val(F.substring(h, start + i, 1))
     return v
 
 
 def bloom_positions(value: Column) -> list[Column]:
-    """K bit positions (0..M-1) for a value — 4-hex-digit md5 slices % M."""
+    """K bit positions (0..M-1) for a value — 8-hex-digit md5 slices % M."""
     h = F.md5(value.cast("string").cast("binary"))
-    return [_hex4(h, 1 + 4 * j) % F.lit(M) for j in range(K)]
+    return [_hexn(h, 1 + SLICE_HEX * j) % F.lit(M) for j in range(K)]
 
 
 def bloom_positions_py(value) -> list[int]:
     """Python twin of :func:`bloom_positions` (tests + driver-side probes)."""
     h = hashlib.md5(str(value).encode()).hexdigest()
-    return [int(h[4 * j : 4 * j + 4], 16) % M for j in range(K)]
+    return [
+        int(h[SLICE_HEX * j : SLICE_HEX * (j + 1)], 16) % M for j in range(K)
+    ]
 
 
 def bloom_words(

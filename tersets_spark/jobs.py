@@ -414,20 +414,26 @@ def run_cascade(
             blm_1m_df = bloom_words(
                 _sketch_points(seq), ["source", "bucket_ts"], "v", dict_hash=True
             )
-        if pend_psk:
-            _write_tier(catalog, psk_1m_df, "psk_1m", pend_psk)
-        if fail_after_tier == "psk_1m":
-            raise RuntimeError("injected failure after psk_1m tier")
-        if pend_hll:
-            _write_tier(catalog, hll_1m_df, "hll_1m", pend_hll)
-        if fail_after_tier == "hll_1m":
-            raise RuntimeError("injected failure after hll_1m tier")
-        if pend_blm:
-            _write_tier(catalog, blm_1m_df, "blm_1m", pend_blm)
-        if fail_after_tier == "blm_1m":
-            raise RuntimeError("injected failure after blm_1m tier")
-        if stage_dir is not None:
-            shutil.rmtree(stage_dir, ignore_errors=True)
+        # try/finally mirrors the fused raw+1m staging: a failure in any 1m
+        # commit (or the injected-crash hooks) must not strand the full-size
+        # partials dir — the startup sweep spares dirs of LIVE pids, so a
+        # long-lived driver would otherwise accumulate one copy per attempt
+        try:
+            if pend_psk:
+                _write_tier(catalog, psk_1m_df, "psk_1m", pend_psk)
+            if fail_after_tier == "psk_1m":
+                raise RuntimeError("injected failure after psk_1m tier")
+            if pend_hll:
+                _write_tier(catalog, hll_1m_df, "hll_1m", pend_hll)
+            if fail_after_tier == "hll_1m":
+                raise RuntimeError("injected failure after hll_1m tier")
+            if pend_blm:
+                _write_tier(catalog, blm_1m_df, "blm_1m", pend_blm)
+            if fail_after_tier == "blm_1m":
+                raise RuntimeError("injected failure after blm_1m tier")
+        finally:
+            if stage_dir is not None:
+                shutil.rmtree(stage_dir, ignore_errors=True)
         families_up = []
         if with_sketches:
             families_up += [("psk", merge_sketch), ("hll", merge_registers)]

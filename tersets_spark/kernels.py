@@ -556,9 +556,9 @@ def _bloom_lut_arrays(uniq: np.ndarray) -> np.ndarray:
     """(len(uniq), K) bit positions — md5-derived, identical to
     bloom.bloom_positions_py, memoized across batches (same vocab-sized
     cap rationale as _hll_lut_arrays)."""
-    from .bloom import bloom_positions_py
+    from .bloom import K, bloom_positions_py
 
-    out = np.empty((len(uniq), 4), dtype=np.int64)
+    out = np.empty((len(uniq), K), dtype=np.int64)
     for i, v in enumerate(uniq.tolist()):
         hit = _BLOOM_VALUE_LUT.get(v)
         if hit is None:
@@ -650,7 +650,7 @@ def sketch_partials_map_in_arrow(
                 # (src-minute, value) pairs first, then OR each pair's K
                 # positions into its (src-minute, widx) word. Pair packing
                 # is (km * n_uniq + value_idx) — guard the int64 headroom.
-                from .bloom import K as _BK, WORD_BITS as _BWB
+                from .bloom import WORD_BITS as _BWB
 
                 km_all = key_base >> np.int64(11)
                 n_uniq = np.int64(len(uniq))
@@ -660,9 +660,9 @@ def sketch_partials_map_in_arrow(
                 km = pair // n_uniq
                 vi = (pair % n_uniq).astype(np.intp)
                 lut_pos = _bloom_lut_arrays(uniq)  # (n_uniq, K)
-                pos = lut_pos[vi]  # (n_pairs, K)
-                widx = pos // _BWB
-                bitmask = np.int64(1) << (pos % _BWB).astype(np.int64)
+                bpos = lut_pos[vi]  # (n_pairs, K)
+                widx = bpos // _BWB
+                bitmask = np.int64(1) << (bpos % _BWB).astype(np.int64)
                 bkey_all = ((km[:, None] << np.int64(11)) | widx).ravel()
                 # group-OR via sort + reduceat (bitwise_or.at's per-element
                 # dispatch is the slow path — same idiom as
