@@ -387,7 +387,16 @@ def run_cascade(
             stage_dir = os.path.join(
                 out_dir, f"_tmp_skpart_{os.getpid()}_{uuid.uuid4().hex[:8]}"
             )
+            t_stage = time.monotonic()
             partials.write.mode("overwrite").parquet(stage_dir)
+            # lineage: the staged partials pass is the sketch families'
+            # single corpus scan (the per-tier commits below only aggregate
+            # the staged rows) — record it like the fused raw+1m stage so
+            # bench/operators see where the wall actually goes
+            catalog.record(
+                "+".join(sorted(fams)) + "_partials", "_stage", status="stage",
+                wall_ms=round((time.monotonic() - t_stage) * 1000, 1),
+            )
             part_df = spark.read.parquet(stage_dir)
             psk_1m_df = (
                 part_df.filter(F.col("family") == "p")
