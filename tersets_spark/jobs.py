@@ -545,7 +545,10 @@ def windows_maybe_containing(
     from .bloom import probe_membership
 
     words = TierCatalog(out_dir).read_tier(spark, tier)
-    probes = spark.createDataFrame([(v,) for v in values], "probe long")
+    # filters are value-generic (positions hash the string form): integer
+    # token ids and string keys (e.g. concat_ws gram keys) both probe
+    ptype = "string" if any(isinstance(v, str) for v in values) else "long"
+    probes = spark.createDataFrame([(v,) for v in values], f"probe {ptype}")
     res = probe_membership(words, ["source", "bucket_ts"], probes)
     return res.where(F.col("maybe"))
 
