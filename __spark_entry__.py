@@ -1371,6 +1371,52 @@ def _q_bloom_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency tiers (cms.py): per-(source, 1m bucket) D x WIDTH
+    counter grids over the token values — per-window frequency ESTIMATES
+    served from O(windows) sketch state with a one-sided guarantee
+    (estimate >= truth, always). Probes are the corpus-global min and max
+    token (present) plus two sentinels (absent); output per (source,
+    probe): estimated vs exact token totals and estimated-hit window
+    count. Everything md5/integer-derived, so the oracle replays the
+    counter construction AND the min-over-rows estimate bit-for-bit
+    (est_tokens >= true_tokens is the one-sided bound, visible in-row)."""
+    from tersets_spark.cms import cms_counters, estimate_counts
+    from tersets_spark.jobs import _sketch_points
+
+    seq = _sequences(spark, sf_dir)
+    pts = _sketch_points(seq)
+    # dict_hash: cells computed once per DISTINCT token (vocab-shaped
+    # domain), mirroring the oracle's `DISTINCT v` CTE. localCheckpoint:
+    # counters feed two consumers (key universe + estimate join); in
+    # production they live in a committed cms tier (run_cascade with_cms).
+    counters = cms_counters(
+        pts, ["source", "bucket_ts"], "v", dict_hash=True
+    ).localCheckpoint()
+    mm = pts.agg(
+        F.min("v").cast("long").alias("lo"), F.max("v").cast("long").alias("hi")
+    ).head()
+    probe_vals = [int(mm["lo"]), int(mm["hi"]), 1000000007, 1000000009]
+    probes = spark.createDataFrame([(v,) for v in probe_vals], "probe long")
+    est = estimate_counts(counters, ["source", "bucket_ts"], probes)
+    est_agg = est.groupBy("source", "probe").agg(
+        F.sum("est").cast("long").alias("est_tokens"),
+        F.sum(F.when(F.col("est") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("windows_est"),
+    )
+    truth = (
+        pts.join(F.broadcast(probes), pts["v"] == probes["probe"])
+        .groupBy("source", "probe")
+        .agg(F.count(F.lit(1)).alias("true_tokens"))
+    )
+    return (
+        est_agg.join(truth, ["source", "probe"], "left")
+        .na.fill({"true_tokens": 0})
+        .select("source", "probe", "est_tokens", "windows_est", "true_tokens")
+    )
+
+
 def _q_media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decoding (no fake stand-in): genuine RIFF/PCM WAV and
     binary-PPM containers synthesized from documents, parsed by the
@@ -1441,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_split_stats": _q_seq_split_stats,
         "seq_length_gate": _q_seq_length_gate,
         "bloom_token_windows": _q_bloom_token_windows,
+        "cms_token_freq": _q_cms_token_freq,
     }
 
 
@@ -1954,6 +2001,86 @@ def oracle_sql() -> dict[str, str]:
             FROM mc m
             LEFT JOIN tr t ON t.source = m.source AND t.probe = m.probe
             JOIN tot o ON o.source = m.source
+        """,
+        "cms_token_freq": f"""
+            WITH pts AS (
+                SELECT source,
+                       CAST(((ts0 + unnest(generate_series(0, n_tok - 1))) // 60) * 60
+                            AS BIGINT) AS bucket_ts,
+                       CAST(unnest(tokens) AS BIGINT) AS v
+                FROM read_parquet('{seq}')
+            ),
+            vals AS (SELECT DISTINCT v FROM pts),
+            vh AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM vals),
+            vcell AS (
+                SELECT v, CAST(j AS INT) AS ridx,
+                       CAST((((((((((strpos('0123456789abcdef', substr(h, 8*j+1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+2, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+3, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+4, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+5, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+6, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+7, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+8, 1)) - 1))
+                            % 512) AS INT) AS cidx
+                FROM vh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+            ),
+            counters AS (
+                SELECT p.source, p.bucket_ts, c.ridx, c.cidx,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts p JOIN vcell c USING (v)
+                GROUP BY 1, 2, 3, 4
+            ),
+            mm AS (SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi FROM pts),
+            probes AS (
+                SELECT lo AS probe FROM mm
+                UNION ALL SELECT hi FROM mm
+                UNION ALL SELECT 1000000007
+                UNION ALL SELECT 1000000009
+            ),
+            ph AS (SELECT probe, md5(CAST(probe AS VARCHAR)) AS h FROM probes),
+            pcell AS (
+                SELECT probe, CAST(j AS INT) AS ridx,
+                       CAST((((((((((strpos('0123456789abcdef', substr(h, 8*j+1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+2, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+3, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+4, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+5, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+6, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+7, 1)) - 1)) * 16
+                            + (strpos('0123456789abcdef', substr(h, 8*j+8, 1)) - 1))
+                            % 512) AS INT) AS cidx
+                FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+            ),
+            grid AS (
+                SELECT w.source, w.bucket_ts, c.probe, c.ridx, c.cidx
+                FROM (SELECT DISTINCT source, bucket_ts FROM counters) w
+                CROSS JOIN pcell c
+            ),
+            est AS (
+                SELECT g.source, g.bucket_ts, g.probe,
+                       MIN(COALESCE(k.cnt, 0)) AS est
+                FROM grid g
+                LEFT JOIN counters k
+                  ON k.source = g.source AND k.bucket_ts = g.bucket_ts
+                 AND k.ridx = g.ridx AND k.cidx = g.cidx
+                GROUP BY 1, 2, 3
+            ),
+            ea AS (
+                SELECT source, probe,
+                       CAST(SUM(est) AS BIGINT) AS est_tokens,
+                       CAST(SUM(CASE WHEN est > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS windows_est
+                FROM est GROUP BY 1, 2
+            ),
+            tr AS (
+                SELECT source, v AS probe, CAST(COUNT(*) AS BIGINT) AS true_tokens
+                FROM pts JOIN probes ON v = probe GROUP BY 1, 2
+            )
+            SELECT e.source, e.probe, e.est_tokens, e.windows_est,
+                   CAST(COALESCE(t.true_tokens, 0) AS BIGINT) AS true_tokens
+            FROM ea e
+            LEFT JOIN tr t ON t.source = e.source AND t.probe = e.probe
         """,
         "sketch_percentiles": f"""
             WITH pts AS (

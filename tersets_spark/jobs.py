@@ -102,9 +102,11 @@ SKETCH_CASCADE = {
     "psk": (("psk_1h", "psk_1m", 3600), ("psk_1d", "psk_1h", 86400)),
     "hll": (("hll_1h", "hll_1m", 3600), ("hll_1d", "hll_1h", 86400)),
     "blm": (("blm_1h", "blm_1m", 3600), ("blm_1d", "blm_1h", 86400)),
+    "cms": (("cms_1h", "cms_1m", 3600), ("cms_1d", "cms_1h", 86400)),
 }
 SKETCH_TIER_NAMES = ("psk_1m", "psk_1h", "psk_1d", "hll_1m", "hll_1h", "hll_1d")
 BLOOM_TIER_NAMES = ("blm_1m", "blm_1h", "blm_1d")
+CMS_TIER_NAMES = ("cms_1m", "cms_1h", "cms_1d")
 
 
 def merge_to_bucket(sketch_df: DataFrame, secs: int, merge_fn) -> DataFrame:
@@ -142,6 +144,7 @@ def run_cascade(
     with_sketches: bool = False,
     sketch_kernel: bool | None = None,
     with_blooms: bool = False,
+    with_cms: bool = False,
     m1_source: str = "fused",
     fail_after_tier: str | None = None,  # test hook for kill/resume
 ) -> dict[str, str]:
@@ -180,6 +183,16 @@ def run_cascade(
     :func:`windows_maybe_containing`. Same catalog commits, per-source
     resume, retention and ``validate_tiers`` upper-merge audit as the
     sketch families; streamed twin in streaming.stream_cascade_to_tiers.
+
+    ``with_cms=True`` additionally materializes the ``cms_1m/1h/1d``
+    Count-Min frequency tier family (cms.py): per-(source, bucket) D x
+    WIDTH counter grids over the token values, merge = cell-wise sum
+    (count-min is closed under addition), serving per-window frequency
+    ESTIMATES ("about how often does value v appear in window W",
+    estimate >= truth always) from O(windows) state via
+    :func:`frequency_estimates_from_catalog`. Bloom routes (could it be
+    there), count-min weighs (roughly how much) — same commits, resume,
+    retention, validation and streamed twin as the other families.
 
     ``m1_source`` — how the 1m tier is built. ``"fused"`` (default): one
     tagged-union Arrow pass emits raw blobs AND 1m rollup rows from the
@@ -348,7 +361,7 @@ def run_cascade(
 
     tiers_out = ["raw", "1m", "1h", "1d"]
     sketch_path = None
-    if with_sketches or with_blooms:
+    if with_sketches or with_blooms or with_cms:
         # Sketch families share one machinery: psk (HDR percentile counts,
         # merge = sum), hll (distinct registers, merge = max) and blm
         # (Bloom membership words, merge = bit_or — decontamination/audit
@@ -360,6 +373,7 @@ def run_cascade(
         # tier below through merge_to_bucket — same resume, retention and
         # validate machinery for all three.
         from .bloom import bloom_words, merge_words
+        from .cms import WIDTH as CMS_WIDTH, cms_counters, merge_counters
         from .hll import hll_registers, merge_registers
         from .sketch import merge_sketch, sketch as hdr_sketch
 
@@ -369,14 +383,17 @@ def run_cascade(
         pend_psk = pending_for("psk_1m") if with_sketches else []
         pend_hll = pending_for("hll_1m") if with_sketches else []
         pend_blm = pending_for("blm_1m") if with_blooms else []
+        pend_cms = pending_for("cms_1m") if with_cms else []
         fams = []
         if sketch_kernel:
             if pend_psk or pend_hll:
                 fams += ["p", "h"]
             if pend_blm:
                 fams.append("b")
+            if pend_cms:
+                fams.append("c")
         stage_dir = None
-        psk_1m_df = hll_1m_df = blm_1m_df = None
+        psk_1m_df = hll_1m_df = blm_1m_df = cms_1m_df = None
         if fams:
             from .kernels import SKETCH_PARTIALS_SCHEMA, sketch_partials_map_in_arrow
 
@@ -413,6 +430,17 @@ def run_cascade(
                 .groupBy("source", "bucket_ts", F.col("bucket").alias("widx"))
                 .agg(F.bit_or("val").alias("word"))
             )
+            # cms partials pack the cell as bucket = ridx*WIDTH + cidx
+            cms_1m_df = (
+                part_df.filter(F.col("family") == "c")
+                .groupBy(
+                    "source",
+                    "bucket_ts",
+                    (F.col("bucket") / CMS_WIDTH).cast("int").alias("ridx"),
+                    (F.col("bucket") % CMS_WIDTH).cast("int").alias("cidx"),
+                )
+                .agg(F.sum("val").alias("cnt"))
+            )
         if (pend_psk or pend_hll) and not sketch_kernel:
             pts = _sketch_points(seq)
             psk_1m_df = hdr_sketch(pts, ["source", "bucket_ts"], "v")
@@ -421,6 +449,10 @@ def run_cascade(
             # expression path (also the contract oracle's shape): positions
             # once per DISTINCT value via the dict-hash broadcast
             blm_1m_df = bloom_words(
+                _sketch_points(seq), ["source", "bucket_ts"], "v", dict_hash=True
+            )
+        if pend_cms and not sketch_kernel:
+            cms_1m_df = cms_counters(
                 _sketch_points(seq), ["source", "bucket_ts"], "v", dict_hash=True
             )
         # try/finally mirrors the fused raw+1m staging: a failure in any 1m
@@ -440,6 +472,10 @@ def run_cascade(
                 _write_tier(catalog, blm_1m_df, "blm_1m", pend_blm)
             if fail_after_tier == "blm_1m":
                 raise RuntimeError("injected failure after blm_1m tier")
+            if pend_cms:
+                _write_tier(catalog, cms_1m_df, "cms_1m", pend_cms)
+            if fail_after_tier == "cms_1m":
+                raise RuntimeError("injected failure after cms_1m tier")
         finally:
             if stage_dir is not None:
                 shutil.rmtree(stage_dir, ignore_errors=True)
@@ -450,6 +486,9 @@ def run_cascade(
         if with_blooms:
             families_up.append(("blm", merge_words))
             tiers_out += list(BLOOM_TIER_NAMES)
+        if with_cms:
+            families_up.append(("cms", merge_counters))
+            tiers_out += list(CMS_TIER_NAMES)
         for family, merge in families_up:
             for tier, below, secs in SKETCH_CASCADE[family]:
                 pend = pending_for(tier)
@@ -551,6 +590,31 @@ def windows_maybe_containing(
     probes = spark.createDataFrame([(v,) for v in values], f"probe {ptype}")
     res = probe_membership(words, ["source", "bucket_ts"], probes)
     return res.where(F.col("maybe"))
+
+
+def frequency_estimates_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    values: list,
+    tier: str = "cms_1m",
+    min_est: int = 1,
+) -> DataFrame:
+    """Frequency auditing from a COMMITTED Count-Min tier: for each probe
+    value, the (source, bucket_ts) windows where it is estimated to occur
+    at least ``min_est`` times, with the estimate (``est >= true`` always;
+    a window absent from the result with ``min_est=1`` definitely never
+    saw the value — count-min shares Bloom's no-false-negative absence
+    proof). O(windows) sketch reads instead of an O(corpus) scan; coarser
+    tiers (cms_1h/1d) answer with fewer rows and looser estimates. The
+    weighting complement of :func:`windows_maybe_containing`: bloom routes
+    rescans, count-min sizes them (e.g. contamination weight per window)."""
+    from .cms import estimate_counts
+
+    counters = TierCatalog(out_dir).read_tier(spark, tier)
+    ptype = "string" if any(isinstance(v, str) for v in values) else "long"
+    probes = spark.createDataFrame([(v,) for v in values], f"probe {ptype}")
+    res = estimate_counts(counters, ["source", "bucket_ts"], probes)
+    return res.where(F.col("est") >= min_est)
 
 
 # ---------------------------------------------------------------------------
@@ -804,13 +868,15 @@ def validate_tiers(
     # still surfaces here: a corrupted 1m makes its (pre-corruption) upper
     # tier mismatch merge(1m). The merge audit thus covers the whole family.
     from .bloom import merge_words
+    from .cms import merge_counters
     from .hll import merge_registers
     from .sketch import merge_sketch
 
-    for family, merge, id_col, val_col in (
-        ("psk", merge_sketch, "bucket_id", "cnt"),
-        ("hll", merge_registers, "bucket", "rho"),
-        ("blm", merge_words, "widx", "word"),
+    for family, merge, id_cols, val_col in (
+        ("psk", merge_sketch, ("bucket_id",), "cnt"),
+        ("hll", merge_registers, ("bucket",), "rho"),
+        ("blm", merge_words, ("widx",), "word"),
+        ("cms", merge_counters, ("ridx", "cidx"), "cnt"),
     ):
         for tier, below, secs in SKETCH_CASCADE[family]:
             if not os.path.isdir(os.path.join(out_dir, tier)):
@@ -826,7 +892,7 @@ def validate_tiers(
                 lb = -(-max(hs) // secs) * secs
                 actual = actual.where(F.col("bucket_ts") >= lb)
                 expected = expected.where(F.col("bucket_ts") >= lb)
-            keys = ["source", "bucket_ts", id_col]
+            keys = ["source", "bucket_ts", *id_cols]
             a = actual.select(*keys, F.col(val_col).alias("_a"))
             e = expected.select(*keys, F.col(val_col).alias("_e"))
             j = a.join(e, keys, "full_outer")

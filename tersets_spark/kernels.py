@@ -573,6 +573,27 @@ def _bloom_lut_arrays(uniq: np.ndarray) -> np.ndarray:
     return out
 
 
+#: value -> D count-min cell columns; vocab-bounded, worker-process lifetime.
+_CMS_VALUE_LUT: dict[int, tuple[int, ...]] = {}
+
+
+def _cms_lut_arrays(uniq: np.ndarray) -> np.ndarray:
+    """(len(uniq), D) column positions — md5-derived, identical to
+    cms.cms_positions_py, memoized across batches (same vocab-sized cap
+    rationale as the bloom/hll LUTs)."""
+    from .cms import D, cms_positions_py
+
+    out = np.empty((len(uniq), D), dtype=np.int64)
+    for i, v in enumerate(uniq.tolist()):
+        hit = _CMS_VALUE_LUT.get(v)
+        if hit is None:
+            hit = tuple(cms_positions_py(v))
+            if len(_CMS_VALUE_LUT) < 1_000_000:
+                _CMS_VALUE_LUT[v] = hit
+        out[i] = hit
+    return out
+
+
 def sketch_partials_map_in_arrow(
     tier_seconds: int = 60, families: tuple[str, ...] = ("p", "h")
 ):
@@ -582,8 +603,11 @@ def sketch_partials_map_in_arrow(
     emits: "p" (HDR percentile counts), "h" (HLL max-rho registers), "b"
     (Bloom words: per-(source, bucket) distinct values' K md5 positions
     OR-ed into 48-bit words — the partial rows reuse the shared schema
-    with bucket = widx and val = word). All requested families come from
-    ONE scan of the token payload.
+    with bucket = widx and val = word), "c" (Count-Min cells: per-pair
+    occurrence counts scatter-added into D md5-derived cells; bucket =
+    ridx*WIDTH + cidx — at D=4, WIDTH=512 exactly the key's 11-bit bucket
+    field — and val = cnt). All requested families come from ONE scan of
+    the token payload.
 
     Bit-length comes from ``np.frexp`` (exact for integer doubles: the
     exponent of v in [2^(k-1), 2^k) is k — tokens are < 2^31, far inside
@@ -635,7 +659,7 @@ def sketch_partials_map_in_arrow(
             return self.keys[0], self.vals[0]
 
     def _gen(batches):
-        combine_of = {"p": np.add, "h": np.maximum, "b": np.bitwise_or}
+        combine_of = {"p": np.add, "h": np.maximum, "b": np.bitwise_or, "c": np.add}
         accs = {f: _Acc(combine_of[f]) for f in families}
         src_code: dict = {}
         src_list: list = []
@@ -702,20 +726,25 @@ def sketch_partials_map_in_arrow(
                 hrho = np.zeros(len(hk), dtype=np.int64)
                 np.maximum.at(hrho, hinv, lut_rho[inv])
 
-            if "b" in families:
-                # bloom family: a filter is a SET, so reduce to distinct
-                # (src-minute, value) pairs first, then OR each pair's K
-                # positions into its (src-minute, widx) word. Pair packing
-                # is (km * n_uniq + value_idx) — guard the int64 headroom.
-                from .bloom import WORD_BITS as _BWB
-
+            if "b" in families or "c" in families:
+                # bloom and count-min both work per (src-minute, value)
+                # PAIR — bloom because a filter is a SET, count-min because
+                # the D-way cell scatter runs per pair with the pair's
+                # occurrence count as weight. Pair packing is
+                # (km * n_uniq + value_idx) — guard the int64 headroom.
                 km_all = key_base >> np.int64(11)
                 n_uniq = np.int64(len(uniq))
                 if (int(km_all.max()) + 1) * int(n_uniq) >= (1 << 62):
-                    raise ValueError("sketch kernel: bloom pair key overflow")
-                pair = np.unique(km_all * n_uniq + inv)
+                    raise ValueError("sketch kernel: pair key overflow")
+                pair, pair_cnt = np.unique(
+                    km_all * n_uniq + inv, return_counts=True
+                )
                 km = pair // n_uniq
                 vi = (pair % n_uniq).astype(np.intp)
+
+            if "b" in families:
+                from .bloom import WORD_BITS as _BWB
+
                 lut_pos = _bloom_lut_arrays(uniq)  # (n_uniq, K)
                 bpos = lut_pos[vi]  # (n_pairs, K)
                 widx = bpos // _BWB
@@ -734,12 +763,28 @@ def sketch_partials_map_in_arrow(
                     bitmask.ravel()[order], group_starts
                 )
 
+            if "c" in families:
+                # count-min family: each pair adds its occurrence count to
+                # its D cells; the cell packs as ridx*WIDTH + cidx (< 2^11,
+                # exactly the key's bucket field). Duplicate cell keys
+                # within the batch combine in the accumulator (np.add).
+                from .cms import D as _CD, WIDTH as _CW
+
+                lut_c = _cms_lut_arrays(uniq)  # (n_uniq, D)
+                cell = (
+                    np.arange(_CD, dtype=np.int64) * np.int64(_CW) + lut_c[vi]
+                )  # (n_pairs, D)
+                ckey_all = ((km[:, None] << np.int64(11)) | cell).ravel()
+                cvals = np.repeat(pair_cnt.astype(np.int64), _CD)
+
             if "p" in families:
                 accs["p"].add(pk, pc_)
             if "h" in families:
                 accs["h"].add(hk, hrho)
             if "b" in families:
                 accs["b"].add(bk, bwords)
+            if "c" in families:
+                accs["c"].add(ckey_all, cvals)
 
         src_strings = np.asarray(src_list, dtype=object)
         for fam in families:

@@ -133,6 +133,7 @@ def stream_cascade_to_tiers(
     max_files_per_trigger: int = 8,
     with_sketches: bool = False,
     with_blooms: bool = False,
+    with_cms: bool = False,
 ):
     """Streamed FULL cascade: each micro-batch ingests raw sequences into the
     1m tier AND cascades its own contribution up into 1h and 1d, so all three
@@ -207,8 +208,9 @@ def stream_cascade_to_tiers(
         day.write.mode("overwrite").parquet(dir_1d)
         _record_once("1d", dir_1d)
 
-        if with_sketches or with_blooms:
+        if with_sketches or with_blooms or with_cms:
             from .bloom import bloom_words, merge_words
+            from .cms import cms_counters, merge_counters
             from .hll import hll_registers, merge_registers
             from .jobs import _sketch_points, merge_to_bucket
             from .sketch import merge_sketch, sketch as hdr_sketch
@@ -219,6 +221,9 @@ def stream_cascade_to_tiers(
 
             def _blm_dict(d, keys, col):
                 return bloom_words(d, keys, col, dict_hash=True)
+
+            def _cms_dict(d, keys, col):
+                return cms_counters(d, keys, col, dict_hash=True)
 
             families = []
             if with_sketches:
@@ -231,6 +236,12 @@ def stream_cascade_to_tiers(
                 # contract: bit_or is idempotent AND associative, so per-
                 # batch word rows combine exactly at read/finalize.
                 families.append(("blm", _blm_dict, merge_words))
+            if with_cms:
+                # Count-min cell tiers: sum is associative, so per-batch
+                # cell rows combine exactly at read/finalize (NOT
+                # idempotent — replay safety comes from the overwrite-
+                # idempotent batch dirs, same as the psk family).
+                families.append(("cms", _cms_dict, merge_counters))
             for family, build, merge in families:
                 fine = build(pts, ["source", "bucket_ts"], "v")
                 prev_dir = os.path.join(
@@ -307,6 +318,10 @@ def read_streamed_tier(
         from .bloom import merge_words
 
         return merge_words(df.drop("batch"), ["source", "bucket_ts"])
+    if tier.startswith("cms_"):  # Count-min cell tier: sum is the combine
+        from .cms import merge_counters
+
+        return merge_counters(df.drop("batch"), ["source", "bucket_ts"])
     if "first_ts" not in df.columns:
         # finest core tier: per-doc rows are already final, but finalize
         # must still shed the micro-batch partition column so the committed

@@ -595,3 +595,42 @@ def test_stream_bloom_tiers_match_batch(spark, staged_input, tmp_path):
         assert streamed.count() == expected.count(), tier
         assert streamed.exceptAll(expected.select(cols)).count() == 0, tier
         assert expected.select(cols).exceptAll(streamed).count() == 0, tier
+
+
+def test_stream_cms_tiers_match_batch(spark, staged_input, tmp_path):
+    """Streamed Count-Min cell tiers (cross-batch partials, combine = sum at
+    finalize) must equal direct builds over the whole input."""
+    from tersets_spark.cms import cms_counters, merge_counters
+    from tersets_spark.jobs import _sketch_points
+    from tersets_spark.streaming import stream_cascade_to_tiers
+
+    out = str(tmp_path / "tiers")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_cascade_to_tiers(
+        spark, staged_input, out, ckpt, max_files_per_trigger=1,
+        with_blocks=False, with_cms=True,
+    )
+    q.awaitTermination()
+
+    pts = _sketch_points(spark.read.parquet(staged_input))
+    day = (F.floor(F.col("bucket_ts") / 86400) * 86400).cast("long")
+    exp_1m = cms_counters(pts, ["source", "bucket_ts"], "v")
+    cols = ["source", "bucket_ts", "ridx", "cidx", "cnt"]
+    cases = {
+        "cms_1m": exp_1m,
+        "cms_1d": merge_counters(
+            exp_1m.withColumn("bucket_ts", day), ["source", "bucket_ts"]
+        ),
+    }
+    for tier, expected in cases.items():
+        streamed = read_streamed_tier(spark, out, tier, finalize=True).select(cols)
+        if tier.endswith("_1m"):
+            raw = read_streamed_tier(spark, out, tier, finalize=False)
+            dupes = (
+                raw.groupBy("source", "bucket_ts", "ridx", "cidx")
+                .count().filter(F.col("count") > 1).count()
+            )
+            assert dupes > 0, f"{tier}: expected cross-batch partials"
+        assert streamed.count() == expected.count(), tier
+        assert streamed.exceptAll(expected.select(cols)).count() == 0, tier
+        assert expected.select(cols).exceptAll(streamed).count() == 0, tier
