@@ -1319,6 +1319,32 @@ def _q_seq_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_gate_by_sketch(_sequences(spark, sf_dir), pct=99)
 
 
+def _q_seq_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring (span-level) duplication audit
+    (seqops.span_dedup_stats): every 16-token window is fingerprinted
+    JVM-side, windows are SAMPLED content-defined (first md5 hex digit
+    '0', p=1/16 — identical content is co-selected regardless of doc or
+    offset, so duplicated pairs survive sampling at 1/16, not 1/256), and
+    only the selected fraction ever shuffles. Per-source totals of
+    windows, selected windows, duplicated windows (digest repeats
+    corpus-wide) and docs containing one. Lee et al. (ACL 2022) span
+    dedup, sans suffix array."""
+    from tersets_spark.seqops import span_dedup_stats
+
+    return span_dedup_stats(_sequences(spark, sf_dir), span=16, sel_hex_digits=1)
+
+
+def _q_seq_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus
+    (seqops.source_divergence): exact total-variation distance — the
+    summed numerator is an exact decimal(38,0) integer (aggregation order
+    cannot perturb it) and the output floats are exactly-rounded
+    conversions/divisions the DuckDB oracle replays bit-for-bit."""
+    from tersets_spark.seqops import source_divergence
+
+    return source_divergence(_sequences(spark, sf_dir))
+
+
 def _q_bloom_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership tiers (bloom.py): per-(source, 1m bucket) word
     tables over the token values — decontamination/audit ROUTING served
@@ -1488,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_length_gate": _q_seq_length_gate,
         "bloom_token_windows": _q_bloom_token_windows,
         "cms_token_freq": _q_cms_token_freq,
+        "seq_span_dedup": _q_seq_span_dedup,
+        "seq_source_divergence": _q_seq_source_divergence,
     }
 
 
@@ -2334,5 +2362,90 @@ def oracle_sql() -> dict[str, str]:
                    user_id, total_cents, n_events
             FROM totals
             ORDER BY rank LIMIT 10
+        """,
+        # span-level dedup replica: every 16-token window fingerprinted,
+        # content-defined selection (first md5 hex digit '0'), digest
+        # repeat counts via a window — identical definition to
+        # seqops.span_dedup_stats
+        "seq_span_dedup": f"""
+            WITH w AS (
+                SELECT s.doc_id, s.source,
+                       md5(array_to_string(list_slice(s.tokens, t.i, t.i + 15), ','))
+                           AS dig
+                FROM read_parquet('{seq}') s,
+                     UNNEST(range(1, greatest(len(s.tokens) - 15, 0) + 1)) AS t(i)
+            ),
+            sel AS (SELECT * FROM w WHERE substr(dig, 1, 1) = '0'),
+            flagged AS (
+                SELECT doc_id, source,
+                       COUNT(*) OVER (PARTITION BY dig) AS npos
+                FROM sel
+            ),
+            perdoc AS (
+                SELECT source, doc_id, COUNT(*) AS sel_w,
+                       SUM(CASE WHEN npos >= 2 THEN 1 ELSE 0 END) AS dup_w
+                FROM flagged GROUP BY 1, 2
+            ),
+            persrc AS (
+                SELECT source, SUM(sel_w) AS sel_windows, SUM(dup_w) AS dup_windows,
+                       SUM(CASE WHEN dup_w > 0 THEN 1 ELSE 0 END) AS span_dup_docs
+                FROM perdoc GROUP BY 1
+            ),
+            tot AS (
+                SELECT source, COUNT(*) AS docs,
+                       SUM(greatest(len(tokens) - 15, 0)) AS windows
+                FROM read_parquet('{seq}') GROUP BY 1
+            )
+            SELECT t.source, CAST(t.docs AS BIGINT) AS docs,
+                   CAST(t.windows AS BIGINT) AS windows,
+                   CAST(COALESCE(p.sel_windows, 0) AS BIGINT) AS sel_windows,
+                   CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+                   CAST(COALESCE(p.span_dup_docs, 0) AS BIGINT) AS span_dup_docs
+            FROM tot t LEFT JOIN persrc p USING (source)
+        """,
+        # total-variation drift replica: the numerator sums exact HUGEINT
+        # terms over the (source x corpus-vocab) grid; the two floats are
+        # the same exactly-rounded conversion + multiply/divide chain the
+        # Spark side evaluates (bit-identical)
+        "seq_source_divergence": f"""
+            WITH freq AS (
+                SELECT source, unnest(tokens) AS token
+                FROM read_parquet('{seq}')
+            ),
+            f AS (
+                SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+                FROM freq GROUP BY 1, 2
+            ),
+            corpus AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM f GROUP BY 1),
+            ns AS (
+                SELECT source, CAST(SUM(c) AS BIGINT) AS toks,
+                       CAST(COUNT(*) AS BIGINT) AS vocab
+                FROM f GROUP BY 1
+            ),
+            docs AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS docs
+                FROM read_parquet('{seq}') GROUP BY 1
+            ),
+            total AS (SELECT CAST(SUM(ct) AS BIGINT) AS corpus_toks FROM corpus),
+            grid AS (
+                SELECT n.source, n.toks, n.vocab, d.docs, t.corpus_toks,
+                       c.token, c.ct
+                FROM ns n JOIN docs d USING (source), corpus c, total t
+            ),
+            summed AS (
+                SELECT g.source, g.docs, g.toks, g.vocab, g.corpus_toks,
+                       SUM(abs(
+                           CAST(COALESCE(f.c, 0) AS HUGEINT) * CAST(g.corpus_toks AS HUGEINT)
+                           - CAST(g.ct AS HUGEINT) * CAST(g.toks AS HUGEINT)
+                       )) AS tv_num_exact
+                FROM grid g LEFT JOIN f ON f.source = g.source AND f.token = g.token
+                GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT source, docs, toks, vocab, corpus_toks,
+                   CAST(tv_num_exact AS DOUBLE) AS tv_num,
+                   CAST(tv_num_exact AS DOUBLE)
+                       / (2.0 * CAST(toks AS DOUBLE) * CAST(corpus_toks AS DOUBLE))
+                       AS tv_dist
+            FROM summed
         """,
     }

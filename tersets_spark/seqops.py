@@ -495,6 +495,184 @@ def split_assign(
     return seq.withColumn("split", expr)
 
 
+def span_digests(
+    tokens: Column, n_tok: Column, span: int, sel_hex_digits: int = 1
+) -> Column:
+    """Content-defined selected window digests of a token array.
+
+    Every length-``span`` token window gets an md5 digest of its
+    comma-joined decimal rendering (the :func:`_seq_digest` canonical
+    form applied to the window); a window is SELECTED iff the first
+    ``sel_hex_digits`` hex digits of its digest are all ``'0'`` —
+    probability ``16^-sel_hex_digits``, decided by CONTENT alone.
+    ``sel_hex_digits=0`` selects every window (exact mode).
+
+    Content-defined selection is the property that makes sampled span
+    dedup sound: two identical windows hash identically, so they are
+    either BOTH selected or BOTH skipped regardless of which documents
+    or offsets they sit at — a duplicated window pair survives sampling
+    with probability ``16^-d``, not ``16^-2d``, and no alignment between
+    the two copies is ever needed (the same reason winnowing/CDC anchors
+    chunk boundaries on content, not position).
+
+    Docs shorter than ``span`` contribute no windows (explicit empty
+    array: ``sequence(1, 0)`` would DESCEND, same guard as
+    :func:`ngram_contamination`)."""
+    if sel_hex_digits < 0 or sel_hex_digits > 8:
+        raise ValueError("sel_hex_digits must be in [0, 8]")
+    digs = F.when(
+        n_tok >= span,
+        F.transform(
+            F.sequence(F.lit(1), n_tok.cast("int") - span + 1),
+            lambda i: F.md5(
+                F.concat_ws(",", F.slice(tokens, i, span).cast("array<string>"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if sel_hex_digits == 0:
+        return digs
+    prefix = "0" * sel_hex_digits
+    return F.filter(
+        digs, lambda d: F.substring(d, 1, sel_hex_digits) == F.lit(prefix)
+    )
+
+
+def span_dedup_stats(
+    seq: DataFrame, span: int = 16, sel_hex_digits: int = 1
+) -> DataFrame:
+    """Repeated-substring (span-level) duplication audit — the
+    within-and-across-document dedup signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022), re-expressed
+    as a content-defined-sampled window fingerprint sweep instead of a
+    suffix array.
+
+    A *duplicated window* is a length-``span`` token window whose exact
+    content appears at >= 2 positions corpus-wide (across documents OR
+    repeated inside one — boilerplate headers and degenerate loops both
+    show up here and both matter for training). Windows are fingerprinted
+    and sampled content-defined (:func:`span_digests`), so a duplicated
+    pair is detected iff its shared digest is selected — one Bernoulli
+    draw per distinct content, never per occurrence.
+
+    Output per source: (source, docs, windows, sel_windows, dup_windows,
+    span_dup_docs) — ``windows`` counts every position (``max(n_tok -
+    span + 1, 0)`` summed), ``sel_windows``/``dup_windows`` count selected
+    positions / selected positions whose digest repeats, ``span_dup_docs``
+    counts documents containing at least one such repeat.
+
+    Plan shape (the 10^12-sequence story): the md5-per-window pass is
+    map-only inside whole-stage codegen — O(corpus tokens) digests, no
+    shuffle, embarrassingly parallel; only the SELECTED ``16^-d`` fraction
+    explodes, so the one digest shuffle (a count window over tiny
+    per-digest groups) carries ``16^-d`` of the corpus positions at 16
+    bytes each, never a token payload. At 100 TB you raise
+    ``sel_hex_digits`` (each step costs 16x detection odds per distinct
+    duplicated content but duplicated TRAINING data repeats many times,
+    so high-multiplicity content is still caught with near-certainty:
+    miss probability ``(1 - 16^-d)`` per DISTINCT content, once)."""
+    base = seq.select(
+        "doc_id",
+        "source",
+        F.greatest(F.col("n_tok").cast("long") - (span - 1), F.lit(0).cast("long")).alias(
+            "wins"
+        ),
+        span_digests(F.col("tokens"), F.col("n_tok"), span, sel_hex_digits).alias(
+            "digs"
+        ),
+    )
+    sel = base.select("doc_id", "source", F.explode("digs").alias("dig"))
+    flagged = sel.withColumn(
+        "npos", F.count(F.lit(1)).over(Window.partitionBy("dig"))
+    )
+    per_doc = flagged.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sel_w"),
+        F.sum((F.col("npos") >= 2).cast("long")).cast("long").alias("dup_w"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("sel_w").cast("long").alias("sel_windows"),
+        F.sum("dup_w").cast("long").alias("dup_windows"),
+        F.sum((F.col("dup_w") > 0).cast("long")).cast("long").alias("span_dup_docs"),
+    )
+    totals = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("wins").cast("long").alias("windows"),
+    )
+    return totals.join(per_src, "source", "left").select(
+        "source",
+        "docs",
+        "windows",
+        F.coalesce("sel_windows", F.lit(0)).cast("long").alias("sel_windows"),
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce("span_dup_docs", F.lit(0)).cast("long").alias("span_dup_docs"),
+    )
+
+
+def source_divergence(seq: DataFrame) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus, as an
+    EXACT total-variation distance — the distribution-shift audit a
+    data-mixing pipeline runs per source/shard before reweighting.
+
+    TV(source s, corpus) = 1/2 * sum_t |c_st/N_s - C_t/N| over the corpus
+    vocabulary. Computed rationally: the summed numerator
+    ``sum_t |c_st*N - C_t*N_s|`` is an exact integer (decimal(38,0) /
+    HUGEINT — no float ever enters the sum, so aggregation order cannot
+    perturb it), and the two output floats are single exactly-rounded
+    conversions of exact integers (``tv_num``) plus one multiply chain and
+    one division evaluated identically in Spark and the DuckDB oracle —
+    the same bit-determinism argument as hll.py's estimate.
+
+    Output: (source, docs, toks, vocab, corpus_toks, tv_num, tv_dist)
+    with ``tv_dist = tv_num / (2*N_s*N)`` in [0, 1].
+
+    Plan shape: explode + partial-aggregated groupBy bounds the only
+    corpus-sized stage's shuffle at (vocab x sources) rows per map
+    partition (token_stats' argument); the per-source x corpus-vocab grid
+    is vocab x |sources| rows built by cross-joining the BROADCAST
+    per-source totals against the corpus frequency table — absent
+    (source, token) cells must still contribute ``C_t * N_s``, so the
+    grid, not the sparse freq table, drives the sum."""
+    freq = (
+        seq.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    corpus = freq.groupBy("token").agg(F.sum("c").cast("long").alias("ct"))
+    ns = freq.groupBy("source").agg(
+        F.sum("c").cast("long").alias("toks"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    docs = seq.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("docs"))
+    total = corpus.agg(F.sum("ct").cast("long").alias("corpus_toks"))
+    dim = ns.join(docs, "source").crossJoin(F.broadcast(total))
+    grid = corpus.crossJoin(F.broadcast(dim))
+    dec = "decimal(38,0)"
+    term = F.abs(
+        F.coalesce(F.col("c"), F.lit(0)).cast(dec) * F.col("corpus_toks").cast(dec)
+        - F.col("ct").cast(dec) * F.col("toks").cast(dec)
+    )
+    summed = (
+        grid.join(freq, ["source", "token"], "left")
+        .groupBy("source", "docs", "toks", "vocab", "corpus_toks")
+        .agg(F.sum(term).alias("tv_num_exact"))
+    )
+    return summed.select(
+        "source",
+        "docs",
+        "toks",
+        "vocab",
+        "corpus_toks",
+        F.col("tv_num_exact").cast("double").alias("tv_num"),
+        (
+            F.col("tv_num_exact").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("toks").cast("double")
+                * F.col("corpus_toks").cast("double")
+            )
+        ).alias("tv_dist"),
+    )
+
+
 def length_gate_by_sketch(
     seq: DataFrame, pct: int = 99, keys: tuple[str, ...] = ("source",)
 ) -> DataFrame:

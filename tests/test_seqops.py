@@ -252,3 +252,189 @@ def test_length_gate_by_sketch_matches_python_replica(spark):
         assert got[src]["dropped_tokens"] == sum(vals) - sum(kept)
         # the whole point: the outliers are dropped
         assert got[src]["dropped_docs"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup (content-defined sampled window fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _span_dedup_py(rows, span: int, sel_hex_digits: int):
+    """Python replica of seqops.span_dedup_stats."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    prefix = "0" * sel_hex_digits
+    sel = []  # (source, doc_id, dig)
+    per_src = defaultdict(lambda: {"docs": 0, "windows": 0})
+    for doc_id, toks, n_tok, src in rows:
+        per_src[src]["docs"] += 1
+        per_src[src]["windows"] += max(n_tok - span + 1, 0)
+        for i in range(max(n_tok - span + 1, 0)):
+            dig = hashlib.md5(
+                ",".join(str(t) for t in toks[i : i + span]).encode()
+            ).hexdigest()
+            if dig.startswith(prefix):
+                sel.append((src, doc_id, dig))
+    npos = Counter(d for _, _, d in sel)
+    per_doc = defaultdict(lambda: [0, 0])  # (src, doc) -> [sel_w, dup_w]
+    for src, doc, dig in sel:
+        per_doc[(src, doc)][0] += 1
+        per_doc[(src, doc)][1] += int(npos[dig] >= 2)
+    out = {}
+    for src, t in per_src.items():
+        docs_here = [v for (s, _), v in per_doc.items() if s == src]
+        out[src] = dict(
+            docs=t["docs"],
+            windows=t["windows"],
+            sel_windows=sum(v[0] for v in docs_here),
+            dup_windows=sum(v[1] for v in docs_here),
+            span_dup_docs=sum(1 for v in docs_here if v[1] > 0),
+        )
+    return out
+
+
+def test_span_dedup_matches_python_replica(spark):
+    """Differential vs the hashlib replica on data with cross-doc shared
+    spans, an in-doc repeated span (token run), and short docs."""
+    from tersets_spark.seqops import span_dedup_stats
+
+    rng = np.random.default_rng(7)
+    shared = rng.integers(0, 1000, 12).tolist()
+    rows = [
+        # a and b share a 12-token span embedded at different offsets
+        ("a", rng.integers(0, 1000, 5).tolist() + shared + rng.integers(0, 1000, 9).tolist(), 26, "s0"),
+        ("b", rng.integers(0, 1000, 17).tolist() + shared, 29, "s1"),
+        # c repeats one token 40x: 29 identical windows inside one doc
+        ("c", [5] * 40, 40, "s0"),
+        # d is shorter than the span: zero windows
+        ("d", [1, 2, 3], 3, "s1"),
+        # e: random, no duplicates expected
+        ("e", rng.integers(0, 1000, 60).tolist(), 60, "s0"),
+    ]
+    rows = [(d, t, len(t), s) for d, t, _, s in rows]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    # sel_hex_digits=0 selects everything -> the in-doc run and the shared
+    # span MUST be counted; then the sampled variant must match the replica
+    for d in (0, 1):
+        got = {
+            r["source"]: r.asDict()
+            for r in span_dedup_stats(df, span=12, sel_hex_digits=d).collect()
+        }
+        want = _span_dedup_py(rows, span=12, sel_hex_digits=d)
+        for src in want:
+            assert got[src] == {"source": src, **want[src]}, (d, src)
+    exact = _span_dedup_py(rows, span=12, sel_hex_digits=0)
+    assert exact["s0"]["dup_windows"] >= 29  # the [5]*40 run
+    assert exact["s1"]["span_dup_docs"] >= 1  # b's shared span
+
+
+def test_span_dedup_selection_is_content_defined(spark):
+    """Identical window content is co-selected regardless of document or
+    offset: with duplicates present, every duplicated digest either
+    appears in BOTH docs' selected sets or in neither."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tersets_spark.seqops import span_digests
+
+    span = 8
+    shared = list(range(100, 100 + 30))  # 23 windows of shared content
+    rows = [
+        ("x", [1] * 7 + shared),
+        ("y", shared + [2] * 13),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows], "doc_id string, tokens array<int>, n_tok int"
+    )
+    out = {
+        r["doc_id"]: set(r["digs"])
+        for r in df.select(
+            "doc_id",
+            span_digests(F.col("tokens"), F.col("n_tok"), span, 1).alias("digs"),
+        ).collect()
+    }
+    shared_digs = {
+        hashlib.md5(
+            ",".join(str(t) for t in shared[i : i + span]).encode()
+        ).hexdigest()
+        for i in range(len(shared) - span + 1)
+    }
+    selected_shared = {d for d in shared_digs if d.startswith("0")}
+    assert selected_shared, "fixture must select at least one shared window"
+    for doc in ("x", "y"):
+        assert selected_shared <= out[doc]
+        assert not (shared_digs - selected_shared) & out[doc]
+
+
+def test_span_digests_rejects_bad_selectivity(spark):
+    from pyspark.sql import functions as F
+
+    from tersets_spark.seqops import span_digests
+
+    with pytest.raises(ValueError):
+        span_digests(F.col("t"), F.col("n"), 4, -1)
+    with pytest.raises(ValueError):
+        span_digests(F.col("t"), F.col("n"), 4, 9)
+
+
+# ---------------------------------------------------------------------------
+# source divergence (exact total-variation distance)
+# ---------------------------------------------------------------------------
+
+
+def test_source_divergence_matches_fraction_replica(spark):
+    """tv_num is the exact integer numerator and tv_dist equals the exact
+    Fraction TV distance to double rounding."""
+    from fractions import Fraction
+
+    from tersets_spark.seqops import source_divergence
+
+    rows = [
+        ("a", [1, 1, 2, 3], "s0"),
+        ("b", [1, 2, 2, 2, 4], "s0"),
+        ("c", [5, 5, 5, 5, 1], "s1"),
+        ("d", [1, 2, 3, 4, 5, 6], "s1"),
+        ("e", [7], "s2"),  # source with a private token
+    ]
+    df = spark.createDataFrame(
+        [(d, t, len(t), s) for d, t, s in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = {r["source"]: r.asDict() for r in source_divergence(df).collect()}
+
+    from collections import Counter
+
+    corpus = Counter()
+    per_src: dict[str, Counter] = {}
+    for _, toks, src in rows:
+        per_src.setdefault(src, Counter()).update(toks)
+        corpus.update(toks)
+    n = sum(corpus.values())
+    for src, cnt in per_src.items():
+        ns = sum(cnt.values())
+        tv_num = sum(abs(cnt.get(t, 0) * n - ct * ns) for t, ct in corpus.items())
+        tv = Fraction(tv_num, 2 * ns * n)
+        assert got[src]["toks"] == ns
+        assert got[src]["vocab"] == len(cnt)
+        assert got[src]["corpus_toks"] == n
+        assert got[src]["tv_num"] == float(tv_num)
+        assert abs(got[src]["tv_dist"] - float(tv)) < 1e-15
+        assert 0.0 <= got[src]["tv_dist"] <= 1.0
+    # sanity: s2 (disjoint-ish distribution) diverges more than s0
+    assert got["s2"]["tv_dist"] > got["s0"]["tv_dist"]
+
+
+def test_source_divergence_identical_sources_have_zero_tv(spark):
+    from tersets_spark.seqops import source_divergence
+
+    rows = [("a", [1, 2, 3], "s0"), ("b", [1, 2, 3], "s1")]
+    df = spark.createDataFrame(
+        [(d, t, len(t), s) for d, t, s in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    for r in source_divergence(df).collect():
+        assert r["tv_num"] == 0.0 and r["tv_dist"] == 0.0
