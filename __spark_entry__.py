@@ -1463,6 +1463,99 @@ def _q_media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stitched-serving gate ranges (minute-aligned, second resolution). Over
+#: the fixtures' one-day-plus time span they exercise every decomposition
+#: case: 1m + 1h left edges, a full 1d interior, an hour-dominated range
+#: with no 1d segment, and a trailing 1m edge that still has data.
+_STITCH_RANGES = [
+    (1_700_000_100, 1_700_095_260),
+    (1_700_003_700, 1_700_085_600),
+    (1_700_006_400, 1_700_089_860),
+]
+
+
+def _stitch_ranges_values() -> str:
+    """_STITCH_RANGES as a SQL VALUES list — one source of truth for the
+    Spark query and its oracle."""
+    return ", ".join(f"({i}, {s}, {e})" for i, (s, e) in enumerate(_STITCH_RANGES))
+
+
+def _q_range_stitch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-stitched range serving (rollup.range_aggregate): each range is
+    decomposed into the COARSEST aligned tier segments (1m/1h edges, 1d
+    interior — the TimescaleDB/Druid continuous-aggregate serving plan),
+    each tier scanned ONCE with its segments' bucket_ts predicates pushed
+    down, and the bounded segment rows re-aggregated exactly. Hash-matching
+    the oracle's raw-token scan proves the stitched answer is bitwise the
+    full-scan answer while reading O(edges + days) rows per series."""
+    from tersets_spark.rollup import cascade, range_aggregate
+
+    tiers = cascade(_sequences(spark, sf_dir))
+    out = None
+    for i, (s, e) in enumerate(_STITCH_RANGES):
+        part = range_aggregate(tiers, s, e).withColumn(
+            "range_id", F.lit(i).cast("long")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("range_id", "source", "cnt", "sum", "vmin", "vmax", "mean")
+
+
+def _q_rollup_realtime_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-TIME continuous aggregate (jobs.read_tier_realtime): a cascade
+    materializes ~half the documents (md5-gated, deterministic) into a
+    catalog; serving then unions the COMMITTED 1h tier with an on-the-fly
+    rollup of the un-materialized tail (decided per document by a doc_id
+    anti-join against the committed raw tier). Hash-matches the SAME SQL
+    oracle as rollup_1h over ALL documents — a consumer between cascade
+    runs sees exactly what a full re-run would produce."""
+    import shutil
+
+    from tersets_spark.jobs import read_tier_realtime, run_cascade
+
+    seq = _sequences(spark, sf_dir)
+    work = _gate_workdir("tersets_realtime_q_")
+    gate = F.substring(F.md5(F.concat(F.lit("rt-v1:"), F.col("doc_id"))), 1, 1) < "8"
+    sub_path = os.path.join(work, "committed.parquet")
+    seq.where(gate).write.parquet(sub_path)
+    out = os.path.join(work, "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, sub_path, out, with_blocks=False)
+    served = read_tier_realtime(spark, out, "1h", seq)
+    return with_mean(served).select(
+        "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last", "mean"
+    )
+
+
+def _q_seq_source_remix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source re-mixing to target weights
+    (seqops.remix_sources): exact integer thresholds (the binding source
+    is kept whole, every other source md5-downsampled to its proportional
+    share), gate is one JVM CASE over the md5 hex prefix. The oracle
+    recomputes the thresholds itself from the same integer arithmetic
+    (HUGEINT cross-multiplied argmin + integer division), so threshold
+    derivation AND gating replay bit-for-bit."""
+    from tersets_spark.seqops import remix_sources
+
+    weights = {f"src_{i:02d}": i + 1 for i in range(12)}
+    return remix_sources(_sequences(spark, sf_dir), weights)
+
+
+def _q_seq_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + token-balanced contiguous sharding
+    (seqops.shard_assign): docs ordered by a salted md5 key, cut into 64
+    shards by the exclusive token prefix-sum (two-level, no global
+    window — the md5 key takes the string-rank pre-pass). Per-shard doc
+    and token totals; the oracle replays the permutation and the cumsum
+    with a window, proving the scalable prefix machinery exact."""
+    from tersets_spark.seqops import shard_assign
+
+    df = shard_assign(_sequences(spark, sf_dir), n_shards=64)
+    return df.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -1516,6 +1609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": _q_cms_token_freq,
         "seq_span_dedup": _q_seq_span_dedup,
         "seq_source_divergence": _q_seq_source_divergence,
+        "range_stitch_agg": _q_range_stitch_agg,
+        "rollup_realtime_1h": _q_rollup_realtime_1h,
+        "seq_source_remix": _q_seq_source_remix,
+        "seq_shard_stats": _q_seq_shard_stats,
     }
 
 
@@ -2447,5 +2544,86 @@ def oracle_sql() -> dict[str, str]:
                        / (2.0 * CAST(toks AS DOUBLE) * CAST(corpus_toks AS DOUBLE))
                        AS tv_dist
             FROM summed
+        """,
+        # stitched range serving must equal the raw-token scan at second
+        # resolution — same ranges as the Spark side (_STITCH_RANGES)
+        "range_stitch_agg": f"""
+            WITH pts AS ({pts}),
+            r(range_id, lo, hi) AS (VALUES {_stitch_ranges_values()})
+            SELECT CAST(r.range_id AS BIGINT) AS range_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(v) AS BIGINT) AS sum,
+                   CAST(MIN(v) AS BIGINT) AS vmin,
+                   CAST(MAX(v) AS BIGINT) AS vmax,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+            FROM pts JOIN r ON pts.ts >= r.lo AND pts.ts < r.hi
+            GROUP BY 1, 2
+        """,
+        # realtime (materialized ∪ fresh) serving must equal a full re-run:
+        # the SAME oracle as rollup_1h, over ALL documents
+        "rollup_realtime_1h": f"WITH pts AS ({pts}) "
+        + rollup.format(d=3600, where=""),
+        # remix: the oracle re-derives the integer thresholds itself
+        # (HUGEINT cross-multiplied argmin + integer division) and replays
+        # the md5 gate — threshold derivation and gating, end to end
+        "seq_source_remix": f"""
+            WITH tw AS (
+                SELECT source,
+                       CAST(SUM(n_tok) AS HUGEINT) AS t,
+                       CAST(CAST(substr(source, 5) AS INTEGER) + 1 AS HUGEINT) AS w
+                FROM read_parquet('{seq}') GROUP BY source
+            ),
+            m AS (
+                SELECT a.source AS msrc, a.t AS mt, a.w AS mw FROM tw a
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM tw b
+                    WHERE b.t * a.w < a.t * b.w
+                       OR (b.t * a.w = a.t * b.w AND b.source < a.source)
+                )
+            ),
+            thr AS (
+                SELECT tw.source, tw.w,
+                       (tw.w * m.mt * CAST(281474976710656 AS HUGEINT))
+                           // (m.mw * tw.t) AS thr,
+                       CASE WHEN (tw.w * m.mt * CAST(281474976710656 AS HUGEINT))
+                                     // (m.mw * tw.t)
+                                 >= CAST(281474976710656 AS HUGEINT)
+                            THEN 'g'
+                            ELSE printf('%012x', CAST(
+                                (tw.w * m.mt * CAST(281474976710656 AS HUGEINT))
+                                    // (m.mw * tw.t) AS BIGINT))
+                       END AS thr_hex
+                FROM tw, m
+            )
+            SELECT s.source,
+                   CAST(t.w AS BIGINT) AS target_w,
+                   t.thr_hex AS thr_hex,
+                   CAST(COUNT(*) AS BIGINT) AS docs_kept,
+                   CAST(SUM(s.n_tok) AS BIGINT) AS tokens_kept
+            FROM read_parquet('{seq}') s JOIN thr t USING (source)
+            WHERE substr(md5('remix-v1:' || s.doc_id), 1, 12) < t.thr_hex
+            GROUP BY 1, 2, 3
+        """,
+        # sharding: replay the salted-md5 permutation and the exclusive
+        # token cumsum with a plain window, then the same integer cut
+        "seq_shard_stats": f"""
+            WITH k AS (
+                SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                       md5('shard-v1:' || doc_id) || '|' || doc_id AS h
+                FROM read_parquet('{seq}')
+            ),
+            c AS (
+                SELECT n_tok,
+                       COALESCE(SUM(n_tok) OVER (
+                           ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS ps
+                FROM k
+            ),
+            t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot FROM k)
+            SELECT CAST((c.ps * 64) // t.tot AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(c.n_tok) AS BIGINT) AS tokens
+            FROM c, t GROUP BY 1
         """,
     }

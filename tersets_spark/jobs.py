@@ -904,3 +904,75 @@ def validate_tiers(
             report[tier] = {"checked": int(row["n"]), "mismatches": int(row["m"] or 0)}
 
     return report
+
+
+# ---------------------------------------------------------------------------
+# tier-stitched range serving + real-time (materialized ∪ fresh) reads
+# ---------------------------------------------------------------------------
+
+
+def range_aggregate_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Per-source exact aggregate over ``[start, end)`` served from the
+    COMMITTED retention tiers (rollup.range_aggregate over catalog reads).
+
+    All three tier reads resolve against ONE manifest snapshot
+    (:meth:`TierCatalog.pin` semantics via an explicit ``as_of``): a
+    concurrently-running cascade can otherwise serve e.g. a 1d tier one
+    commit behind the 1m rows the edges read, silently double- or
+    under-counting the stitched range. The ``bucket_ts`` range predicates
+    reach the parquet row-group stats of each tier scan.
+    """
+    from .rollup import range_aggregate
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    tiers = {
+        name: catalog.read_tier(spark, name, as_of=snap)
+        for name in ("1m", "1h", "1d")
+    }
+    return range_aggregate(tiers, start, end)
+
+
+def read_tier_realtime(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str,
+    sequences: DataFrame,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Real-time continuous aggregate (TimescaleDB-style): the committed
+    tier UNION an on-the-fly rollup of the documents the cascade has not
+    materialized yet — so a consumer between cascade runs sees EXACTLY
+    what a full re-run would produce, without one.
+
+    "Not materialized yet" is decided per document: a left-anti join of
+    ``sequences`` against the committed raw tier's doc ids (both catalog
+    reads resolve against one manifest snapshot). Only the 16-ish-byte
+    doc_id column shuffles for the anti-join — the token payload stays in
+    its scan until the fresh remainder (typically a small tail) is rolled
+    up by the same kernels the cascade uses, so the served rows are
+    bitwise the cascade's rows. Output schema = the tier schema (no
+    ``block`` column on 1m: fresh rows have no committed blob to carry).
+    """
+    from .rollup import TIERS, rollup_raw, rollup_up
+
+    if tier not in ("1m", "1h", "1d"):
+        raise ValueError(f"read_tier_realtime serves 1m/1h/1d, got {tier!r}")
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum",
+            "vmin", "vmax", "first", "last"]
+    committed = catalog.read_tier(spark, tier, as_of=snap).select(*cols)
+    raw_ids = catalog.read_tier(spark, "raw", as_of=snap).select("doc_id")
+    fresh_seq = sequences.join(raw_ids, "doc_id", "left_anti")
+    fresh = rollup_raw(fresh_seq, TIERS["1m"], with_blocks=False)
+    for name in ("1h", "1d"):
+        if TIERS[name] <= TIERS[tier]:
+            fresh = rollup_up(fresh, TIERS[name])
+    return committed.unionByName(fresh.select(*cols))

@@ -204,3 +204,103 @@ def salted_repartition(df: DataFrame, num_partitions: int, *cols: str, salt_buck
     """
     salt: Column = F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
     return df.repartition(num_partitions, *[F.col(c) for c in cols], salt)
+
+
+# ---------------------------------------------------------------------------
+# tier-stitched range serving
+# ---------------------------------------------------------------------------
+
+#: Serving tiers coarse -> fine. The finest entry sets the alignment
+#: granularity a range's endpoints must satisfy.
+STITCH_TIERS: list[tuple[str, int]] = [("1d", 86400), ("1h", 3600), ("1m", 60)]
+
+
+def stitch_segments(
+    start: int, end: int, tiers: list[tuple[str, int]] | None = None
+) -> list[tuple[str, int, int]]:
+    """Decompose ``[start, end)`` into the minimal aligned segments, each
+    served by the COARSEST tier whose buckets fit inside it — the classic
+    TSDB continuous-aggregate serving plan (TimescaleDB/Druid style): a
+    month-long query reads ~30 1d rows + a few 1h/1m edge rows per series
+    instead of rescanning minutes.
+
+    Pure driver-side integer arithmetic. Returns ``(tier, seg_start,
+    seg_end)`` sorted by ``seg_start``; segments partition ``[start, end)``
+    exactly (no overlap, no gap), so re-aggregating them is exact for every
+    decomposable aggregate (sum/cnt/min/max). Endpoints must align to the
+    finest tier; raising beats silently including a partial bucket.
+    """
+    tiers = STITCH_TIERS if tiers is None else tiers
+    if start >= end:
+        raise ValueError(f"empty range [{start}, {end})")
+    finest = tiers[-1][1]
+    if start % finest or end % finest:
+        raise ValueError(
+            f"range endpoints must align to the finest tier ({finest}s); "
+            f"got [{start}, {end})"
+        )
+    segs: list[tuple[str, int, int]] = []
+
+    def cover(s: int, e: int, idx: int) -> None:
+        if s >= e:
+            return
+        name, t = tiers[idx]
+        if idx == len(tiers) - 1:
+            segs.append((name, s, e))
+            return
+        a = -(-s // t) * t  # ceil to tier alignment
+        b = (e // t) * t  # floor
+        if a < b:
+            cover(s, a, idx + 1)
+            segs.append((name, a, b))
+            cover(b, e, idx + 1)
+        else:
+            cover(s, e, idx + 1)
+
+    cover(start, end, 0)
+    return sorted(segs, key=lambda x: x[1])
+
+
+def range_aggregate(
+    tier_dfs: dict[str, DataFrame],
+    start: int,
+    end: int,
+    tiers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Exact per-source aggregate over ``[start, end)`` served from the
+    retention tiers via :func:`stitch_segments` — the payoff of exact
+    re-aggregability: the answer is bitwise what a raw-token scan would
+    produce, while reading only O(edge) fine rows + O(range/86400) coarse
+    rows per series.
+
+    Plan shape: ONE scan per tier (all of a tier's segments OR-combine
+    into a single ``bucket_ts`` range predicate, pushed to the tier scan
+    for row-group pruning on committed parquet), a union of the bounded
+    segment row sets, then one hash aggregate on ``source``. Output:
+    (source, cnt, sum, vmin, vmax, mean) with mean = sum/cnt — exact
+    integers in, one exactly-rounded division out.
+    """
+    by_tier: dict[str, list[tuple[int, int]]] = {}
+    for name, s, e in stitch_segments(start, end, tiers):
+        by_tier.setdefault(name, []).append((s, e))
+    parts: list[DataFrame] = []
+    for name, ranges in by_tier.items():
+        if name not in tier_dfs:
+            raise KeyError(f"range_aggregate: tier {name!r} not provided")
+        pred = None
+        for s, e in ranges:
+            p = (F.col("bucket_ts") >= s) & (F.col("bucket_ts") < e)
+            pred = p if pred is None else (pred | p)
+        parts.append(
+            tier_dfs[name].where(pred).select("source", "cnt", "sum", "vmin", "vmax")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("sum").cast("long").alias("sum"),
+        F.min("vmin").cast("long").alias("vmin"),
+        F.max("vmax").cast("long").alias("vmax"),
+        (F.sum("sum").cast("double") / F.sum("cnt")).alias("mean"),
+    )

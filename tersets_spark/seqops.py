@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def _seq_digest(tokens: Column) -> Column:
@@ -288,6 +289,13 @@ def sequence_offsets(
         )
     )
     df = seq.withColumn("_so_key", key).withColumn("_so_cost", cost.cast("long"))
+    if not isinstance(df.schema["_so_key"].dataType, NumericType):
+        # Non-numeric keys (e.g. md5-hex shuffle keys, opaque string ids):
+        # any orderable type ranks fine in _densify_keys, but the dense-path
+        # probe/DIV below needs integers — always take the rank pre-pass.
+        if dense_keys:
+            raise ValueError("dense_keys=True requires an integer order_key")
+        dense_keys = False
     if dense_keys is None:
         stats = df.agg(
             F.min("_so_key").alias("lo"),
@@ -703,3 +711,153 @@ def length_gate_by_sketch(
             F.sum(F.when(~kept, F.col("n_tok").cast("long")).otherwise(F.lit(0))).alias("dropped_tokens"),
         )
     )
+
+
+#: Remix gate scale: the md5 prefix compared is 12 hex digits (48 bits),
+#: so thresholds live in [0, 16^12] — the keep-fraction resolution (same
+#: role as SPLIT_HEX_DIGITS for splits).
+REMIX_SCALE = 16 ** 12
+
+
+def remix_thresholds(
+    source_tokens: dict[str, int], weights: dict[str, int]
+) -> dict[str, int]:
+    """Per-source integer gate thresholds realizing target mixture weights
+    WITHOUT upsampling: scale the whole corpus down to the largest total at
+    which every source can supply its target share from the data it has.
+
+    With ``t_s`` = tokens in source s and integer weight ``w_s``, the
+    binding source m minimizes ``t_s / w_s`` (exact fraction compare,
+    source-name tie-break); source s keeps ``w_s * t_m / w_m`` tokens in
+    expectation, i.e. threshold ``floor(w_s * t_m * 16^12 / (w_m * t_s))``
+    out of 16^12. Pure integer arithmetic at every step, so Spark, the
+    DuckDB oracle, and this Python replica agree bit-for-bit (the binding
+    source's threshold is exactly 16^12 = keep everything).
+    """
+    missing = [s for s in source_tokens if s not in weights]
+    if missing:
+        raise ValueError(f"remix weights missing sources: {missing}")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("remix weights must be positive integers")
+    # exact argmin of t_s / w_s via cross-multiplied integer compare,
+    # source-name tie-break (no float ratio ever enters the decision)
+    m = next(iter(sorted(source_tokens)))
+    for s in sorted(source_tokens):
+        if (
+            source_tokens[s] * weights[m] < source_tokens[m] * weights[s]
+            or (
+                source_tokens[s] * weights[m] == source_tokens[m] * weights[s]
+                and s < m
+            )
+        ):
+            m = s
+    return {
+        s: (weights[s] * source_tokens[m] * REMIX_SCALE)
+        // (weights[m] * source_tokens[s])
+        for s in source_tokens
+    }
+
+
+def remix_gate_hex(thr: int) -> str:
+    """Threshold -> the string the md5 12-hex prefix is compared against.
+    ``'g'`` sorts after every hex digit in Spark and DuckDB alike, so a
+    full-range threshold (>= 16^12) keeps everything — the same sentinel
+    split_thresholds uses."""
+    return "g" if thr >= REMIX_SCALE else format(thr, "012x")
+
+
+def remix_sources(
+    seq: DataFrame,
+    weights: dict[str, int],
+    salt: str = "remix-v1",
+) -> DataFrame:
+    """Deterministic source re-mixing (importance resampling to target
+    mixture weights) — the data-mixing step a pretraining pipeline runs
+    after curation: given integer target weights per source, keep a
+    deterministic md5-gated subset so kept token mass is proportional to
+    the weights, downsampling only (the binding source is kept whole).
+
+    Map-only after one tiny per-source token-count aggregate (collected:
+    |sources| rows, never data-sized): thresholds are exact integers
+    (:func:`remix_thresholds`), the gate is a pure-JVM CASE over the md5
+    hex prefix (stable across runs/engines, salt-keyed — split_assign's
+    idiom), so the full pipeline replays in SQL.
+
+    Output per source: (source, target_w, thr_hex, docs_kept, tokens_kept).
+    Sources whose gate keeps zero documents drop from the output (both
+    engines agree: empty groups don't exist).
+    """
+    counts = {
+        r["source"]: int(r["t"])
+        for r in seq.groupBy("source")
+        .agg(F.sum(F.col("n_tok").cast("long")).alias("t"))
+        .collect()
+    }
+    thrs = remix_thresholds(counts, weights)
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 12
+    )
+    thr_expr = F.lit(None).cast("string")
+    w_expr = F.lit(None).cast("long")
+    for s in sorted(thrs):
+        thr_expr = F.when(F.col("source") == s, F.lit(remix_gate_hex(thrs[s]))).otherwise(thr_expr)
+        w_expr = F.when(F.col("source") == s, F.lit(int(weights[s]))).otherwise(w_expr)
+    return (
+        seq.withColumn("_thr", thr_expr)
+        .withColumn("_w", w_expr)
+        .where(hexpfx < F.col("_thr"))
+        .groupBy("source")
+        .agg(
+            F.first("_w").alias("target_w"),
+            F.first("_thr").alias("thr_hex"),
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum(F.col("n_tok").cast("long")).alias("tokens_kept"),
+        )
+    )
+
+
+def shard_assign(
+    seq: DataFrame,
+    n_shards: int = 64,
+    salt: str = "shard-v1",
+    bucket_docs: int = 65536,
+) -> DataFrame:
+    """Deterministic global shuffle + token-balanced contiguous shard
+    assignment — the writer side of a training data loader: documents are
+    ordered by a salted md5 key (an engine-portable permutation; re-salt
+    for an independent epoch order), then cut into ``n_shards`` contiguous
+    shards of near-equal TOKEN mass (each shard's excess over the ideal
+    ``total/n`` is bounded by one document).
+
+    shard = ``(pack_start * n_shards) DIV total_tokens`` where
+    ``pack_start`` is the exclusive token prefix-sum in key order — the
+    same scalable two-level prefix machinery as context packing
+    (:func:`sequence_offsets`; the md5 key is a string, so it takes the
+    rank pre-pass — no global window, no driver loop). All arithmetic is
+    exact long integers; fails fast if ``total_tokens * n_shards``
+    approaches 2^63 (switch the multiply to decimal(38,0) when a corpus
+    actually gets there).
+
+    Output: the input columns + ``shard`` (long in [0, n_shards)).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    total = seq.agg(F.sum(F.col("n_tok").cast("long"))).head()[0]
+    if not total:
+        raise ValueError("shard_assign: empty input")
+    if total * n_shards >= 2**63:
+        raise ValueError(
+            f"shard_assign: total_tokens({total}) * n_shards({n_shards}) "
+            "overflows long arithmetic"
+        )
+    key = F.concat(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))),
+        F.lit("|"),
+        F.col("doc_id").cast("string"),
+    )
+    df = sequence_offsets(
+        seq, F.col("n_tok"), order_key=key, bucket_docs=bucket_docs
+    )
+    return df.withColumn(
+        "shard", F.expr(f"(pack_start * {int(n_shards)}) DIV {int(total)}")
+    ).drop("pack_start")

@@ -1,0 +1,254 @@
+"""Tier-stitched range serving, real-time tier reads, and the mixing ops
+(remix_sources / shard_assign) — each checked against an independent exact
+replica (raw-token recompute, Fraction arithmetic, pandas cumsum)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tersets_spark.rollup import (
+    cascade,
+    range_aggregate,
+    rollup_raw,
+    rollup_up,
+    stitch_segments,
+)
+from tersets_spark.tables import ensure_sequences
+
+# ranges chosen to exercise every stitch case over the sf0.001 time span
+# ([~1.7000000e9, ~1.70009e9)): left 1m+1h edges, a full 1d interior,
+# a trailing 1m edge with data, and a no-1d hour-dominated range.
+RANGES = [
+    (1_700_000_100, 1_700_095_260),
+    (1_700_003_700, 1_700_085_600),
+    (1_700_006_400, 1_700_089_860),
+]
+
+
+@pytest.fixture(scope="module")
+def seq(spark):
+    return spark.read.parquet(ensure_sequences("sf0.001"))
+
+
+def test_stitch_segments_exact_partition():
+    for start, end in RANGES + [(1_700_000_040, 1_700_000_100), (0, 86400 * 3)]:
+        segs = stitch_segments(start, end)
+        cur = start
+        for name, a, b in segs:
+            assert a == cur and b > a, (name, a, b, cur)
+            step = {"1m": 60, "1h": 3600, "1d": 86400}[name]
+            assert a % step == 0 and b % step == 0
+            cur = b
+        assert cur == end
+        # maximality: two adjacent segments never share a tier (they would
+        # have been emitted as one), and every aligned day inside the range
+        # is served by 1d
+        for (n1, _, b1), (n2, a2, _) in zip(segs, segs[1:]):
+            assert not (n1 == n2 and b1 == a2)
+
+
+def test_stitch_segments_rejects_bad_ranges():
+    with pytest.raises(ValueError):
+        stitch_segments(100, 100)
+    with pytest.raises(ValueError):
+        stitch_segments(30, 120)  # start not minute-aligned
+    with pytest.raises(ValueError):
+        stitch_segments(60, 90)  # end not minute-aligned
+
+
+def _raw_range_agg(seq, start, end):
+    """Independent replica: aggregate the raw token stream directly."""
+    pts = seq.select(
+        "source",
+        F.posexplode("tokens").alias("pos", "v"),
+        (F.col("ts0")).alias("ts0"),
+    ).select("source", (F.col("ts0") + F.col("pos")).alias("ts"), "v")
+    return (
+        pts.where((F.col("ts") >= start) & (F.col("ts") < end))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("sum"),
+            F.min("v").cast("long").alias("vmin"),
+            F.max("v").cast("long").alias("vmax"),
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean"),
+        )
+    )
+
+
+def test_range_aggregate_matches_raw_scan(seq, spark):
+    tiers = cascade(seq)
+    for start, end in RANGES:
+        got = {
+            r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"], r["mean"])
+            for r in range_aggregate(tiers, start, end).collect()
+        }
+        want = {
+            r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"], r["mean"])
+            for r in _raw_range_agg(seq, start, end).collect()
+        }
+        assert got == want and got
+
+
+def test_range_aggregate_missing_tier_fails(seq):
+    tiers = cascade(seq)
+    del tiers["1d"]
+    with pytest.raises(KeyError):
+        range_aggregate(tiers, RANGES[0][0], RANGES[0][1]).collect()
+
+
+def test_catalog_range_and_realtime_serving(seq, spark, tmp_path):
+    """Cascade a doc-subset into a catalog; (a) the catalog-served stitched
+    range equals the in-memory one, (b) read_tier_realtime over the FULL
+    table equals a full recompute — committed rows plus a fresh-tail rollup,
+    (c) with no fresh docs realtime == committed tier."""
+    from tersets_spark.jobs import (
+        range_aggregate_from_catalog,
+        read_tier_realtime,
+        run_cascade,
+    )
+
+    gate = F.substring(F.md5(F.concat(F.lit("rt-test:"), F.col("doc_id"))), 1, 1) < "c"
+    committed_seq = seq.where(gate)
+    sub_path = str(tmp_path / "committed.parquet")
+    committed_seq.write.parquet(sub_path)
+    out = str(tmp_path / "cat")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, sub_path, out, with_blocks=False)
+
+    start, end = RANGES[0]
+    got = {
+        r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"])
+        for r in range_aggregate_from_catalog(spark, out, start, end).collect()
+    }
+    want = {
+        r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"])
+        for r in range_aggregate(cascade(committed_seq), start, end).collect()
+    }
+    assert got == want and got
+
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    for tier, secs in [("1h", 3600), ("1d", 86400)]:
+        served = read_tier_realtime(spark, out, tier, seq)
+        full = rollup_up(rollup_raw(seq, 60), 3600)
+        if tier == "1d":
+            full = rollup_up(full, 86400)
+        a = sorted(map(tuple, served.select(*cols).collect()))
+        b = sorted(map(tuple, full.select(*cols).collect()))
+        assert a == b and a
+
+    # no fresh docs: realtime == the committed tier exactly
+    served = read_tier_realtime(spark, out, "1h", committed_seq)
+    committed_tier = rollup_up(rollup_raw(committed_seq, 60), 3600)
+    assert sorted(map(tuple, served.select(*cols).collect())) == sorted(
+        map(tuple, committed_tier.select(*cols).collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# remix_sources
+# ---------------------------------------------------------------------------
+
+
+def test_remix_thresholds_exact():
+    from fractions import Fraction
+
+    from tersets_spark.seqops import REMIX_SCALE, remix_thresholds
+
+    toks = {"a": 1000, "b": 300, "c": 77}
+    weights = {"a": 2, "b": 3, "c": 1}
+    thr = remix_thresholds(toks, weights)
+    m = min(toks, key=lambda s: (Fraction(toks[s], weights[s]), s))
+    assert thr[m] == REMIX_SCALE  # binding source kept whole
+    for s in toks:
+        want = (weights[s] * toks[m] * REMIX_SCALE) // (weights[m] * toks[s])
+        assert thr[s] == want
+        assert thr[s] <= REMIX_SCALE
+
+
+def test_remix_thresholds_validation():
+    from tersets_spark.seqops import remix_thresholds
+
+    with pytest.raises(ValueError):
+        remix_thresholds({"a": 10}, {})
+    with pytest.raises(ValueError):
+        remix_thresholds({"a": 10}, {"a": 0})
+
+
+def test_remix_sources_matches_python_replica(seq, spark):
+    from tersets_spark.seqops import remix_gate_hex, remix_sources, remix_thresholds
+
+    pdf = seq.select("doc_id", "source", "n_tok").toPandas()
+    weights = {f"src_{i:02d}": i + 1 for i in range(12)}
+    toks = pdf.groupby("source")["n_tok"].sum().astype(int).to_dict()
+    thrs = {s: remix_gate_hex(t) for s, t in remix_thresholds(toks, weights).items()}
+
+    def kept(row):
+        pfx = hashlib.md5(f"remix-v1:{row.doc_id}".encode()).hexdigest()[:12]
+        return pfx < thrs[row.source]
+
+    pdf["kept"] = [kept(r) for r in pdf.itertuples()]
+    k = pdf[pdf.kept]
+    want = {
+        s: (int(g["n_tok"].count()), int(g["n_tok"].sum()))
+        for s, g in k.groupby("source")
+    }
+
+    got = {
+        r["source"]: (r["docs_kept"], r["tokens_kept"])
+        for r in remix_sources(seq, weights).collect()
+    }
+    assert got == want
+    # the binding source is kept whole
+    rows = {r["source"]: r for r in remix_sources(seq, weights).collect()}
+    whole = [s for s, r in rows.items() if r["thr_hex"] == "g"]
+    assert len(whole) >= 1
+    for s in whole:
+        assert rows[s]["docs_kept"] == int((pdf.source == s).sum())
+
+
+# ---------------------------------------------------------------------------
+# shard_assign
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assign_matches_replica_and_balance(seq, spark):
+    from tersets_spark.seqops import shard_assign
+
+    n = 16
+    pdf = seq.select("doc_id", "n_tok").toPandas()
+    pdf["key"] = [
+        hashlib.md5(f"shard-v1:{d}".encode()).hexdigest() + "|" + d
+        for d in pdf.doc_id
+    ]
+    pdf = pdf.sort_values("key").reset_index(drop=True)
+    total = int(pdf.n_tok.sum())
+    ps = pdf.n_tok.astype("int64").cumsum().shift(fill_value=0)
+    pdf["shard"] = (ps * n) // total
+    want = dict(zip(pdf.doc_id, pdf["shard"].astype(int)))
+
+    # small bucket_docs exercises multi-bucket prefix stitching
+    got_df = shard_assign(seq, n_shards=n, bucket_docs=128)
+    got = {r["doc_id"]: r["shard"] for r in got_df.select("doc_id", "shard").collect()}
+    assert got == want
+
+    # balance: every shard's token mass <= ideal + one max document;
+    # shards are contiguous in key order and all present
+    per = pdf.groupby("shard")["n_tok"].sum()
+    assert len(per) == n
+    assert per.max() <= total / n + int(pdf.n_tok.max())
+    assert (pdf["shard"].diff().dropna() >= 0).all()
+
+
+def test_shard_assign_validation(seq):
+    from tersets_spark.seqops import shard_assign
+
+    with pytest.raises(ValueError):
+        shard_assign(seq, n_shards=0)
+    with pytest.raises(ValueError):
+        shard_assign(seq.where(F.lit(False)), n_shards=4)
