@@ -1474,10 +1474,20 @@ _STITCH_RANGES = [
 ]
 
 
-def _stitch_ranges_values() -> str:
-    """_STITCH_RANGES as a SQL VALUES list — one source of truth for the
-    Spark query and its oracle."""
-    return ", ".join(f"({i}, {s}, {e})" for i, (s, e) in enumerate(_STITCH_RANGES))
+#: Second-resolution gate ranges: ragged-second edges both ends, a range
+#: whose aligned interior has no 1d day, and one entirely inside a single
+#: minute (served by raw-edge decode alone).
+_STITCH_RANGES_SEC = [
+    (1_700_000_123, 1_700_095_297),
+    (1_700_006_461, 1_700_089_777),
+    (1_700_040_007, 1_700_040_043),
+]
+
+
+def _stitch_ranges_values(ranges: list[tuple[int, int]]) -> str:
+    """Ranges as a SQL VALUES list — one source of truth for the Spark
+    query and its oracle."""
+    return ", ".join(f"({i}, {s}, {e})" for i, (s, e) in enumerate(ranges))
 
 
 def _q_range_stitch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1494,6 +1504,30 @@ def _q_range_stitch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for i, (s, e) in enumerate(_STITCH_RANGES):
         part = range_aggregate(tiers, s, e).withColumn(
+            "range_id", F.lit(i).cast("long")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("range_id", "source", "cnt", "sum", "vmin", "vmax", "mean")
+
+
+def _q_range_stitch_agg_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-resolution stitched serving: ragged-second endpoints are
+    answered by decoding ONLY the raw-tier documents overlapping the
+    sub-minute edges (decompress-then-aggregate as a serving primitive —
+    lossless blobs make the edge bitwise the raw-token answer), stitched
+    with the 1m/1h/1d tier segments. The third range sits entirely inside
+    one minute: pure raw-edge decode, zero tier rows."""
+    from tersets_spark.rollup import cascade, range_aggregate
+
+    seq = _sequences(spark, sf_dir)
+    tiers = cascade(seq)
+    raw = seq.select(
+        "doc_id", "source", "ts0", "n_tok",
+        compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens")).alias("blob"),
+    )
+    out = None
+    for i, (s, e) in enumerate(_STITCH_RANGES_SEC):
+        part = range_aggregate(tiers, s, e, raw_df=raw).withColumn(
             "range_id", F.lit(i).cast("long")
         )
         out = part if out is None else out.unionByName(part)
@@ -1610,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_span_dedup": _q_seq_span_dedup,
         "seq_source_divergence": _q_seq_source_divergence,
         "range_stitch_agg": _q_range_stitch_agg,
+        "range_stitch_agg_sec": _q_range_stitch_agg_sec,
         "rollup_realtime_1h": _q_rollup_realtime_1h,
         "seq_source_remix": _q_seq_source_remix,
         "seq_shard_stats": _q_seq_shard_stats,
@@ -2549,7 +2584,21 @@ def oracle_sql() -> dict[str, str]:
         # resolution — same ranges as the Spark side (_STITCH_RANGES)
         "range_stitch_agg": f"""
             WITH pts AS ({pts}),
-            r(range_id, lo, hi) AS (VALUES {_stitch_ranges_values()})
+            r(range_id, lo, hi) AS (VALUES {_stitch_ranges_values(_STITCH_RANGES)})
+            SELECT CAST(r.range_id AS BIGINT) AS range_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(v) AS BIGINT) AS sum,
+                   CAST(MIN(v) AS BIGINT) AS vmin,
+                   CAST(MAX(v) AS BIGINT) AS vmax,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+            FROM pts JOIN r ON pts.ts >= r.lo AND pts.ts < r.hi
+            GROUP BY 1, 2
+        """,
+        # second-resolution stitching (raw-edge decode) must too — same
+        # oracle template, ragged-second ranges
+        "range_stitch_agg_sec": f"""
+            WITH pts AS ({pts}),
+            r(range_id, lo, hi) AS (VALUES {_stitch_ranges_values(_STITCH_RANGES_SEC)})
             SELECT CAST(r.range_id AS BIGINT) AS range_id, source,
                    CAST(COUNT(*) AS BIGINT) AS cnt,
                    CAST(SUM(v) AS BIGINT) AS sum,

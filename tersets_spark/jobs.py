@@ -927,6 +927,10 @@ def range_aggregate_from_catalog(
     commit behind the 1m rows the edges read, silently double- or
     under-counting the stitched range. The ``bucket_ts`` range predicates
     reach the parquet row-group stats of each tier scan.
+
+    Endpoints that don't align to minutes are served at SECOND resolution:
+    the sub-minute remainders decode only the committed raw tier's
+    overlapping documents (rollup._raw_edge_points).
     """
     from .rollup import range_aggregate
 
@@ -936,7 +940,10 @@ def range_aggregate_from_catalog(
         name: catalog.read_tier(spark, name, as_of=snap)
         for name in ("1m", "1h", "1d")
     }
-    return range_aggregate(tiers, start, end)
+    raw_df = None
+    if start % 60 or end % 60:
+        raw_df = catalog.read_tier(spark, "raw", as_of=snap)
+    return range_aggregate(tiers, start, end, raw_df=raw_df)
 
 
 def read_tier_realtime(

@@ -261,11 +261,31 @@ def stitch_segments(
     return sorted(segs, key=lambda x: x[1])
 
 
+def _raw_edge_points(raw_df: DataFrame, s: int, e: int) -> DataFrame:
+    """(source, v) points of the committed RAW tier falling in a
+    sub-minute edge ``[s, e)`` — decompress-then-aggregate in serving
+    form: only documents OVERLAPPING the edge are decoded (``ts0 < e``
+    pushes to the raw scan; the overlap test is exact), and each decoded
+    array is sliced to the in-range positions before exploding."""
+    from .kernels import decompress_tokens_udf
+
+    cand = raw_df.where(
+        (F.col("ts0") < e) & (F.col("ts0") + F.col("n_tok") > s)
+    )
+    lo = F.greatest(F.lit(0), F.lit(s) - F.col("ts0")).cast("int")
+    ln = (
+        F.least(F.col("n_tok").cast("long"), F.lit(e) - F.col("ts0")).cast("int") - lo
+    )
+    sliced = F.slice(decompress_tokens_udf(F.col("blob")), lo + 1, ln)
+    return cand.select("source", F.explode(sliced).alias("v"))
+
+
 def range_aggregate(
     tier_dfs: dict[str, DataFrame],
     start: int,
     end: int,
     tiers: list[tuple[str, int]] | None = None,
+    raw_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact per-source aggregate over ``[start, end)`` served from the
     retention tiers via :func:`stitch_segments` — the payoff of exact
@@ -279,12 +299,37 @@ def range_aggregate(
     segment row sets, then one hash aggregate on ``source``. Output:
     (source, cnt, sum, vmin, vmax, mean) with mean = sum/cnt — exact
     integers in, one exactly-rounded division out.
+
+    ``raw_df`` (the committed raw tier, with ``blob``) extends serving to
+    SECOND resolution: endpoints no longer need minute alignment — the
+    sub-minute remainders (at most one per end, < 60 points each per
+    overlapping series) are answered by decoding ONLY the documents that
+    overlap the edge (:func:`_raw_edge_points`), then re-aggregated with
+    the tier rows. Decompress-then-aggregate as a serving primitive: the
+    edge answer is bitwise the raw-token answer because the raw codecs
+    are lossless.
     """
+    stitch = tiers
+    if raw_df is not None:
+        stitch = (STITCH_TIERS if tiers is None else tiers) + [("raw", 1)]
     by_tier: dict[str, list[tuple[int, int]]] = {}
-    for name, s, e in stitch_segments(start, end, tiers):
+    for name, s, e in stitch_segments(start, end, stitch):
         by_tier.setdefault(name, []).append((s, e))
     parts: list[DataFrame] = []
     for name, ranges in by_tier.items():
+        if name == "raw":
+            for s, e in ranges:
+                parts.append(
+                    _raw_edge_points(raw_df, s, e)
+                    .groupBy("source")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("cnt"),
+                        F.sum("v").cast("long").alias("sum"),
+                        F.min("v").cast("long").alias("vmin"),
+                        F.max("v").cast("long").alias("vmax"),
+                    )
+                )
+            continue
         if name not in tier_dfs:
             raise KeyError(f"range_aggregate: tier {name!r} not provided")
         pred = None

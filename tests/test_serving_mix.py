@@ -252,3 +252,70 @@ def test_shard_assign_validation(seq):
         shard_assign(seq, n_shards=0)
     with pytest.raises(ValueError):
         shard_assign(seq.where(F.lit(False)), n_shards=4)
+
+
+# ---------------------------------------------------------------------------
+# second-resolution edges (raw-tier blob decode)
+# ---------------------------------------------------------------------------
+
+SEC_RANGES = [
+    (1_700_000_123, 1_700_095_297),  # ragged-second edges on both ends
+    (1_700_006_461, 1_700_089_777),  # no 1d interior after alignment
+    (1_700_040_007, 1_700_040_043),  # entirely inside one minute: raw only
+]
+
+
+def _raw_tier_df(seq):
+    from tersets_spark.kernels import compress_udf
+    from tersets_spark.methods import Method
+
+    return seq.select(
+        "doc_id", "source", "ts0", "n_tok",
+        compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens")).alias("blob"),
+    )
+
+
+def test_range_aggregate_second_resolution(seq, spark):
+    tiers = cascade(seq)
+    raw = _raw_tier_df(seq)
+    for start, end in SEC_RANGES:
+        got = {
+            r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"], r["mean"])
+            for r in range_aggregate(tiers, start, end, raw_df=raw).collect()
+        }
+        want = {
+            r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"], r["mean"])
+            for r in _raw_range_agg(seq, start, end).collect()
+        }
+        assert got == want and got
+
+
+def test_range_aggregate_seconds_require_raw(seq):
+    tiers = cascade(seq)
+    with pytest.raises(ValueError):
+        # ragged seconds without a raw tier: must fail fast, not mis-bucket
+        range_aggregate(tiers, SEC_RANGES[0][0], SEC_RANGES[0][1])
+
+
+def test_catalog_range_second_resolution(seq, spark, tmp_path):
+    """Catalog-served second-resolution range: the raw tier is read (and
+    decoded) only for the sub-minute edges."""
+    import os
+
+    from tersets_spark.jobs import range_aggregate_from_catalog, run_cascade
+
+    sub_path = str(tmp_path / "seq.parquet")
+    seq.write.parquet(sub_path)
+    out = str(tmp_path / "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, sub_path, out, with_blocks=False)
+    start, end = SEC_RANGES[0]
+    got = {
+        r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"])
+        for r in range_aggregate_from_catalog(spark, out, start, end).collect()
+    }
+    want = {
+        r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"])
+        for r in _raw_range_agg(seq, start, end).collect()
+    }
+    assert got == want and got
