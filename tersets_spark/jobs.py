@@ -931,11 +931,31 @@ def range_aggregate_from_catalog(
     Endpoints that don't align to minutes are served at SECOND resolution:
     the sub-minute remainders decode only the committed raw tier's
     overlapping documents (rollup._raw_edge_points).
+
+    Retention guard: a segment whose tier has been retention-expired past
+    the segment's start would silently UNDERCOUNT (the rows are gone, not
+    zero) — each segment is checked against the tier's recorded
+    ``horizon_ts`` (retention lineage) and the read fails fast instead.
     """
-    from .rollup import range_aggregate
+    from .rollup import STITCH_TIERS, range_aggregate, stitch_segments
 
     catalog = TierCatalog(out_dir)
     snap = catalog.snapshot() if as_of is None else as_of
+    horizons: dict[str, int] = {}
+    for rec in catalog.metrics():
+        if rec.get("status") == "retention" and rec.get("horizon_ts") is not None:
+            h = int(rec["horizon_ts"])
+            horizons[rec["tier"]] = max(horizons.get(rec["tier"], h), h)
+    stitch = STITCH_TIERS + ([("raw", 1)] if (start % 60 or end % 60) else [])
+    for name, s, _e in stitch_segments(start, end, stitch):
+        h = horizons.get(name)
+        if h is not None and s < h:
+            raise ValueError(
+                f"range_aggregate_from_catalog: segment [{s}, ...) needs "
+                f"tier {name!r} below its retention horizon {h} — the rows "
+                "were expired; narrow the range or serve from a coarser-"
+                "aligned range"
+            )
     tiers = {
         name: catalog.read_tier(spark, name, as_of=snap)
         for name in ("1m", "1h", "1d")

@@ -319,3 +319,78 @@ def test_catalog_range_second_resolution(seq, spark, tmp_path):
         for r in _raw_range_agg(seq, start, end).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# retention guard + plan shape
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def full_cat(seq, spark, tmp_path_factory):
+    """Full-table cascade committed once for the read-only serving tests."""
+    import os
+
+    from tersets_spark.jobs import run_cascade
+
+    work = tmp_path_factory.mktemp("serving_cat")
+    sub_path = str(work / "seq.parquet")
+    seq.write.parquet(sub_path)
+    out = str(work / "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, sub_path, out, with_blocks=False)
+    return out
+
+
+def test_range_retention_guard(seq, spark, full_cat, tmp_path):
+    """Serving a range whose fine segments were retention-expired must fail
+    fast (the rows are GONE — silently undercounting is the failure mode),
+    while ranges above the horizon still serve exactly."""
+    import shutil
+
+    from tersets_spark.jobs import apply_retention, range_aggregate_from_catalog
+
+    out = str(tmp_path / "cat")
+    shutil.copytree(full_cat, out)
+    # expire 1m rows below ~mid-span (policy keeps the last 12h as of the
+    # data's end); 1h/1d keep everything
+    now_ts = 1_700_090_000
+    dropped = apply_retention(
+        spark, out, now_ts, policy={"1m": 12 * 3600, "1h": None, "1d": None}
+    )
+    assert dropped["1m"] > 0
+    horizon = now_ts - 12 * 3600  # 1_700_046_800
+
+    # a range whose 1m edge starts below the horizon: fail fast
+    with pytest.raises(ValueError, match="retention horizon"):
+        range_aggregate_from_catalog(spark, out, 1_700_000_100, 1_700_095_260)
+
+    # a range entirely above the horizon (1m edges >= horizon) still serves
+    # and equals the raw recompute
+    start, end = 1_700_047_860, 1_700_095_260
+    got = {
+        r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"])
+        for r in range_aggregate_from_catalog(spark, out, start, end).collect()
+    }
+    want = {
+        r["source"]: (r["cnt"], r["sum"], r["vmin"], r["vmax"])
+        for r in _raw_range_agg(seq, start, end).collect()
+    }
+    assert got == want and got
+
+
+def test_catalog_range_plan_pushes_bucket_predicates(spark, full_cat):
+    """The stitched segments' bucket_ts ranges must reach the committed
+    tiers' parquet scans (row-group pruning at scale) — and each tier is
+    scanned once, not once per segment."""
+    from tersets_spark.jobs import range_aggregate_from_catalog
+
+    df = range_aggregate_from_catalog(spark, full_cat, RANGES[0][0], RANGES[0][1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "bucket_ts" in ln
+    ]
+    # three tier scans (1m, 1h, 1d), each with bucket_ts filters pushed
+    assert len(pushed) == 3, plan
+    assert plan.count("Scan parquet") == 3, plan
