@@ -1560,6 +1560,24 @@ def _q_rollup_realtime_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixing WITH upsampling (seqops.upsample_mix): each
+    document gets floor(rate) whole copies + one md5-gated fractional
+    copy, where rate = w_s*total/(sum(w)*t_s) — all-integer plan, so the
+    oracle re-derives whole copies AND fractional thresholds in HUGEINT
+    and replays the gate. Per-source doc counts, emitted copies, and
+    output token mass."""
+    from tersets_spark.seqops import upsample_mix
+
+    weights = {f"src_{i:02d}": (i % 4) + 1 for i in range(12)}
+    df = upsample_mix(_sequences(spark, sf_dir), weights)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("copies").cast("long").alias("copies_out"),
+        F.sum(F.col("n_tok").cast("long") * F.col("copies")).cast("long").alias("tokens_out"),
+    )
+
+
 def _q_seq_source_remix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source re-mixing to target weights
     (seqops.remix_sources): exact integer thresholds (the binding source
@@ -1647,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
         "rollup_realtime_1h": _q_rollup_realtime_1h,
         "seq_source_remix": _q_seq_source_remix,
+        "seq_upsample_mix": _q_seq_upsample_mix,
         "seq_shard_stats": _q_seq_shard_stats,
     }
 
@@ -2652,6 +2671,43 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{seq}') s JOIN thr t USING (source)
             WHERE substr(md5('remix-v1:' || s.doc_id), 1, 12) < t.thr_hex
             GROUP BY 1, 2, 3
+        """,
+        # upsampling mix: re-derive whole copies + fractional thresholds in
+        # HUGEINT and replay the md5 gate
+        "seq_upsample_mix": f"""
+            WITH tw AS (
+                SELECT source, CAST(SUM(n_tok) AS HUGEINT) AS t,
+                       CAST((CAST(substr(source, 5) AS INTEGER) % 4) + 1
+                            AS HUGEINT) AS w
+                FROM read_parquet('{seq}') GROUP BY source
+            ),
+            tot AS (
+                SELECT CAST(SUM(t) AS HUGEINT) AS total,
+                       CAST(SUM(w) AS HUGEINT) AS wsum
+                FROM tw
+            ),
+            plan AS (
+                SELECT tw.source,
+                       (tw.w * tot.total) // (tot.wsum * tw.t) AS k,
+                       printf('%012x', CAST(
+                           ((tw.w * tot.total) % (tot.wsum * tw.t))
+                               * CAST(281474976710656 AS HUGEINT)
+                               // (tot.wsum * tw.t) AS BIGINT)) AS thr_hex
+                FROM tw, tot
+            ),
+            d AS (
+                SELECT s.source, CAST(s.n_tok AS BIGINT) AS n_tok,
+                       CAST(p.k AS BIGINT)
+                           + CASE WHEN substr(md5('upmix-v1:' || s.doc_id), 1, 12)
+                                       < p.thr_hex
+                                  THEN 1 ELSE 0 END AS copies
+                FROM read_parquet('{seq}') s JOIN plan p USING (source)
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(copies) AS BIGINT) AS copies_out,
+                   CAST(SUM(n_tok * copies) AS BIGINT) AS tokens_out
+            FROM d GROUP BY source
         """,
         # sharding: replay the salted-md5 permutation and the exclusive
         # token cumsum with a plain window, then the same integer cut

@@ -111,6 +111,121 @@ def run_cascade_once(
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
+    """--serving mode: the read-side payoff of the retention tiers.
+
+    Builds one committed cascade, then times three ways to answer the same
+    per-source aggregate over a day-plus second-ragged range (warmup +
+    best-of-N each):
+
+    * ``stitched``  — jobs.range_aggregate_from_catalog (1m/1h edges + 1d
+      interior + raw-edge decode);
+    * ``m1_only``   — the 1m tier alone, bucket-filtered (no coarser tiers);
+    * ``raw_scan``  — posexplode the sequences parquet (no tiers at all).
+
+    Alongside walls, reports the rows each strategy aggregates — the
+    scale-invariant evidence: walls converge at small sf where fixed costs
+    dominate, but rows-read ratios are what a 1000-executor cluster pays.
+    """
+    from pyspark.sql import functions as F
+
+    from tersets_spark.jobs import range_aggregate_from_catalog, run_cascade
+
+    start, end = 1_700_000_123, 1_700_095_297  # every stitch case incl. raw edges
+    spark = _fresh_session(cpus)
+    out = tempfile.mkdtemp(prefix="tersets_serve_")
+    try:
+        run_cascade(spark, seq_path, out, with_blocks=False, resume=False)
+        seq = spark.read.parquet(seq_path)
+        from tersets_spark.catalog import TierCatalog
+
+        cat = TierCatalog(out)
+        m1 = cat.read_tier(spark, "1m")
+
+        def stitched():
+            return range_aggregate_from_catalog(spark, out, start, end)
+
+        def m1_only():
+            # 1m buckets fully inside + raw edges for the ragged seconds
+            from tersets_spark.rollup import range_aggregate
+
+            return range_aggregate(
+                {"1m": m1}, start, end,
+                tiers=[("1m", 60)], raw_df=cat.read_tier(spark, "raw"),
+            )
+
+        def raw_scan():
+            pts = seq.select(
+                "source", F.posexplode("tokens").alias("pos", "v"), "ts0"
+            ).select("source", (F.col("ts0") + F.col("pos")).alias("ts"), "v")
+            return (
+                pts.where((F.col("ts") >= start) & (F.col("ts") < end))
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("cnt"),
+                    F.sum("v").cast("long").alias("sum"),
+                    F.min("v").cast("long").alias("vmin"),
+                    F.max("v").cast("long").alias("vmax"),
+                    (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean"),
+                )
+            )
+
+        strategies = {"stitched": stitched, "m1_only": m1_only, "raw_scan": raw_scan}
+        walls, answers = {}, {}
+        for name, fn in strategies.items():
+            fn().collect()  # warmup (scan cache, codegen)
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.monotonic()
+                rows = fn().collect()
+                best = min(best, time.monotonic() - t0)
+            walls[name] = round(best, 3)
+            answers[name] = sorted(
+                (r["source"], r["cnt"], r["sum"], r["vmin"], r["vmax"]) for r in rows
+            )
+        assert answers["stitched"] == answers["m1_only"] == answers["raw_scan"], (
+            "serving strategies disagree"
+        )
+        # rows aggregated per strategy (the scale story)
+        from tersets_spark.rollup import stitch_segments
+
+        segs = stitch_segments(start, end, [("1d", 86400), ("1h", 3600), ("1m", 60), ("raw", 1)])
+        tier_rows = 0
+        for tname, s, e in segs:
+            if tname == "raw":
+                continue
+            tier_rows += (
+                cat.read_tier(spark, tname)
+                .where((F.col("bucket_ts") >= s) & (F.col("bucket_ts") < e))
+                .count()
+            )
+        m1_rows = m1.where(
+            (F.col("bucket_ts") >= (start // 60 + 1) * 60)
+            & (F.col("bucket_ts") < (end // 60) * 60)
+        ).count()
+        raw_points = int(
+            seq.where((F.col("ts0") < end) & (F.col("ts0") + F.col("n_tok") > start))
+            .select(
+                F.sum(
+                    F.least(F.col("n_tok").cast("long"), F.lit(end) - F.col("ts0"))
+                    - F.greatest(F.lit(0), F.lit(start) - F.col("ts0"))
+                )
+            )
+            .head()[0]
+        )
+        return {
+            "walls_sec": walls,
+            "rows_aggregated": {
+                "stitched_tier_rows": tier_rows,
+                "m1_only_rows": m1_rows,
+                "raw_scan_points": raw_points,
+            },
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
 def run_default(cpus: int, seq_path: str, total_tokens: int, n_runs: int) -> dict:
     """Driver-contract default mode: one discarded warmup then best-of-N
     measured runs in a single session. The warmup absorbs worker spawn +
@@ -206,6 +321,8 @@ def run_level(p: int, seq_path: str, total_tokens: int, n_runs: int) -> dict:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true", help="local[N] vs local[4N] protocol")
+    parser.add_argument("--serving", action="store_true",
+                        help="range-serving strategies: stitched vs 1m-only vs raw scan")
     parser.add_argument("--runs", type=int, default=3)
     parser.add_argument("--level", type=int, default=0, help=argparse.SUPPRESS)
     args = parser.parse_args()
@@ -232,6 +349,22 @@ def main() -> None:
         # pins our CPU affinity with taskset, and the JVM we spawn inherits
         # it). Emits one JSON line with this level's results.
         print(json.dumps(run_level(args.level, seq_path, total_tokens, args.runs)))
+        return
+
+    if args.serving:
+        r = run_serving(cpus, seq_path, args.runs)
+        print(json.dumps({
+            "metric": "range_serving",
+            "value": r["walls_sec"]["stitched"],
+            "unit": "sec",
+            "queries": r["walls_sec"],
+            "sf": sf,
+            "rows_aggregated": r["rows_aggregated"],
+            "cpus": cpus,
+            "protocol": "warmup + best-of-%d" % args.runs,
+            "host_stream_melem_s": host_stream_probe(),
+            "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
+        }))
         return
 
     if args.scaling:

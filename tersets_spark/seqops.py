@@ -861,3 +861,83 @@ def shard_assign(
     return df.withColumn(
         "shard", F.expr(f"(pack_start * {int(n_shards)}) DIV {int(total)}")
     ).drop("pack_start")
+
+
+def upsample_plan(
+    source_tokens: dict[str, int], weights: dict[str, int], total: int | None = None
+) -> dict[str, tuple[int, int]]:
+    """Per-source (whole_copies, fractional_threshold) realizing target
+    mixture weights WITH upsampling — the epoch-style mixing plan
+    (high-quality sources repeated >1x) where :func:`remix_thresholds`
+    only downsamples.
+
+    Source s should contribute ``w_s / sum(w) * total`` tokens (``total``
+    defaults to the corpus size, i.e. re-mix in place). With ``t_s``
+    actual tokens that is a replication RATE ``r_s = w_s*total /
+    (sum(w)*t_s)``, realized as ``floor(r_s)`` whole copies of every
+    document plus one md5-gated extra copy at the fractional remainder:
+
+        k_s   = (w_s*total) // (sum(w)*t_s)
+        thr_s = ((w_s*total) mod (sum(w)*t_s)) * 16^12 // (sum(w)*t_s)
+
+    Pure integers throughout (Python bigints here, HUGEINT in the oracle),
+    so the plan replays bit-for-bit in SQL; thr < 16^12 always (the
+    remainder is a strict fraction), so no 'g' sentinel is needed.
+    """
+    missing = [s for s in source_tokens if s not in weights]
+    if missing:
+        raise ValueError(f"upsample weights missing sources: {missing}")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("upsample weights must be positive integers")
+    wsum = sum(weights[s] for s in source_tokens)
+    if total is None:
+        total = sum(source_tokens.values())
+    plan: dict[str, tuple[int, int]] = {}
+    for s, t in source_tokens.items():
+        num = weights[s] * total
+        den = wsum * t
+        plan[s] = (num // den, (num % den) * REMIX_SCALE // den)
+    return plan
+
+
+def upsample_mix(
+    seq: DataFrame,
+    weights: dict[str, int],
+    salt: str = "upmix-v1",
+    total: int | None = None,
+) -> DataFrame:
+    """Deterministic epoch-weighted mixing WITH upsampling: adds a
+    ``copies`` column (long >= 0) — how many times this document appears
+    in the mixed corpus so each source's expected token mass is
+    proportional to its target weight (:func:`upsample_plan`).
+
+    Map-only after one tiny per-source count aggregate: copies =
+    whole-copies CASE + one md5-prefix gate for the fractional remainder
+    (split_assign's idiom — stable across runs, salts draw independent
+    remainders). Callers materialize the replication with
+    ``F.explode(F.sequence(1, copies))`` filtered to copies >= 1, keeping
+    the explode adjacent to the consumer so no shuffle ever carries
+    replicated token payloads.
+    """
+    counts = {
+        r["source"]: int(r["t"])
+        for r in seq.groupBy("source")
+        .agg(F.sum(F.col("n_tok").cast("long")).alias("t"))
+        .collect()
+    }
+    plan = upsample_plan(counts, weights, total)
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 12
+    )
+    k_expr = F.lit(None).cast("long")
+    thr_expr = F.lit(None).cast("string")
+    for s in sorted(plan):
+        k, thr = plan[s]
+        k_expr = F.when(F.col("source") == s, F.lit(k)).otherwise(k_expr)
+        thr_expr = F.when(
+            F.col("source") == s, F.lit(format(thr, "012x"))
+        ).otherwise(thr_expr)
+    return seq.withColumn(
+        "copies",
+        (k_expr + (hexpfx < thr_expr).cast("long")).cast("long"),
+    )

@@ -394,3 +394,74 @@ def test_catalog_range_plan_pushes_bucket_predicates(spark, full_cat):
     # three tier scans (1m, 1h, 1d), each with bucket_ts filters pushed
     assert len(pushed) == 3, plan
     assert plan.count("Scan parquet") == 3, plan
+
+
+# ---------------------------------------------------------------------------
+# upsample_mix
+# ---------------------------------------------------------------------------
+
+
+def test_upsample_plan_exact():
+    from fractions import Fraction
+
+    from tersets_spark.seqops import REMIX_SCALE, upsample_plan
+
+    toks = {"a": 1000, "b": 300, "c": 77}
+    weights = {"a": 1, "b": 3, "c": 2}
+    plan = upsample_plan(toks, weights)
+    total, wsum = sum(toks.values()), sum(weights.values())
+    for s, t in toks.items():
+        rate = Fraction(weights[s] * total, wsum * t)
+        k, thr = plan[s]
+        assert k == rate.numerator // rate.denominator
+        frac = rate - k
+        assert thr == (frac.numerator * REMIX_SCALE) // frac.denominator
+        assert 0 <= thr < REMIX_SCALE
+    # expected token mass == target share exactly (in expectation):
+    # k + thr/SCALE approximates rate from below within 1/SCALE
+    for s, t in toks.items():
+        rate = Fraction(weights[s] * total, wsum * t)
+        k, thr = plan[s]
+        assert 0 <= rate - (k + Fraction(thr, REMIX_SCALE)) < Fraction(1, REMIX_SCALE)
+
+
+def test_upsample_plan_validation():
+    from tersets_spark.seqops import upsample_plan
+
+    with pytest.raises(ValueError):
+        upsample_plan({"a": 10}, {})
+    with pytest.raises(ValueError):
+        upsample_plan({"a": 10}, {"a": -1})
+
+
+def test_upsample_mix_matches_python_replica(seq, spark):
+    from tersets_spark.seqops import upsample_mix, upsample_plan
+
+    pdf = seq.select("doc_id", "source", "n_tok").toPandas()
+    weights = {f"src_{i:02d}": (i % 4) + 1 for i in range(12)}
+    toks = pdf.groupby("source")["n_tok"].sum().astype(int).to_dict()
+    plan = upsample_plan(toks, weights)
+
+    def copies(row):
+        k, thr = plan[row.source]
+        pfx = hashlib.md5(f"upmix-v1:{row.doc_id}".encode()).hexdigest()[:12]
+        return k + (1 if pfx < format(thr, "012x") else 0)
+
+    pdf["copies"] = [copies(r) for r in pdf.itertuples()]
+    want = dict(zip(pdf.doc_id, pdf["copies"].astype(int)))
+
+    got = {
+        r["doc_id"]: r["copies"]
+        for r in upsample_mix(seq, weights).select("doc_id", "copies").collect()
+    }
+    assert got == want
+    # upsampling actually happens: at least one source replicates >= 2x
+    assert pdf.groupby("source")["copies"].min().max() >= 2
+    # and the realized mix approaches the target shares (within one doc's
+    # granularity per source — loose sanity, the exact check is the plan)
+    out_tokens = (pdf.n_tok * pdf.copies).groupby(pdf.source).sum()
+    wsum = sum(weights[s] for s in toks)
+    total = sum(toks.values())
+    for s in out_tokens.index:
+        target = weights[s] / wsum * total
+        assert abs(out_tokens[s] - target) / target < 0.25
