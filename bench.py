@@ -170,7 +170,39 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
                 )
             )
 
-        strategies = {"stitched": stitched, "m1_only": m1_only, "raw_scan": raw_scan}
+        # minute-aligned twins isolate the sub-minute raw-edge DECODE cost
+        # (shared by both tier strategies) from the tier-scan advantage
+        a_start, a_end = (start // 60 + 1) * 60, (end // 60) * 60
+
+        def stitched_aligned():
+            return range_aggregate_from_catalog(spark, out, a_start, a_end)
+
+        def m1_aligned():
+            from tersets_spark.rollup import range_aggregate
+
+            return range_aggregate({"1m": m1}, a_start, a_end, tiers=[("1m", 60)])
+
+        def raw_scan_aligned():
+            pts = seq.select(
+                "source", F.posexplode("tokens").alias("pos", "v"), "ts0"
+            ).select("source", (F.col("ts0") + F.col("pos")).alias("ts"), "v")
+            return (
+                pts.where((F.col("ts") >= a_start) & (F.col("ts") < a_end))
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("cnt"),
+                    F.sum("v").cast("long").alias("sum"),
+                    F.min("v").cast("long").alias("vmin"),
+                    F.max("v").cast("long").alias("vmax"),
+                    (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean"),
+                )
+            )
+
+        strategies = {
+            "stitched": stitched, "m1_only": m1_only, "raw_scan": raw_scan,
+            "stitched_aligned": stitched_aligned, "m1_aligned": m1_aligned,
+            "raw_scan_aligned": raw_scan_aligned,
+        }
         walls, answers = {}, {}
         for name, fn in strategies.items():
             fn().collect()  # warmup (scan cache, codegen)
@@ -186,6 +218,11 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
         assert answers["stitched"] == answers["m1_only"] == answers["raw_scan"], (
             "serving strategies disagree"
         )
+        assert (
+            answers["stitched_aligned"]
+            == answers["m1_aligned"]
+            == answers["raw_scan_aligned"]
+        ), "aligned serving strategies disagree"
         # rows aggregated per strategy (the scale story)
         from tersets_spark.rollup import stitch_segments
 

@@ -917,6 +917,7 @@ def range_aggregate_from_catalog(
     start: int,
     end: int,
     as_of: int | None = None,
+    max_doc_seconds: int | None = None,
 ) -> DataFrame:
     """Per-source exact aggregate over ``[start, end)`` served from the
     COMMITTED retention tiers (rollup.range_aggregate over catalog reads).
@@ -963,7 +964,9 @@ def range_aggregate_from_catalog(
     raw_df = None
     if start % 60 or end % 60:
         raw_df = catalog.read_tier(spark, "raw", as_of=snap)
-    return range_aggregate(tiers, start, end, raw_df=raw_df)
+    return range_aggregate(
+        tiers, start, end, raw_df=raw_df, max_doc_seconds=max_doc_seconds
+    )
 
 
 def read_tier_realtime(

@@ -261,16 +261,28 @@ def stitch_segments(
     return sorted(segs, key=lambda x: x[1])
 
 
-def _raw_edge_points(raw_df: DataFrame, s: int, e: int) -> DataFrame:
+def _raw_edge_points(
+    raw_df: DataFrame, s: int, e: int, max_doc_seconds: int | None = None
+) -> DataFrame:
     """(source, v) points of the committed RAW tier falling in a
     sub-minute edge ``[s, e)`` — decompress-then-aggregate in serving
-    form: only documents OVERLAPPING the edge are decoded (``ts0 < e``
-    pushes to the raw scan; the overlap test is exact), and each decoded
-    array is sliced to the in-range positions before exploding."""
+    form: only documents OVERLAPPING the edge are decoded, and each
+    decoded array is sliced to the in-range positions before exploding.
+
+    Pushdown: ``ts0 < e`` alone would scan ALL history below the edge
+    (the exact overlap test ``ts0 + n_tok > s`` is an expression, not a
+    pushable predicate), so a ``ts0 > s - max_doc_seconds`` lower bound
+    is always added — from the caller's contract bound if given, else
+    one narrow-column ``max(n_tok)`` aggregate over the raw tier. Both
+    bounds then prune row groups on the committed parquet."""
     from .kernels import decompress_tokens_udf
 
+    if max_doc_seconds is None:
+        max_doc_seconds = int(raw_df.agg(F.max("n_tok")).head()[0] or 0)
     cand = raw_df.where(
-        (F.col("ts0") < e) & (F.col("ts0") + F.col("n_tok") > s)
+        (F.col("ts0") < e)
+        & (F.col("ts0") > s - max_doc_seconds)
+        & (F.col("ts0") + F.col("n_tok") > s)
     )
     lo = F.greatest(F.lit(0), F.lit(s) - F.col("ts0")).cast("int")
     ln = (
@@ -286,6 +298,7 @@ def range_aggregate(
     end: int,
     tiers: list[tuple[str, int]] | None = None,
     raw_df: DataFrame | None = None,
+    max_doc_seconds: int | None = None,
 ) -> DataFrame:
     """Exact per-source aggregate over ``[start, end)`` served from the
     retention tiers via :func:`stitch_segments` — the payoff of exact
@@ -316,11 +329,16 @@ def range_aggregate(
     for name, s, e in stitch_segments(start, end, stitch):
         by_tier.setdefault(name, []).append((s, e))
     parts: list[DataFrame] = []
+    if "raw" in by_tier and max_doc_seconds is None:
+        # one narrow-column aggregate shared by both edges (see
+        # _raw_edge_points' pushdown note); callers at scale pass the
+        # ingest contract's max document length instead
+        max_doc_seconds = int(raw_df.agg(F.max("n_tok")).head()[0] or 0)
     for name, ranges in by_tier.items():
         if name == "raw":
             for s, e in ranges:
                 parts.append(
-                    _raw_edge_points(raw_df, s, e)
+                    _raw_edge_points(raw_df, s, e, max_doc_seconds)
                     .groupBy("source")
                     .agg(
                         F.count(F.lit(1)).cast("long").alias("cnt"),
