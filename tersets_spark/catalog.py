@@ -185,18 +185,41 @@ class TierCatalog:
     def unpin(self) -> None:
         self._pinned = None
 
-    def current_runs(self, tier: str, as_of: int | None = None) -> dict[str, str | None]:
-        """partition -> current run path (relative to the tier dir), or
-        None when the partition's latest commit deleted it. Later records
-        supersede earlier ones — snapshot-log semantics. ``as_of`` caps
-        the log prefix considered (time travel)."""
-        current: dict[str, str | None] = {}
+    def current_run_lists(
+        self, tier: str, as_of: int | None = None
+    ) -> dict[str, list[str]]:
+        """partition -> ALL live run paths (relative to the tier dir) —
+        snapshot-log semantics with two commit kinds: a REPLACE commit
+        (status 'done'/'retention'/... ) supersedes every prior run of the
+        partition; an APPEND commit (status 'append', Iceberg-append
+        analog) adds a run alongside the live ones — how watermarked
+        incremental finalize grows a partition without rewriting history.
+        A deletion (path None) clears the list. ``as_of`` caps the log
+        prefix considered (time travel applies to appends too)."""
+        current: dict[str, list[str]] = {}
         for i, rec in enumerate(self.metrics()):
             if as_of is not None and i >= as_of:
                 break
             if rec["tier"] == tier and "path" in rec:
-                current[rec["partition"]] = rec["path"]
+                p, path = rec["partition"], rec["path"]
+                if rec.get("status") == "append":
+                    if path is not None:
+                        current.setdefault(p, []).append(path)
+                else:
+                    current[p] = [path] if path is not None else []
         return current
+
+    def current_runs(self, tier: str, as_of: int | None = None) -> dict[str, str | None]:
+        """partition -> LATEST current run path (relative to the tier dir),
+        or None when the partition's latest commit deleted it. The
+        single-run view of :meth:`current_run_lists` — identical for
+        replace-only partitions; for appended partitions the last appended
+        run, which is exactly the conditional-commit guard a compactor
+        needs (any concurrent append or replace changes it)."""
+        return {
+            p: (runs[-1] if runs else None)
+            for p, runs in self.current_run_lists(tier, as_of=as_of).items()
+        }
 
     # -- immutable run commits ---------------------------------------------
     def partition_dir(self, tier: str, partition: str) -> str:
@@ -247,6 +270,24 @@ class TierCatalog:
         if self.auto_vacuum:
             self.vacuum(tier, partitions=[partition])
 
+    def append_partition(self, df: DataFrame, tier: str, partition: str, **metrics) -> None:
+        """Write one run dir and commit it as an APPEND: the partition's
+        prior live runs stay live (read_tier unions them) — the Iceberg
+        append. Replace commits (write_partition / commit_moved_partition /
+        delete_partition) still supersede the whole accumulated set, which
+        is what retention rewrites and compaction want."""
+        rel, dest = self._new_run_dir(tier, partition)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(dest)
+        self.record(
+            tier, partition, status="append", path=rel,
+            wall_ms=round((time.monotonic() - t0) * 1000, 1),
+            bytes_out=_dir_bytes(dest),
+            **metrics,
+        )
+        if self.auto_vacuum:
+            self.vacuum(tier, partitions=[partition])
+
     def vacuum(self, tier: str, partitions: list[str] | None = None) -> int:
         """Delete run dirs not CURRENT in the manifest. Two classes:
 
@@ -258,7 +299,7 @@ class TierCatalog:
 
         Returns the number removed. On POSIX this runs right after each
         commit; an object store would delay it past reader grace."""
-        current = self.current_runs(tier)
+        current = self.current_run_lists(tier)
         ever_referenced = {
             rec["path"]
             for rec in self.metrics()
@@ -276,11 +317,12 @@ class TierCatalog:
             if partitions is not None and part not in partitions:
                 continue
             part_root = os.path.join(tier_dir, entry)
-            keep = current.get(part)
-            keep_abs = os.path.join(tier_dir, keep) if keep else None
+            keep_abs = {
+                os.path.join(tier_dir, rel) for rel in current.get(part, [])
+            }
             for run in sorted(os.listdir(part_root)):
                 run_dir = os.path.join(part_root, run)
-                if run_dir == keep_abs:
+                if run_dir in keep_abs:
                     continue
                 grace = (
                     self.superseded_grace_sec
@@ -324,18 +366,21 @@ class TierCatalog:
         at 10^12 sequences an uncompacted tier turns every scan into a
         metadata storm. Compaction is per-partition and embarrassingly
         parallel across partitions."""
-        current = self.current_runs(tier)
+        current = self.current_run_lists(tier)
         rewritten = 0
         for part in sorted(current):
             if partitions is not None and part not in partitions:
                 continue
-            rel = current[part]
-            if rel is None:
+            rels = current[part]
+            if not rels:
                 continue
-            run_dir = os.path.join(self.base_dir, tier, rel)
+            rel = rels[-1]  # conditional-commit guard: last live run
+            run_dirs = [os.path.join(self.base_dir, tier, r) for r in rels]
             try:
                 n_files = sum(
-                    1 for f in os.listdir(run_dir)
+                    1
+                    for d in run_dirs
+                    for f in os.listdir(d)
                     if f.endswith(".parquet") and not f.startswith("_")
                 )
             except FileNotFoundError:
@@ -343,9 +388,12 @@ class TierCatalog:
                 # already removed the dir — the partition was just rewritten,
                 # so there is nothing left for this pass to compact.
                 continue
-            if n_files <= max_files_per_partition:
+            # appended partitions compact once they hold multiple runs OR
+            # too many files — the rewrite folds every live run into ONE
+            # replace commit (Iceberg rewrite_data_files over appends)
+            if n_files <= max_files_per_partition and len(run_dirs) == 1:
                 continue
-            df = spark.read.parquet(run_dir).coalesce(max_files_per_partition)
+            df = spark.read.parquet(*run_dirs).coalesce(max_files_per_partition)
             t0 = time.monotonic()
             rel_new, dest = self._new_run_dir(tier, part)
             df.write.mode("overwrite").parquet(dest)
@@ -391,8 +439,8 @@ class TierCatalog:
         for _attempt in range(3):
             dirs = [
                 os.path.join(base, rel)
-                for rel in self.current_runs(tier, as_of=as_of).values()
-                if rel is not None
+                for runs in self.current_run_lists(tier, as_of=as_of).values()
+                for rel in runs
             ]
             if not dirs:
                 raise FileNotFoundError(f"tier {tier!r} has no committed runs")

@@ -301,9 +301,26 @@ def read_streamed_tier(
     ``finalize=True`` (coarse tiers from stream_cascade_to_tiers) combines
     cross-batch partials of the same (doc_id, source, bucket_ts) exactly —
     anchor-aware first/last — and drops the anchor columns, yielding the
-    same schema and values as the batch cascade's tier."""
+    same schema and values as the batch cascade's tier.
+
+    Resolution goes through the compaction tombstone
+    (:func:`_live_stream_dirs`): consumed batch dirs are invisible, the
+    compact remainder (``batch = -1``) is unioned in. Without a tombstone
+    this is the plain ``batch=*`` read."""
     base = os.path.join(out_dir, tier)
-    df = spark.read.option("basePath", base).parquet(os.path.join(base, "batch=*"))
+    batch_dirs, compact_dirs = _live_stream_dirs(base)
+    if not batch_dirs and not compact_dirs:
+        raise FileNotFoundError(f"streamed tier {tier!r} has no live partials")
+    parts = []
+    if batch_dirs:
+        parts.append(spark.read.option("basePath", base).parquet(*batch_dirs))
+    for c in compact_dirs:
+        parts.append(
+            spark.read.parquet(c).withColumn("batch", F.lit(-1).cast("int"))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     if not finalize:
         return df
     if tier.startswith("psk_"):  # percentile sketch tier: sum is the combine
@@ -652,3 +669,212 @@ def read_stream_dedup_pairs(spark: SparkSession, out_dir: str) -> DataFrame:
         .parquet(os.path.join(base, "batch=*"))
         .drop("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded streamed state: tombstone-committed compaction + watermarked
+# incremental finalize
+# ---------------------------------------------------------------------------
+
+#: Tombstone file committing a streamed-partial compaction (atomic file
+#: replace = the commit point, same pattern as the TierCatalog manifest).
+_COMPACT_TOMBSTONE = "_compacted.json"
+
+
+def _live_stream_dirs(base: str) -> tuple[list[str], list[str]]:
+    """Resolve a streamed tier dir through its compaction tombstone:
+    returns (live ``batch=*`` dir paths, live compact dir paths). Without
+    a tombstone this is exactly the old ``batch=*`` glob. Consumed batch
+    dirs stay INVISIBLE even if a foreachBatch replay rewrites one after
+    compaction deleted it — its rows are already folded into the compact
+    remainder, so resurfacing them would double-count."""
+    import json
+
+    tomb = os.path.join(base, _COMPACT_TOMBSTONE)
+    consumed: set[str] = set()
+    compacts: list[str] = []
+    if os.path.exists(tomb):
+        with open(tomb) as f:
+            data = json.load(f)
+        consumed = set(data["consumed"])
+        compacts = [
+            os.path.join(base, c)
+            for c in data["compacts"]
+            if os.path.isdir(os.path.join(base, c))
+        ]
+    batches = sorted(
+        os.path.join(base, e)
+        for e in os.listdir(base)
+        if e.startswith("batch=") and e not in consumed
+    )
+    return batches, compacts
+
+
+def _combine_partials_keep_anchors(df: DataFrame, tier: str) -> DataFrame:
+    """Per-family partial combine that stays IN partial form (anchors /
+    registers / cells kept), so the output re-combines with future batch
+    partials. The read-time finalize (:func:`read_streamed_tier`) is the
+    anchor-DROPPING twin."""
+    if tier.startswith("psk_"):
+        from .sketch import merge_sketch
+
+        return merge_sketch(df, ["source", "bucket_ts"])
+    if tier.startswith("hll_"):
+        from .hll import merge_registers
+
+        return merge_registers(df, ["source", "bucket_ts"])
+    if tier.startswith("blm_"):
+        from .bloom import merge_words
+
+        return merge_words(df, ["source", "bucket_ts"])
+    if tier.startswith("cms_"):
+        from .cms import merge_counters
+
+        return merge_counters(df, ["source", "bucket_ts"])
+    if "first_ts" in df.columns:
+        return _rollup_up_partial(df, 1)  # same-bucket, anchors carried
+    return df  # finest core tier: per-doc rows are already final
+
+
+def compact_streamed_partials(
+    spark: SparkSession, out_dir: str, tier: str, drop_below_ts: int | None = None
+) -> dict:
+    """Fold a streamed tier's accumulated per-batch partials into ONE
+    compact remainder dir, optionally dropping rows below
+    ``drop_below_ts`` (buckets already committed to the batch catalog by
+    :func:`finalize_streamed_tier_incremental`) — the state bound a
+    long-lived stream needs: without it partial files grow with stream
+    LIFETIME; with it they are bounded by the open (un-finalized) bucket
+    window.
+
+    Commit protocol (manifest-file pattern, object-store safe): write the
+    combined remainder to a new ``_compact_*`` dir, then atomically
+    replace the tombstone file listing every consumed ``batch=*`` dir and
+    naming the single live compact dir. Readers resolve through the
+    tombstone, so a crash before the replace leaves the old state fully
+    visible and the half-written compact dir invisible; consumed dirs are
+    physically removed only after the commit point (a crash between
+    commit and removal leaves invisible garbage, swept by the next
+    compaction). Concurrent micro-batches appending NEW batch dirs are
+    untouched — they are not in the consumed snapshot.
+    """
+    import json
+    import shutil
+    import uuid
+
+    base = os.path.join(out_dir, tier)
+    batch_dirs, compact_dirs = _live_stream_dirs(base)
+    if not batch_dirs and not compact_dirs:
+        raise FileNotFoundError(f"streamed tier {tier!r} has no partials")
+    parts = []
+    if batch_dirs:
+        parts.append(
+            spark.read.option("basePath", base).parquet(*batch_dirs).drop("batch")
+        )
+    for c in compact_dirs:
+        parts.append(spark.read.parquet(c))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    dropped_pred = None
+    if drop_below_ts is not None:
+        dropped_pred = F.col("bucket_ts") < drop_below_ts
+        df = df.where(~dropped_pred)
+    combined = _combine_partials_keep_anchors(df, tier)
+    new_compact = f"_compact_{uuid.uuid4().hex[:12]}"
+    combined.write.mode("overwrite").parquet(os.path.join(base, new_compact))
+    rows = spark.read.parquet(os.path.join(base, new_compact)).count()
+
+    tomb = os.path.join(base, _COMPACT_TOMBSTONE)
+    prior_consumed: set[str] = set()
+    if os.path.exists(tomb):
+        with open(tomb) as f:
+            prior_consumed = set(json.load(f)["consumed"])
+    consumed = prior_consumed | {os.path.basename(d) for d in batch_dirs}
+    tmp = tomb + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"consumed": sorted(consumed), "compacts": [new_compact]}, f)
+    os.replace(tmp, tomb)  # commit point
+
+    # post-commit sweep: consumed batch dirs + superseded compact dirs +
+    # any orphaned _compact_* a crashed prior attempt left uncommitted
+    for d in batch_dirs + compact_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    for e in os.listdir(base):
+        if e.startswith("_compact_") and e != new_compact:
+            shutil.rmtree(os.path.join(base, e), ignore_errors=True)
+    return {
+        "consumed_batch_dirs": len(batch_dirs),
+        "consumed_compact_dirs": len(compact_dirs),
+        "remainder_rows": rows,
+        "compact_dir": new_compact,
+    }
+
+
+def finalize_streamed_tier_incremental(
+    spark: SparkSession,
+    stream_out_dir: str,
+    catalog: TierCatalog,
+    tier: str,
+    watermark_ts: int,
+    compact: bool = True,
+    files_per_partition: int = 1,
+) -> dict:
+    """WATERMARKED incremental bridge from streamed partials into the
+    batch catalog: commit only the CLOSED buckets in ``[prev_watermark,
+    watermark_ts)`` (the caller asserts no more data will arrive below
+    ``watermark_ts`` — the standard event-time watermark contract), then
+    compact the partials to drop what was committed.
+
+    Exactly-once across crashes WITHOUT a cross-system transaction: each
+    window lands as an APPEND commit (:meth:`TierCatalog.append_partition`
+    — the partition keeps its real source name, prior windows stay live)
+    carrying its watermark range in the manifest, and the next invocation
+    starts from the highest recorded watermark — so a crash between the
+    catalog commit and the compaction leaves already-committed rows in
+    the partials as harmless leftovers that are never re-committed (the
+    next window starts above them) and vanish at the next compaction.
+    ``late_rows`` counts partial rows below the previous watermark
+    (genuine late arrivals if the last compaction succeeded); they are
+    reported, never silently committed.
+
+    Consumers see one continuously-growing catalog tier:
+    ``catalog.read_tier(spark, tier)`` unions the appended windows;
+    retention, small-file compaction (``TierCatalog.compact`` folds the
+    accumulated appends into one run), validation and time travel apply
+    as usual.
+    """
+    prev = 0
+    for rec in catalog.metrics():
+        if rec.get("tier") == tier and rec.get("watermark_ts") is not None:
+            prev = max(prev, int(rec["watermark_ts"]))
+    if watermark_ts <= prev:
+        raise ValueError(
+            f"watermark must advance: got {watermark_ts}, last committed {prev}"
+        )
+    df = read_streamed_tier(spark, stream_out_dir, tier, finalize=True)
+    window = df.where(
+        (F.col("bucket_ts") >= prev) & (F.col("bucket_ts") < watermark_ts)
+    )
+    late = df.where(F.col("bucket_ts") < prev).count()
+    sources = sorted(r[0] for r in window.select("source").distinct().collect())
+    for src in sources:
+        part_df = window.filter(F.col("source") == src).coalesce(files_per_partition)
+        catalog.append_partition(
+            part_df, tier, src,
+            watermark_ts=watermark_ts, watermark_from=prev,
+            finalized_from=os.path.join(stream_out_dir, tier),
+        )
+    committed_rows = window.count()
+    stats = {
+        "tier": tier,
+        "window": (prev, watermark_ts),
+        "sources": len(sources),
+        "rows_committed": committed_rows,
+        "late_rows": late,
+    }
+    if compact:
+        stats["compaction"] = compact_streamed_partials(
+            spark, stream_out_dir, tier, drop_below_ts=watermark_ts
+        )
+    return stats
