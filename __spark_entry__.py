@@ -1534,6 +1534,53 @@ def _q_range_stitch_agg_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("range_id", "source", "cnt", "sum", "vmin", "vmax", "mean")
 
 
+def _q_sketch_range_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-scoped percentile serving: the psk sketch tiers (1m/1h/1d)
+    are stitched over an arbitrary minute-aligned [start,end) — coarsest
+    aligned segments, exact sum-merge — and p50/90/99 read off the merged
+    sketch. The oracle computes the SAME sketch one-shot from the range's
+    raw points: equality proves stitched sketch serving is bitwise the
+    full recompute (integer bucket math end to end)."""
+    from tersets_spark.jobs import _sketch_points, merge_to_bucket
+    from tersets_spark.rollup import stitched_rows
+    from tersets_spark.sketch import merge_sketch, percentiles, sketch
+
+    start, end = _STITCH_RANGES[0]
+    pts = _sketch_points(_sequences(spark, sf_dir))
+    t1m = sketch(pts, ["source", "bucket_ts"], "v")
+    t1h = merge_to_bucket(t1m, 3600, merge_sketch)
+    t1d = merge_to_bucket(t1h, 86400, merge_sketch)
+    rows = stitched_rows({"1m": t1m, "1h": t1h, "1d": t1d}, start, end)
+    return percentiles(merge_sketch(rows, ["source"]), ["source"], [50, 90, 99])
+
+
+def _q_hll_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-scoped distinct serving: hll register tiers stitched over
+    [start,end), max-merged into the range's registers; the exact-integer
+    harmonic and the float estimate hash-match the oracle's one-shot
+    registers over the range's raw points. exact_distinct rides along to
+    pin the sketch's real error on the range."""
+    from tersets_spark.hll import hll_registers, hll_summary, merge_registers
+    from tersets_spark.jobs import _sketch_points, merge_to_bucket
+    from tersets_spark.rollup import stitched_rows
+
+    start, end = _STITCH_RANGES[0]
+    pts = _sketch_points(_sequences(spark, sf_dir))
+    t1m = hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True)
+    t1h = merge_to_bucket(t1m, 3600, merge_registers)
+    t1d = merge_to_bucket(t1h, 86400, merge_registers)
+    rows = stitched_rows({"1m": t1m, "1h": t1h, "1d": t1d}, start, end)
+    summary = hll_summary(merge_registers(rows, ["source"]), ["source"])
+    exact = (
+        pts.where((F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end))
+        .groupBy("source")
+        .agg(F.countDistinct("v").alias("exact_distinct"))
+    )
+    return exact.join(summary, "source").select(
+        "source", "exact_distinct", "empty_buckets", "harmonic_scaled", "estimate"
+    )
+
+
 def _q_rollup_realtime_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-TIME continuous aggregate (jobs.read_tier_realtime): a cascade
     materializes ~half the documents (md5-gated, deterministic) into a
@@ -1662,6 +1709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_span_dedup": _q_seq_span_dedup,
         "seq_source_divergence": _q_seq_source_divergence,
         "range_stitch_agg": _q_range_stitch_agg,
+        "sketch_range_percentiles": _q_sketch_range_percentiles,
+        "hll_range_distinct": _q_hll_range_distinct,
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
         "rollup_realtime_1h": _q_rollup_realtime_1h,
         "seq_source_remix": _q_seq_source_remix,
@@ -2612,6 +2661,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
             FROM pts JOIN r ON pts.ts >= r.lo AND pts.ts < r.hi
             GROUP BY 1, 2
+        """,
+        # range-scoped sketch serving: one-shot sketches over the range's
+        # raw points; equality with the stitched tier merge is the proof
+        "sketch_range_percentiles": f"""
+            WITH pts0 AS (
+                SELECT source,
+                       ts0 + unnest(generate_series(0, n_tok - 1)) AS ts,
+                       unnest(tokens) AS v
+                FROM read_parquet('{seq}')
+            ),
+            pts AS (SELECT source, v FROM pts0
+                    WHERE ts >= 1700000100 AND ts < 1700095260),
+            sk AS (
+                SELECT source,
+                       CAST(length(bin(v)) * 32
+                            + (v >> greatest(length(bin(v)) - 5, 0)) AS BIGINT)
+                           AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT source, bucket_id,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY bucket_id) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS total
+                FROM sk
+            ),
+            q AS (SELECT unnest([50, 90, 99]) AS pct),
+            hit AS (
+                SELECT c.source, q.pct, MIN(c.bucket_id) AS bucket_id
+                FROM c CROSS JOIN q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2
+            )
+            SELECT source, CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM hit
+        """,
+        "hll_range_distinct": f"""
+            WITH pts0 AS (
+                SELECT source,
+                       ts0 + unnest(generate_series(0, n_tok - 1)) AS ts,
+                       unnest(tokens) AS v
+                FROM read_parquet('{seq}')
+            ),
+            pts AS (SELECT source, v FROM pts0
+                    WHERE ts >= 1700000100 AND ts < 1700095260),
+            hx AS (
+                SELECT DISTINCT source, md5(CAST(v AS VARCHAR)) AS h FROM pts
+            ),
+            br AS (
+                SELECT source,
+                       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+                       CASE WHEN length(regexp_replace(substr(h, 3, 12), '^0+', '')) = 0
+                            THEN 49
+                            ELSE (12 - length(regexp_replace(substr(h, 3, 12), '^0+', ''))) * 4
+                                 + (4 - length(bin(strpos('0123456789abcdef',
+                                       substr(regexp_replace(substr(h, 3, 12), '^0+', ''), 1, 1)) - 1)))
+                                 + 1
+                       END AS rho
+                FROM hx
+            ),
+            reg AS (
+                SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS rho
+                FROM br GROUP BY 1, 2
+            ),
+            pres AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS present,
+                       CAST(SUM(1::BIGINT << CAST(49 - rho AS INT)) AS BIGINT) AS h_present
+                FROM reg GROUP BY 1
+            ),
+            ex AS (
+                SELECT source, CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_distinct
+                FROM pts GROUP BY 1
+            )
+            SELECT p.source, e.exact_distinct,
+                   CAST(256 - p.present AS BIGINT) AS empty_buckets,
+                   CAST(p.h_present + (256 - p.present) * 562949953421312 AS BIGINT)
+                       AS harmonic_scaled,
+                   (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                        + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+                       * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+                       * CAST(562949953421312.0 AS DOUBLE)
+                       / CAST(p.h_present + (256 - p.present) * 562949953421312 AS DOUBLE)
+                       AS estimate
+            FROM pres p JOIN ex e USING (source)
         """,
         # second-resolution stitching (raw-edge decode) must too — same
         # oracle template, ragged-second ranges

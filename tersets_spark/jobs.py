@@ -1006,3 +1006,57 @@ def read_tier_realtime(
         if TIERS[name] <= TIERS[tier]:
             fresh = rollup_up(fresh, TIERS[name])
     return committed.unionByName(fresh.select(*cols))
+
+
+def percentiles_in_range(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    keys: tuple[str, ...] = ("source",),
+    pcts: tuple[int, ...] = (50, 90, 99),
+    as_of: int | None = None,
+) -> DataFrame:
+    """Range-scoped percentile serving: stitch the committed ``psk_*``
+    sketch tiers over ``[start, end)`` (coarsest aligned segments, one
+    pruned scan per level) and read percentiles off the exact sum-merge —
+    bitwise what a one-shot sketch over the range's raw points yields,
+    because the segments partition the range and the sketch combine is
+    exact integer addition. No token rescan, minute-aligned endpoints."""
+    from .rollup import stitched_rows
+    from .sketch import merge_sketch, percentiles
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    tier_dfs = {
+        name: catalog.read_tier(spark, f"psk_{name}", as_of=snap)
+        for name in ("1m", "1h", "1d")
+    }
+    rows = stitched_rows(tier_dfs, start, end)
+    return percentiles(merge_sketch(rows, list(keys)), list(keys), list(pcts))
+
+
+def distinct_in_range(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    keys: tuple[str, ...] = ("source",),
+    as_of: int | None = None,
+) -> DataFrame:
+    """Range-scoped distinct-count serving from the committed ``hll_*``
+    register tiers: stitched segment rows max-merge into the range's
+    registers (idempotent, so the estimate equals registers built over
+    the range's raw points exactly — bit-stable estimate, see
+    hll.hll_summary). No token rescan, minute-aligned endpoints."""
+    from .hll import hll_summary, merge_registers
+    from .rollup import stitched_rows
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    tier_dfs = {
+        name: catalog.read_tier(spark, f"hll_{name}", as_of=snap)
+        for name in ("1m", "1h", "1d")
+    }
+    rows = stitched_rows(tier_dfs, start, end)
+    return hll_summary(merge_registers(rows, list(keys)), list(keys))

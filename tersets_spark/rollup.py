@@ -261,6 +261,36 @@ def stitch_segments(
     return sorted(segs, key=lambda x: x[1])
 
 
+def stitched_rows(
+    tier_dfs: dict[str, DataFrame],
+    start: int,
+    end: int,
+    tiers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Union of each tier's rows inside its stitched segments — the
+    generic serving primitive under :func:`range_aggregate` and the
+    range-scoped sketch reads: ONE scan per tier, that tier's segment
+    predicates OR-combined on ``bucket_ts`` and pushed to the scan. Rows
+    must carry ``bucket_ts``; column sets must match across tiers (they
+    do for the core and sketch tier families)."""
+    by_tier: dict[str, list[tuple[int, int]]] = {}
+    for name, s, e in stitch_segments(start, end, tiers):
+        by_tier.setdefault(name, []).append((s, e))
+    parts: list[DataFrame] = []
+    for name, ranges in by_tier.items():
+        if name not in tier_dfs:
+            raise KeyError(f"stitched_rows: tier {name!r} not provided")
+        pred = None
+        for s, e in ranges:
+            p = (F.col("bucket_ts") >= s) & (F.col("bucket_ts") < e)
+            pred = p if pred is None else (pred | p)
+        parts.append(tier_dfs[name].where(pred))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
 def _raw_edge_points(
     raw_df: DataFrame, s: int, e: int, max_doc_seconds: int | None = None
 ) -> DataFrame:

@@ -465,3 +465,48 @@ def test_upsample_mix_matches_python_replica(seq, spark):
     for s in out_tokens.index:
         target = weights[s] / wsum * total
         assert abs(out_tokens[s] - target) / target < 0.25
+
+
+def test_sketch_serving_in_range_from_catalog(seq, spark, tmp_path):
+    """Catalog-served range-scoped sketch reads (percentiles_in_range /
+    distinct_in_range) equal one-shot sketches over the range's raw
+    points — stitched merge is exact for sum (psk) and idempotent-max
+    (hll)."""
+    import os
+
+    from tersets_spark.hll import hll_registers, hll_summary, merge_registers
+    from tersets_spark.jobs import (
+        _sketch_points,
+        distinct_in_range,
+        percentiles_in_range,
+        run_cascade,
+    )
+    from tersets_spark.sketch import merge_sketch, percentiles, sketch
+
+    sub_path = str(tmp_path / "seq.parquet")
+    seq.write.parquet(sub_path)
+    out = str(tmp_path / "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, sub_path, out, with_blocks=False, with_sketches=True)
+
+    start, end = RANGES[0]
+    pts = _sketch_points(seq).where(
+        (F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end)
+    )
+
+    got_p = sorted(map(tuple, percentiles_in_range(spark, out, start, end).collect()))
+    want_p = sorted(map(tuple, percentiles(
+        merge_sketch(sketch(pts, ["source", "bucket_ts"], "v"), ["source"]),
+        ["source"], [50, 90, 99],
+    ).collect()))
+    assert got_p == want_p and got_p
+
+    got_d = sorted(map(tuple, distinct_in_range(spark, out, start, end).collect()))
+    want_d = sorted(map(tuple, hll_summary(
+        merge_registers(
+            hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True),
+            ["source"],
+        ),
+        ["source"],
+    ).collect()))
+    assert got_d == want_d and got_d
