@@ -1583,25 +1583,26 @@ def _q_hll_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rollup_realtime_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-TIME continuous aggregate (jobs.read_tier_realtime): a cascade
-    materializes ~half the documents (md5-gated, deterministic) into a
-    catalog; serving then unions the COMMITTED 1h tier with an on-the-fly
-    rollup of the un-materialized tail (decided per document by a doc_id
-    anti-join against the committed raw tier). Hash-matches the SAME SQL
-    oracle as rollup_1h over ALL documents — a consumer between cascade
-    runs sees exactly what a full re-run would produce."""
-    import shutil
-
+    materializes the first ~60% of documents by ingest order (the
+    append-prefix pattern) into a catalog; serving then unions the
+    COMMITTED 1h tier with an on-the-fly rollup of the un-materialized
+    tail, gated MAP-SIDE against per-source ingest high-water marks (the
+    scale path — no shuffle touches the token payload). Hash-matches the
+    SAME SQL oracle as rollup_1h over ALL documents — a consumer between
+    cascade runs sees exactly what a full re-run would produce."""
     from tersets_spark.jobs import read_tier_realtime, run_cascade
+    from tersets_spark.seqops import default_order_key
+    from tersets_spark.tables import ROWS_BY_SF
 
     seq = _sequences(spark, sf_dir)
     work = _gate_workdir("tersets_realtime_q_")
-    gate = F.substring(F.md5(F.concat(F.lit("rt-v1:"), F.col("doc_id"))), 1, 1) < "8"
+    cutoff = ROWS_BY_SF[sf_name_from_dir(sf_dir)] * 3 // 5
     sub_path = os.path.join(work, "committed.parquet")
-    seq.where(gate).write.parquet(sub_path)
+    seq.where(default_order_key() < cutoff).write.parquet(sub_path)
     out = os.path.join(work, "cat")
     os.makedirs(out, exist_ok=True)
     run_cascade(spark, sub_path, out, with_blocks=False)
-    served = read_tier_realtime(spark, out, "1h", seq)
+    served = read_tier_realtime(spark, out, "1h", seq, mode="hwm")
     return with_mean(served).select(
         "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last", "mean"
     )

@@ -975,32 +975,64 @@ def read_tier_realtime(
     tier: str,
     sequences: DataFrame,
     as_of: int | None = None,
+    mode: str = "hwm",
+    order_key=None,
 ) -> DataFrame:
     """Real-time continuous aggregate (TimescaleDB-style): the committed
     tier UNION an on-the-fly rollup of the documents the cascade has not
     materialized yet — so a consumer between cascade runs sees EXACTLY
-    what a full re-run would produce, without one.
+    what a full re-run would produce, without one. Both catalog reads
+    resolve against one manifest snapshot. Output schema = the tier
+    schema (no ``block`` column on 1m: fresh rows carry no committed
+    blob).
 
-    "Not materialized yet" is decided per document: a left-anti join of
-    ``sequences`` against the committed raw tier's doc ids (both catalog
-    reads resolve against one manifest snapshot). Only the 16-ish-byte
-    doc_id column shuffles for the anti-join — the token payload stays in
-    its scan until the fresh remainder (typically a small tail) is rolled
-    up by the same kernels the cascade uses, so the served rows are
-    bitwise the cascade's rows. Output schema = the tier schema (no
-    ``block`` column on 1m: fresh rows have no committed blob to carry).
+    How "not materialized yet" is decided — ``mode``:
+
+    * ``"hwm"`` (default, the scale path): documents are gated MAP-SIDE
+      against per-source high-water marks of a monotone ingest key
+      (``order_key``, default seqops.default_order_key — the same ingest
+      contract context packing documents). The marks come from one
+      narrow-column aggregate over the committed raw tier (doc_id +
+      source only); no shuffle ever touches the token payload. Correct
+      when each source's committed set is a PREFIX under the key —
+      ingest appends monotone ids and the cascade materializes prefixes,
+      which is exactly how appends reach a table. A source with nothing
+      committed has no mark and is wholly fresh.
+    * ``"antijoin"`` — the general fallback for non-prefix commit
+      patterns: a left-anti join of ``sequences`` against the committed
+      raw doc ids. Exact for ANY commit pattern, but the anti-join
+      shuffles the probe side's full rows (token payload included) at
+      cluster scale — prefer "hwm" whenever the ingest contract holds.
     """
     from .rollup import TIERS, rollup_raw, rollup_up
+    from .seqops import default_order_key
 
     if tier not in ("1m", "1h", "1d"):
         raise ValueError(f"read_tier_realtime serves 1m/1h/1d, got {tier!r}")
+    if mode not in ("hwm", "antijoin"):
+        raise ValueError(f"mode must be 'hwm' or 'antijoin', got {mode!r}")
     catalog = TierCatalog(out_dir)
     snap = catalog.snapshot() if as_of is None else as_of
     cols = ["doc_id", "source", "bucket_ts", "cnt", "sum",
             "vmin", "vmax", "first", "last"]
     committed = catalog.read_tier(spark, tier, as_of=snap).select(*cols)
-    raw_ids = catalog.read_tier(spark, "raw", as_of=snap).select("doc_id")
-    fresh_seq = sequences.join(raw_ids, "doc_id", "left_anti")
+    raw = catalog.read_tier(spark, "raw", as_of=snap)
+    if mode == "hwm":
+        key = order_key if order_key is not None else default_order_key()
+        marks = {
+            r["source"]: int(r["hwm"])
+            for r in raw.select("source", key.alias("_k"))
+            .groupBy("source")
+            .agg(F.max("_k").alias("hwm"))
+            .collect()
+        }
+        gate = F.lit(True)
+        for src in sorted(marks):
+            gate = F.when(F.col("source") == src, key > marks[src]).otherwise(gate)
+        fresh_seq = sequences.where(gate)
+    else:
+        raw_ids = raw.select("doc_id")
+        fresh_seq = sequences.join(raw_ids, "doc_id", "left_anti")
     fresh = rollup_raw(fresh_seq, TIERS["1m"], with_blocks=False)
     for name in ("1h", "1d"):
         if TIERS[name] <= TIERS[tier]:

@@ -853,9 +853,11 @@ def finalize_streamed_tier_incremental(
             f"watermark must advance: got {watermark_ts}, last committed {prev}"
         )
     df = read_streamed_tier(spark, stream_out_dir, tier, finalize=True)
+    # pin the combined window once: the per-source commit loop below would
+    # otherwise re-run the full partial-combine |sources| times
     window = df.where(
         (F.col("bucket_ts") >= prev) & (F.col("bucket_ts") < watermark_ts)
-    )
+    ).localCheckpoint()
     late = df.where(F.col("bucket_ts") < prev).count()
     sources = sorted(r[0] for r in window.select("source").distinct().collect())
     for src in sources:

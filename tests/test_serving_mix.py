@@ -133,8 +133,9 @@ def test_catalog_range_and_realtime_serving(seq, spark, tmp_path):
     assert got == want and got
 
     cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    # the md5-gated committed set is NOT an ingest prefix -> antijoin mode
     for tier, secs in [("1h", 3600), ("1d", 86400)]:
-        served = read_tier_realtime(spark, out, tier, seq)
+        served = read_tier_realtime(spark, out, tier, seq, mode="antijoin")
         full = rollup_up(rollup_raw(seq, 60), 3600)
         if tier == "1d":
             full = rollup_up(full, 86400)
@@ -143,7 +144,7 @@ def test_catalog_range_and_realtime_serving(seq, spark, tmp_path):
         assert a == b and a
 
     # no fresh docs: realtime == the committed tier exactly
-    served = read_tier_realtime(spark, out, "1h", committed_seq)
+    served = read_tier_realtime(spark, out, "1h", committed_seq, mode="antijoin")
     committed_tier = rollup_up(rollup_raw(committed_seq, 60), 3600)
     assert sorted(map(tuple, served.select(*cols).collect())) == sorted(
         map(tuple, committed_tier.select(*cols).collect())
@@ -510,3 +511,34 @@ def test_sketch_serving_in_range_from_catalog(seq, spark, tmp_path):
         ["source"],
     ).collect()))
     assert got_d == want_d and got_d
+
+
+def test_realtime_hwm_mode_prefix_commit(seq, spark, tmp_path):
+    """The scale path: committed set = ingest-order prefix per source;
+    high-water-mark gating (map-side, no payload shuffle) equals the
+    anti-join and the full recompute."""
+    import os
+
+    from tersets_spark.jobs import read_tier_realtime, run_cascade
+    from tersets_spark.seqops import default_order_key
+
+    committed_seq = seq.where(default_order_key() < 1200)
+    sub_path = str(tmp_path / "committed.parquet")
+    committed_seq.write.parquet(sub_path)
+    out = str(tmp_path / "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, sub_path, out, with_blocks=False)
+
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax",
+            "first", "last"]
+    hwm = sorted(map(tuple, read_tier_realtime(spark, out, "1h", seq, mode="hwm")
+                     .select(*cols).collect()))
+    aj = sorted(map(tuple, read_tier_realtime(spark, out, "1h", seq,
+                                              mode="antijoin")
+                    .select(*cols).collect()))
+    full = sorted(map(tuple, rollup_up(rollup_raw(seq, 60), 3600)
+                      .select(*cols).collect()))
+    assert hwm == aj == full and hwm
+
+    with pytest.raises(ValueError, match="mode"):
+        read_tier_realtime(spark, out, "1h", seq, mode="nope")
