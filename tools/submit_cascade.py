@@ -39,6 +39,12 @@ def main() -> None:
     parser.add_argument("--sketches", action="store_true",
                         help="also materialize the psk_* (percentile) and "
                              "hll_* (distinct) sketch tiers (see jobs.py)")
+    parser.add_argument("--serve-range", nargs=2, type=int, default=None,
+                        metavar=("START", "END"),
+                        help="after the cascade, serve the per-source exact "
+                             "aggregate over [START, END) from the stitched "
+                             "tiers (second-resolution endpoints decode raw-"
+                             "tier edges) and print the rows in the summary")
     parser.add_argument("--validate", type=float, default=0.0, metavar="FRAC",
                         help="after the cascade, audit a deterministic FRAC "
                              "of doc_ids on disk (decompress round-trip + "
@@ -75,6 +81,15 @@ def main() -> None:
         "tiers": tiers,
         "partitions_done": len(TierCatalog(args.out).metrics()),
     }
+    if args.serve_range:
+        from tersets_spark.jobs import range_aggregate_from_catalog
+
+        start, end = args.serve_range
+        rows = range_aggregate_from_catalog(spark, args.out, start, end).collect()
+        summary["range"] = [start, end]
+        summary["range_agg"] = sorted(
+            [r["source"], r["cnt"], r["sum"], r["vmin"], r["vmax"]] for r in rows
+        )
     if args.validate > 0.0:
         from tersets_spark.jobs import validate_tiers
 
