@@ -1545,12 +1545,20 @@ def _q_sketch_range_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.rollup import stitched_rows
     from tersets_spark.sketch import merge_sketch, percentiles, sketch
 
-    start, end = _STITCH_RANGES[0]
-    pts = _sketch_points(_sequences(spark, sf_dir))
+    start, end = _STITCH_RANGES_SEC[0]  # ragged seconds: raw edges feed the sketch
+    seq = _sequences(spark, sf_dir)
+    pts = _sketch_points(seq)
     t1m = sketch(pts, ["source", "bucket_ts"], "v")
     t1h = merge_to_bucket(t1m, 3600, merge_sketch)
     t1d = merge_to_bucket(t1h, 86400, merge_sketch)
-    rows = stitched_rows({"1m": t1m, "1h": t1h, "1d": t1d}, start, end)
+    raw = seq.select(
+        "doc_id", "source", "ts0", "n_tok",
+        compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens")).alias("blob"),
+    )
+    rows = stitched_rows(
+        {"1m": t1m, "1h": t1h, "1d": t1d}, start, end, raw_df=raw,
+        edge_rows=lambda p: sketch(p, ["source", "bucket_ts"], "v"),
+    )
     return percentiles(merge_sketch(rows, ["source"]), ["source"], [50, 90, 99])
 
 
@@ -1564,15 +1572,27 @@ def _q_hll_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.jobs import _sketch_points, merge_to_bucket
     from tersets_spark.rollup import stitched_rows
 
-    start, end = _STITCH_RANGES[0]
-    pts = _sketch_points(_sequences(spark, sf_dir))
+    start, end = _STITCH_RANGES_SEC[0]  # ragged seconds: raw edges feed registers
+    seq = _sequences(spark, sf_dir)
+    pts = _sketch_points(seq)
     t1m = hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True)
     t1h = merge_to_bucket(t1m, 3600, merge_registers)
     t1d = merge_to_bucket(t1h, 86400, merge_registers)
-    rows = stitched_rows({"1m": t1m, "1h": t1h, "1d": t1d}, start, end)
+    raw = seq.select(
+        "doc_id", "source", "ts0", "n_tok",
+        compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens")).alias("blob"),
+    )
+    rows = stitched_rows(
+        {"1m": t1m, "1h": t1h, "1d": t1d}, start, end, raw_df=raw,
+        edge_rows=lambda p: hll_registers(
+            p, ["source", "bucket_ts"], "v", dict_hash=True
+        ),
+    )
     summary = hll_summary(merge_registers(rows, ["source"]), ["source"])
     exact = (
-        pts.where((F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end))
+        seq.select("source", F.posexplode("tokens").alias("pos", "v"), "ts0")
+        .select("source", (F.col("ts0") + F.col("pos")).alias("ts"), "v")
+        .where((F.col("ts") >= start) & (F.col("ts") < end))
         .groupBy("source")
         .agg(F.countDistinct("v").alias("exact_distinct"))
     )
@@ -2673,7 +2693,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{seq}')
             ),
             pts AS (SELECT source, v FROM pts0
-                    WHERE ts >= 1700000100 AND ts < 1700095260),
+                    WHERE ts >= 1700000123 AND ts < 1700095297),
             sk AS (
                 SELECT source,
                        CAST(length(bin(v)) * 32
@@ -2708,7 +2728,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{seq}')
             ),
             pts AS (SELECT source, v FROM pts0
-                    WHERE ts >= 1700000100 AND ts < 1700095260),
+                    WHERE ts >= 1700000123 AND ts < 1700095297),
             hx AS (
                 SELECT DISTINCT source, md5(CAST(v AS VARCHAR)) AS h FROM pts
             ),

@@ -1056,7 +1056,7 @@ def percentiles_in_range(
     because the segments partition the range and the sketch combine is
     exact integer addition. No token rescan, minute-aligned endpoints."""
     from .rollup import stitched_rows
-    from .sketch import merge_sketch, percentiles
+    from .sketch import merge_sketch, percentiles, sketch
 
     catalog = TierCatalog(out_dir)
     snap = catalog.snapshot() if as_of is None else as_of
@@ -1064,7 +1064,13 @@ def percentiles_in_range(
         name: catalog.read_tier(spark, f"psk_{name}", as_of=snap)
         for name in ("1m", "1h", "1d")
     }
-    rows = stitched_rows(tier_dfs, start, end)
+    raw_df = None
+    if start % 60 or end % 60:
+        raw_df = catalog.read_tier(spark, "raw", as_of=snap)
+    rows = stitched_rows(
+        tier_dfs, start, end, raw_df=raw_df,
+        edge_rows=lambda pts: sketch(pts, ["source", "bucket_ts"], "v"),
+    )
     return percentiles(merge_sketch(rows, list(keys)), list(keys), list(pcts))
 
 
@@ -1080,8 +1086,10 @@ def distinct_in_range(
     register tiers: stitched segment rows max-merge into the range's
     registers (idempotent, so the estimate equals registers built over
     the range's raw points exactly — bit-stable estimate, see
-    hll.hll_summary). No token rescan, minute-aligned endpoints."""
-    from .hll import hll_summary, merge_registers
+    hll.hll_summary). No token rescan for aligned endpoints; second-
+    resolution endpoints decode only the raw-tier edge documents and fold
+    their values into the registers."""
+    from .hll import hll_registers, hll_summary, merge_registers
     from .rollup import stitched_rows
 
     catalog = TierCatalog(out_dir)
@@ -1090,5 +1098,13 @@ def distinct_in_range(
         name: catalog.read_tier(spark, f"hll_{name}", as_of=snap)
         for name in ("1m", "1h", "1d")
     }
-    rows = stitched_rows(tier_dfs, start, end)
+    raw_df = None
+    if start % 60 or end % 60:
+        raw_df = catalog.read_tier(spark, "raw", as_of=snap)
+    rows = stitched_rows(
+        tier_dfs, start, end, raw_df=raw_df,
+        edge_rows=lambda pts: hll_registers(
+            pts, ["source", "bucket_ts"], "v", dict_hash=True
+        ),
+    )
     return hll_summary(merge_registers(rows, list(keys)), list(keys))

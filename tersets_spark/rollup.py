@@ -266,18 +266,42 @@ def stitched_rows(
     start: int,
     end: int,
     tiers: list[tuple[str, int]] | None = None,
+    raw_df: DataFrame | None = None,
+    edge_rows=None,
+    max_doc_seconds: int | None = None,
 ) -> DataFrame:
     """Union of each tier's rows inside its stitched segments — the
     generic serving primitive under :func:`range_aggregate` and the
     range-scoped sketch reads: ONE scan per tier, that tier's segment
     predicates OR-combined on ``bucket_ts`` and pushed to the scan. Rows
     must carry ``bucket_ts``; column sets must match across tiers (they
-    do for the core and sketch tier families)."""
+    do for the core and sketch tier families).
+
+    ``raw_df`` + ``edge_rows`` extend to SECOND-resolution endpoints:
+    each sub-minute remainder decodes only the overlapping raw documents
+    (:func:`_raw_edge_points`) and ``edge_rows(points_df)`` turns those
+    ``(source, bucket_ts, v)`` points (``bucket_ts`` = the segment
+    start) into rows matching the tier columns — a bucket aggregate for
+    the core family, a sketch/register build for the sketch families."""
+    stitch = tiers
+    if raw_df is not None:
+        if edge_rows is None:
+            raise ValueError("stitched_rows: raw_df requires edge_rows")
+        stitch = (STITCH_TIERS if tiers is None else tiers) + [("raw", 1)]
     by_tier: dict[str, list[tuple[int, int]]] = {}
-    for name, s, e in stitch_segments(start, end, tiers):
+    for name, s, e in stitch_segments(start, end, stitch):
         by_tier.setdefault(name, []).append((s, e))
+    if "raw" in by_tier and max_doc_seconds is None:
+        max_doc_seconds = int(raw_df.agg(F.max("n_tok")).head()[0] or 0)
     parts: list[DataFrame] = []
     for name, ranges in by_tier.items():
+        if name == "raw":
+            for s, e in ranges:
+                pts = _raw_edge_points(raw_df, s, e, max_doc_seconds).withColumn(
+                    "bucket_ts", F.lit(s).cast("long")
+                )
+                parts.append(edge_rows(pts))
+            continue
         if name not in tier_dfs:
             raise KeyError(f"stitched_rows: tier {name!r} not provided")
         pred = None
@@ -287,7 +311,7 @@ def stitched_rows(
         parts.append(tier_dfs[name].where(pred))
     u = parts[0]
     for p in parts[1:]:
-        u = u.unionByName(p)
+        u = u.unionByName(p, allowMissingColumns=False)
     return u
 
 

@@ -512,6 +512,32 @@ def test_sketch_serving_in_range_from_catalog(seq, spark, tmp_path):
     ).collect()))
     assert got_d == want_d and got_d
 
+    # ragged-second endpoints: raw-tier edge decode feeds the sketches
+    rs, re_ = SEC_RANGES[0]
+    pts_sec = _sketch_points(seq)  # minute buckets; rebuild at point ts
+    pts_pt = (
+        seq.select("source", F.posexplode("tokens").alias("pos", "v"), "ts0")
+        .select("source", (F.col("ts0") + F.col("pos")).alias("ts"), "v")
+        .where((F.col("ts") >= rs) & (F.col("ts") < re_))
+        .withColumn("bucket_ts", (F.floor(F.col("ts") / 60) * 60).cast("long"))
+    )
+    got_ps = sorted(map(tuple, percentiles_in_range(spark, out, rs, re_).collect()))
+    want_ps = sorted(map(tuple, percentiles(
+        merge_sketch(sketch(pts_pt, ["source", "bucket_ts"], "v"), ["source"]),
+        ["source"], [50, 90, 99],
+    ).collect()))
+    assert got_ps == want_ps and got_ps
+
+    got_ds = sorted(map(tuple, distinct_in_range(spark, out, rs, re_).collect()))
+    want_ds = sorted(map(tuple, hll_summary(
+        merge_registers(
+            hll_registers(pts_pt, ["source", "bucket_ts"], "v", dict_hash=True),
+            ["source"],
+        ),
+        ["source"],
+    ).collect()))
+    assert got_ds == want_ds and got_ds
+
 
 def test_realtime_hwm_mode_prefix_commit(seq, spark, tmp_path):
     """The scale path: committed set = ingest-order prefix per source;
