@@ -376,44 +376,24 @@ def range_aggregate(
     edge answer is bitwise the raw-token answer because the raw codecs
     are lossless.
     """
-    stitch = tiers
-    if raw_df is not None:
-        stitch = (STITCH_TIERS if tiers is None else tiers) + [("raw", 1)]
-    by_tier: dict[str, list[tuple[int, int]]] = {}
-    for name, s, e in stitch_segments(start, end, stitch):
-        by_tier.setdefault(name, []).append((s, e))
-    parts: list[DataFrame] = []
-    if "raw" in by_tier and max_doc_seconds is None:
-        # one narrow-column aggregate shared by both edges (see
-        # _raw_edge_points' pushdown note); callers at scale pass the
-        # ingest contract's max document length instead
-        max_doc_seconds = int(raw_df.agg(F.max("n_tok")).head()[0] or 0)
-    for name, ranges in by_tier.items():
-        if name == "raw":
-            for s, e in ranges:
-                parts.append(
-                    _raw_edge_points(raw_df, s, e, max_doc_seconds)
-                    .groupBy("source")
-                    .agg(
-                        F.count(F.lit(1)).cast("long").alias("cnt"),
-                        F.sum("v").cast("long").alias("sum"),
-                        F.min("v").cast("long").alias("vmin"),
-                        F.max("v").cast("long").alias("vmax"),
-                    )
-                )
-            continue
-        if name not in tier_dfs:
-            raise KeyError(f"range_aggregate: tier {name!r} not provided")
-        pred = None
-        for s, e in ranges:
-            p = (F.col("bucket_ts") >= s) & (F.col("bucket_ts") < e)
-            pred = p if pred is None else (pred | p)
-        parts.append(
-            tier_dfs[name].where(pred).select("source", "cnt", "sum", "vmin", "vmax")
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    cols = ["source", "bucket_ts", "cnt", "sum", "vmin", "vmax"]
+    narrow = {}
+    for name, _secs in tiers if tiers is not None else STITCH_TIERS:
+        if name in tier_dfs:
+            narrow[name] = tier_dfs[name].select(*cols)
+        # absent tiers still fail fast inside stitched_rows when a segment
+        # actually needs them
+    edge = lambda pts: pts.groupBy("source", "bucket_ts").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("v").cast("long").alias("sum"),
+        F.min("v").cast("long").alias("vmin"),
+        F.max("v").cast("long").alias("vmax"),
+    )
+    u = stitched_rows(
+        narrow, start, end, tiers=tiers, raw_df=raw_df,
+        edge_rows=edge if raw_df is not None else None,
+        max_doc_seconds=max_doc_seconds,
+    )
     return u.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("sum").cast("long").alias("sum"),
