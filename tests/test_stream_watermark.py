@@ -226,3 +226,32 @@ def test_catalog_append_compact_race_rejected(spark, tmp_path):
     assert sorted(
         r["bucket_ts"] for r in cat.read_tier(spark, "t").collect()
     ) == [1, 2, 3]
+
+
+def test_retention_over_appended_partitions(spark, streamed, tmp_path):
+    """apply_retention on a catalog populated by watermark APPENDS: the
+    row-level expiry reads the union of appended runs and its rewrite
+    (a replace commit) supersedes all of them — reads afterwards equal
+    the batch tier filtered at the horizon."""
+    from tersets_spark.jobs import apply_retention
+
+    cat_dir = str(tmp_path / "cat")
+    os.makedirs(cat_dir)
+    catalog = TierCatalog(cat_dir)
+    finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM1)
+    finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM2)
+
+    now_ts = 1_700_090_000
+    keep = 12 * 3600
+    dropped = apply_retention(spark, cat_dir, now_ts, policy={"1h": keep})
+    assert dropped["1h"] > 0
+    horizon = now_ts - keep
+
+    got = sorted(map(tuple, catalog.read_tier(spark, "1h").select(*COLS).collect()))
+    want = sorted(map(tuple, _batch_1h(spark)
+                      .where(F.col("bucket_ts") >= horizon)
+                      .select(*COLS).collect()))
+    assert got == want and got
+    # the rewrite collapsed each source's appended runs into one
+    for src, runs in catalog.current_run_lists("1h").items():
+        assert len(runs) == 1, (src, runs)
