@@ -581,6 +581,51 @@ def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_watermark_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARKED incremental finalize under the hash gate: the streamed
+    cascade's 1h partials are committed into a TierCatalog in TWO
+    watermark windows (append commits; partials tombstone-compacted after
+    each), and the catalog read must hash-match the SAME batch SQL oracle
+    as rollup_1h — bounded streamed state with zero drift from the batch
+    answer."""
+    import pyarrow.parquet as _pq
+
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.streaming import (
+        finalize_streamed_tier_incremental,
+        stream_cascade_to_tiers,
+    )
+
+    seq_path = ensure_sequences(sf_name_from_dir(sf_dir))
+    ensure_shipped(spark)
+    work = _gate_workdir("tersets_wm_q_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    table = _pq.read_table(seq_path)
+    n = table.num_rows
+    bounds = [i * n // 4 for i in range(5)]
+    for i in range(4):
+        _pq.write_table(
+            table.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(in_dir, f"part-{i}.parquet"),
+        )
+    tiers_dir = os.path.join(work, "tiers")
+    q = stream_cascade_to_tiers(
+        spark, in_dir, tiers_dir, os.path.join(work, "ckpt"),
+        with_blocks=False, max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    cat_dir = os.path.join(work, "cat")
+    os.makedirs(cat_dir)
+    catalog = TierCatalog(cat_dir)
+    # mid-span hour boundary, then beyond-all-data: two append windows
+    finalize_streamed_tier_incremental(spark, tiers_dir, catalog, "1h", 1_700_046_000)
+    finalize_streamed_tier_incremental(spark, tiers_dir, catalog, "1h", 1_700_200_000)
+    return with_mean(catalog.read_tier(spark, "1h")).select(
+        "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last", "mean"
+    )
+
+
 def _q_rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _sequences(spark, sf_dir)
     m1 = rollup_raw(seq, TIERS["1m"])
@@ -1681,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup_1m,
         "rollup_1h": _q_rollup_1h,
         "stream_cascade_1h": _q_stream_cascade_1h,
+        "stream_watermark_1h": _q_stream_watermark_1h,
         "rollup_from_blobs": _q_rollup_from_blobs,
         "rollup_1d": _q_rollup_1d,
         "source_stats_salted": _q_source_stats_salted,
@@ -1782,6 +1828,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
         # streamed cascade must equal the batch tier exactly -> same oracle
         "stream_cascade_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
+        # ...and so must the watermarked incremental finalize of its partials
+        "stream_watermark_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
         # decompress-then-aggregate == aggregate(original): FULL table 1m
         "rollup_from_blobs": f"WITH pts AS ({pts}) " + rollup.format(d=60, where=""),
         # per-source stats over the 1m tier (engine side: two-phase salted agg)

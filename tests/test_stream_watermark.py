@@ -255,3 +255,34 @@ def test_retention_over_appended_partitions(spark, streamed, tmp_path):
     # the rewrite collapsed each source's appended runs into one
     for src, runs in catalog.current_run_lists("1h").items():
         assert len(runs) == 1, (src, runs)
+
+
+def test_compaction_crash_before_tombstone_is_invisible(spark, streamed):
+    """A compact dir written WITHOUT its tombstone commit (crash mid-
+    compaction) must be invisible: reads see the old state unchanged, and
+    the next successful compaction sweeps the orphan."""
+    import shutil
+
+    base = os.path.join(streamed, "1h")
+    before = sorted(
+        map(tuple, read_streamed_tier(spark, streamed, "1h", finalize=True)
+            .select(*COLS).collect())
+    )
+    # simulate the crash: a half-written compact dir, no tombstone update
+    orphan = os.path.join(base, "_compact_deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    again = sorted(
+        map(tuple, read_streamed_tier(spark, streamed, "1h", finalize=True)
+            .select(*COLS).collect())
+    )
+    assert again == before
+
+    stats = compact_streamed_partials(spark, streamed, "1h")
+    assert not os.path.isdir(orphan)  # orphan swept after the real commit
+    final = sorted(
+        map(tuple, read_streamed_tier(spark, streamed, "1h", finalize=True)
+            .select(*COLS).collect())
+    )
+    assert final == before
