@@ -834,9 +834,18 @@ def finalize_streamed_tier_incremental(
     catalog commit and the compaction leaves already-committed rows in
     the partials as harmless leftovers that are never re-committed (the
     next window starts above them) and vanish at the next compaction.
-    ``late_rows`` counts partial rows below the previous watermark
-    (genuine late arrivals if the last compaction succeeded); they are
-    reported, never silently committed.
+    A bucket is CLOSED when its END is at or below the watermark
+    (``bucket_ts + span <= watermark_ts`` with ``span`` = the tier's
+    bucket width): committing on ``bucket_ts < watermark`` alone would
+    commit a still-open day bucket whose later-arriving documents (ts0
+    above the watermark, points inside the day) would then be dropped by
+    the compaction — the classic coarse-tier watermark trap. Every
+    contribution to a closed bucket comes from a document with
+    ``ts0 < bucket_end <= watermark``, which the watermark contract says
+    has already arrived. ``late_rows`` counts partial rows in buckets
+    closed before the PREVIOUS watermark (genuine late arrivals if the
+    last compaction succeeded); they are reported, never silently
+    committed.
 
     Consumers see one continuously-growing catalog tier:
     ``catalog.read_tier(spark, tier)`` unions the appended windows;
@@ -852,13 +861,19 @@ def finalize_streamed_tier_incremental(
         raise ValueError(
             f"watermark must advance: got {watermark_ts}, last committed {prev}"
         )
+    suffix = tier.rsplit("_", 1)[-1]
+    if suffix not in TIERS:
+        raise ValueError(f"cannot derive bucket span from tier {tier!r}")
+    span = TIERS[suffix]
     df = read_streamed_tier(spark, stream_out_dir, tier, finalize=True)
+    # closed-bucket window: bucket END in (prev, watermark]
     # pin the combined window once: the per-source commit loop below would
     # otherwise re-run the full partial-combine |sources| times
     window = df.where(
-        (F.col("bucket_ts") >= prev) & (F.col("bucket_ts") < watermark_ts)
+        (F.col("bucket_ts") > prev - span)
+        & (F.col("bucket_ts") <= watermark_ts - span)
     ).localCheckpoint()
-    late = df.where(F.col("bucket_ts") < prev).count()
+    late = df.where(F.col("bucket_ts") <= prev - span).count()
     sources = sorted(r[0] for r in window.select("source").distinct().collect())
     for src in sources:
         part_df = window.filter(F.col("source") == src).coalesce(files_per_partition)
@@ -876,7 +891,9 @@ def finalize_streamed_tier_incremental(
         "late_rows": late,
     }
     if compact:
+        # drop exactly the closed range: open buckets (end > watermark)
+        # keep their partials for future contributions
         stats["compaction"] = compact_streamed_partials(
-            spark, stream_out_dir, tier, drop_below_ts=watermark_ts
+            spark, stream_out_dir, tier, drop_below_ts=watermark_ts - span + 1
         )
     return stats

@@ -67,9 +67,11 @@ def test_incremental_finalize_equals_batch(spark, streamed, tmp_path):
     s1 = finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM1)
     assert s1["window"] == (0, WM1) and s1["rows_committed"] > 0
     assert s1["late_rows"] == 0
-    # partials shrank: compact remainder holds only buckets >= WM1
+    # partials shrank: compact remainder holds only OPEN buckets (a bucket
+    # is closed when its END is at or below the watermark)
     rem = read_streamed_tier(spark, streamed, "1h", finalize=True)
-    assert rem.where(F.col("bucket_ts") < WM1).count() == 0
+    assert rem.where(F.col("bucket_ts") <= WM1 - 3600).count() == 0
+    assert rem.count() > 0
 
     s2 = finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM2)
     assert s2["window"] == (WM1, WM2) and s2["rows_committed"] > 0
@@ -90,9 +92,9 @@ def test_crash_window_between_commit_and_compact(spark, streamed, tmp_path):
 
     finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM1,
                                        compact=False)
-    # leftovers below WM1 are still in the partials...
+    # leftovers in buckets closed at WM1 are still in the partials...
     assert read_streamed_tier(spark, streamed, "1h", finalize=True).where(
-        F.col("bucket_ts") < WM1
+        F.col("bucket_ts") <= WM1 - 3600
     ).count() > 0
     # ...and are reported as 'late' (indistinguishable from true late data
     # after a failed compaction) but never re-committed
