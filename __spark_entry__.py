@@ -626,6 +626,32 @@ def _q_stream_watermark_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_delete_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DELETION under the hash gate (jobs.delete_documents —
+    the right-to-be-forgotten operation): a full cascade is committed,
+    ~1/16 of documents (md5-gated, deterministic) are deleted across all
+    core tiers via superseding per-source rewrites, and the post-delete
+    1h tier must hash-match the batch oracle over the corpus MINUS those
+    documents — deletion is exact, not best-effort."""
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import delete_documents, run_cascade
+
+    seq = _sequences(spark, sf_dir)
+    seq_path = ensure_sequences(sf_name_from_dir(sf_dir))
+    work = _gate_workdir("tersets_delete_q_")
+    out = os.path.join(work, "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, seq_path, out, with_blocks=False)
+    del_ids = seq.where(
+        F.substring(F.md5(F.concat(F.lit("del-v1:"), F.col("doc_id"))), 1, 1) == "0"
+    ).select("doc_id")
+    delete_documents(spark, out, del_ids)
+    served = TierCatalog(out).read_tier(spark, "1h")
+    return with_mean(served).select(
+        "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last", "mean"
+    )
+
+
 def _q_rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _sequences(spark, sf_dir)
     m1 = rollup_raw(seq, TIERS["1m"])
@@ -1727,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": _q_rollup_1h,
         "stream_cascade_1h": _q_stream_cascade_1h,
         "stream_watermark_1h": _q_stream_watermark_1h,
+        "rollup_delete_1h": _q_rollup_delete_1h,
         "rollup_from_blobs": _q_rollup_from_blobs,
         "rollup_1d": _q_rollup_1d,
         "source_stats_salted": _q_source_stats_salted,
@@ -1830,6 +1857,12 @@ def oracle_sql() -> dict[str, str]:
         "stream_cascade_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
         # ...and so must the watermarked incremental finalize of its partials
         "stream_watermark_1h": f"WITH pts AS ({pts}) " + rollup.format(d=3600, where=""),
+        # per-document deletion: the post-delete tier equals the rollup over
+        # the corpus minus the md5-gated doc set
+        "rollup_delete_1h": f"WITH pts AS ({pts}) " + rollup.format(
+            d=3600,
+            where="WHERE substr(md5('del-v1:' || doc_id), 1, 1) <> '0'",
+        ),
         # decompress-then-aggregate == aggregate(original): FULL table 1m
         "rollup_from_blobs": f"WITH pts AS ({pts}) " + rollup.format(d=60, where=""),
         # per-source stats over the 1m tier (engine side: two-phase salted agg)

@@ -1108,3 +1108,89 @@ def distinct_in_range(
         ),
     )
     return hll_summary(merge_registers(rows, list(keys)), list(keys))
+
+
+def delete_documents(
+    spark: SparkSession,
+    out_dir: str,
+    doc_ids: DataFrame | list,
+    superseded_grace_sec: float = 600.0,
+) -> dict[str, int]:
+    """Per-document deletion across the core tiers (raw/1m/1h/1d) — the
+    right-to-be-forgotten operation a training-data store needs: every
+    tier row of the given doc_ids is removed, by rewriting ONLY the
+    affected source partitions through the ordinary superseding commits
+    (``status="delete"`` records carry per-source deleted-row lineage;
+    readers stay consistent throughout, and the pre-delete manifest
+    prefix remains a readable snapshot until vacuum).
+
+    Exactness: every core tier is keyed per document, so deletion is a
+    row filter — the post-delete catalog is bitwise the cascade over the
+    input minus those documents. Sketch tiers (psk/hll/blm/cms) aggregate
+    ACROSS documents and cannot be point-deleted; if any are committed
+    they are left untouched and reported under ``"sketch_tiers_skipped"``
+    (rebuild them from the post-delete raw tier when the use case
+    requires deletion to reach the sketches).
+
+    Plan: ``doc_ids`` (a one-column DataFrame or a list) is broadcast
+    into an anti-join per affected partition — deletion requests are
+    small; the rewrite reads and writes only the affected sources.
+    Returns ``{tier: rows_deleted}``.
+    """
+    import shutil
+    import uuid as _uuid
+
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+    ids = F.broadcast(doc_ids.select("doc_id").distinct())
+    catalog = TierCatalog(out_dir, superseded_grace_sec=superseded_grace_sec)
+    deleted: dict[str, int] = {}
+    skipped = []
+    present = sorted(
+        {rec["tier"] for rec in catalog.metrics() if rec.get("path")}
+        - {"raw+1m"}
+    )
+    for tier in present:
+        if tier.split("_", 1)[0] in ("psk", "hll", "blm", "cms"):
+            skipped.append(tier)
+            continue
+        try:
+            tier_df = catalog.read_tier(spark, tier)
+        except FileNotFoundError:
+            continue
+        hits = {
+            r["source"]: r["n"]
+            for r in tier_df.join(ids, "doc_id", "left_semi")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not hits:
+            deleted[tier] = 0
+            continue
+        affected = sorted(hits)
+        tmp_dir = os.path.join(
+            out_dir, f"_delete_{tier}_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+        )
+        (
+            tier_df.filter(F.col("source").isin(affected))
+            .join(ids, "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(tmp_dir)
+        )
+        for src in affected:
+            tmp_part = os.path.join(tmp_dir, f"source={src}")
+            if os.path.exists(tmp_part):
+                catalog.commit_moved_partition(
+                    tier, src, tmp_part, status="delete", deleted_rows=hits[src]
+                )
+            else:  # every row of this source belonged to deleted docs
+                catalog.delete_partition(
+                    tier, src, status="delete", deleted_rows=hits[src]
+                )
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        deleted[tier] = sum(hits.values())
+    if skipped:
+        deleted["sketch_tiers_skipped"] = len(skipped)
+    return deleted
