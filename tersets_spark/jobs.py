@@ -573,6 +573,8 @@ def windows_maybe_containing(
     out_dir: str,
     values: list,
     tier: str = "blm_1m",
+    start: int | None = None,
+    end: int | None = None,
 ) -> DataFrame:
     """Decontamination/audit routing from a COMMITTED Bloom tier: for each
     probe value, the (source, bucket_ts) windows that MIGHT contain it
@@ -584,6 +586,12 @@ def windows_maybe_containing(
     from .bloom import probe_membership
 
     words = TierCatalog(out_dir).read_tier(spark, tier)
+    # optional time scoping: the bucket_ts bounds push into the tier scan,
+    # so an audit over last-week probes only last week's filters
+    if start is not None:
+        words = words.where(F.col("bucket_ts") >= start)
+    if end is not None:
+        words = words.where(F.col("bucket_ts") < end)
     # filters are value-generic (positions hash the string form): integer
     # token ids and string keys (e.g. concat_ws gram keys) both probe
     ptype = "string" if any(isinstance(v, str) for v in values) else "long"
@@ -598,6 +606,8 @@ def frequency_estimates_from_catalog(
     values: list,
     tier: str = "cms_1m",
     min_est: int = 1,
+    start: int | None = None,
+    end: int | None = None,
 ) -> DataFrame:
     """Frequency auditing from a COMMITTED Count-Min tier: for each probe
     value, the (source, bucket_ts) windows where it is estimated to occur
@@ -611,6 +621,10 @@ def frequency_estimates_from_catalog(
     from .cms import estimate_counts
 
     counters = TierCatalog(out_dir).read_tier(spark, tier)
+    if start is not None:
+        counters = counters.where(F.col("bucket_ts") >= start)
+    if end is not None:
+        counters = counters.where(F.col("bucket_ts") < end)
     ptype = "string" if any(isinstance(v, str) for v in values) else "long"
     probes = spark.createDataFrame([(v,) for v in values], f"probe {ptype}")
     res = estimate_counts(counters, ["source", "bucket_ts"], probes)

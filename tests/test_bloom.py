@@ -176,6 +176,16 @@ def test_cascade_bloom_tiers_commit_validate_and_serve(spark, seq_path, tmp_path
     }
     assert truth <= maybe, "bloom routing lost a true window (false negative)"
 
+    # time-scoped routing: [start, end) bounds the probed filters exactly
+    lo, hi = 1_700_030_000, 1_700_060_000
+    scoped = {
+        (r["source"], r["bucket_ts"])
+        for r in windows_maybe_containing(spark, out, [probe],
+                                          start=lo, end=hi).collect()
+    }
+    assert scoped == {k for k in maybe if lo <= k[1] < hi}
+    assert {k for k in truth if lo <= k[1] < hi} <= scoped
+
     # resume: nothing pending on a second run (no duplicate commits)
     before = len(cat.metrics())
     run_cascade(spark, seq_path, out, with_blooms=True)

@@ -223,6 +223,16 @@ def test_cascade_cms_tiers_commit_validate_and_serve(spark, seq_path, tmp_path):
     for k, n in truth.items():
         assert served[k] >= n
 
+    # time-scoped estimates: [start, end) bounds the probed counters exactly
+    lo, hi = 1_700_030_000, 1_700_060_000
+    scoped = {
+        (r["source"], r["bucket_ts"]): r["est"]
+        for r in frequency_estimates_from_catalog(
+            spark, out, [probe], start=lo, end=hi
+        ).collect()
+    }
+    assert set(scoped) == {k for k in served if lo <= k[1] < hi}
+
     # resume: nothing pending on a second run (no duplicate commits)
     before = len(cat.metrics())
     run_cascade(spark, seq_path, out, with_cms=True)
