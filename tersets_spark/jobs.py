@@ -1150,6 +1150,11 @@ def delete_documents(
     into an anti-join per affected partition — deletion requests are
     small; the rewrite reads and writes only the affected sources.
     Returns ``{tier: rows_deleted}``.
+
+    Note: :func:`validate_tiers` audits the catalog AGAINST an input
+    corpus — after a deletion, audit against the corpus minus the deleted
+    documents (anti-join the same id set), or the deleted docs will be
+    flagged as missing.
     """
     import shutil
     import uuid as _uuid
