@@ -328,8 +328,13 @@ def _raw_edge_points(
     pushable predicate), so a ``ts0 > s - max_doc_seconds`` lower bound
     is always added — from the caller's contract bound if given, else
     one narrow-column ``max(n_tok)`` aggregate over the raw tier. Both
-    bounds then prune row groups on the committed parquet."""
-    from .kernels import decompress_tokens_udf
+    bounds then prune row groups on the committed parquet.
+
+    Decode + slice happen INSIDE one mapInArrow kernel
+    (kernels.edge_points_map_in_arrow): only the in-edge values cross the
+    Arrow boundary — the previous decode-UDF + JVM-slice shape shipped
+    every overlapping document's full decoded array."""
+    from .kernels import edge_points_map_in_arrow
 
     if max_doc_seconds is None:
         max_doc_seconds = int(raw_df.agg(F.max("n_tok")).head()[0] or 0)
@@ -338,12 +343,9 @@ def _raw_edge_points(
         & (F.col("ts0") > s - max_doc_seconds)
         & (F.col("ts0") + F.col("n_tok") > s)
     )
-    lo = F.greatest(F.lit(0), F.lit(s) - F.col("ts0")).cast("int")
-    ln = (
-        F.least(F.col("n_tok").cast("long"), F.lit(e) - F.col("ts0")).cast("int") - lo
+    return cand.select("source", "ts0", "n_tok", "blob").mapInArrow(
+        edge_points_map_in_arrow(s, e), "source string, v long"
     )
-    sliced = F.slice(decompress_tokens_udf(F.col("blob")), lo + 1, ln)
-    return cand.select("source", F.explode(sliced).alias("v"))
 
 
 def range_aggregate(
