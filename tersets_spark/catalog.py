@@ -260,7 +260,7 @@ class TierCatalog:
         to their final location; visibility comes from the manifest."""
         rel, dest = self._new_run_dir(tier, partition)
         t0 = time.monotonic()
-        df.write.mode("overwrite").parquet(dest)
+        cluster_for_scan(df).write.mode("overwrite").parquet(dest)
         self.record(
             tier, partition, path=rel,
             wall_ms=round((time.monotonic() - t0) * 1000, 1),
@@ -278,7 +278,7 @@ class TierCatalog:
         is what retention rewrites and compaction want."""
         rel, dest = self._new_run_dir(tier, partition)
         t0 = time.monotonic()
-        df.write.mode("overwrite").parquet(dest)
+        cluster_for_scan(df).write.mode("overwrite").parquet(dest)
         self.record(
             tier, partition, status="append", path=rel,
             wall_ms=round((time.monotonic() - t0) * 1000, 1),
@@ -396,7 +396,10 @@ class TierCatalog:
             df = spark.read.parquet(*run_dirs).coalesce(max_files_per_partition)
             t0 = time.monotonic()
             rel_new, dest = self._new_run_dir(tier, part)
-            df.write.mode("overwrite").parquet(dest)
+            # compaction re-establishes the time clustering that interleaved
+            # APPEND runs (watermark finalize) destroy — Iceberg's sorted
+            # rewrite_data_files
+            cluster_for_scan(df).write.mode("overwrite").parquet(dest)
             # Conditional commit: if a concurrent writer superseded `rel`
             # while we rewrote it, our compaction of the OLD run must not
             # clobber the NEW data — abandon the rewrite instead.
@@ -451,6 +454,25 @@ class TierCatalog:
                     raise
                 last_err = e
         raise last_err
+
+
+def cluster_for_scan(df: DataFrame, *prefix: str) -> DataFrame:
+    """Sort a tier DataFrame within partitions by its time column (``ts0``
+    for the raw tier, ``bucket_ts`` for every rollup/sketch tier) so each
+    written parquet file holds non-overlapping time-ordered row groups.
+    Range serving pushes ``bucket_ts``/``ts0`` min/max predicates to the
+    scan; row-group statistics only prune when rows are clustered — this is
+    the Iceberg table sort-order applied at write. Local sort only (no
+    shuffle): ``prefix`` carries the writer's partitionBy columns so the
+    FileFormatWriter's required ordering is satisfied by the same sort
+    instead of adding its own. DataFrames with neither column pass through
+    unchanged."""
+    key = "ts0" if "ts0" in df.columns else (
+        "bucket_ts" if "bucket_ts" in df.columns else None
+    )
+    if key is None:
+        return df
+    return df.sortWithinPartitions(*prefix, key)
 
 
 def _dir_bytes(path: str) -> int:

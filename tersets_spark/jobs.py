@@ -26,7 +26,7 @@ import pyarrow.dataset as pa_ds
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import TierCatalog
+from .catalog import TierCatalog, cluster_for_scan
 from .methods import Method
 from .rollup import (
     TIERS,
@@ -87,7 +87,11 @@ def _write_tier(
     )
     t0 = time.monotonic()
     (
-        df.filter(F.col("source").isin(pending))
+        # cluster_for_scan: local sort (source, ts0|bucket_ts) — satisfies
+        # the partitionBy writer's required ordering AND leaves each file's
+        # row groups time-clustered so range serving's pushed min/max
+        # predicates actually prune (catalog.cluster_for_scan docstring)
+        cluster_for_scan(df.filter(F.col("source").isin(pending)), "source")
         .write.mode("overwrite")
         .partitionBy("source")
         .parquet(tmp_dir)
@@ -981,6 +985,66 @@ def range_aggregate_from_catalog(
     return range_aggregate(
         tiers, start, end, raw_df=raw_df, max_doc_seconds=max_doc_seconds
     )
+
+
+def range_gapfill_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    step: int,
+    strategy: str = "locf",
+    as_of: int | None = None,
+) -> DataFrame:
+    """Gap-filled ``step``-resolution serving grid over ``[start, end)``
+    from the COMMITTED tiers (rollup.range_gapfill over a catalog read).
+
+    Reads ONE tier — the coarsest whose bucket divides ``step`` — at one
+    manifest snapshot, with the ``bucket_ts`` range predicate pushed to
+    the committed parquet (row-group pruning on the time-clustered files).
+    Fails fast when the serving tier has been retention-expired past
+    ``start`` (the rows are gone, not zero — a silent all-gaps answer
+    would look like data)."""
+    from .rollup import range_gapfill, serving_tier_for_step
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    name, _secs = serving_tier_for_step(step)
+    for rec in catalog.metrics():
+        if (
+            rec.get("status") == "retention"
+            and rec.get("tier") == name
+            and rec.get("horizon_ts") is not None
+            and start < int(rec["horizon_ts"])
+        ):
+            raise ValueError(
+                f"range_gapfill_from_catalog: [{start}, ...) needs tier "
+                f"{name!r} below its retention horizon {rec['horizon_ts']}"
+            )
+    tier = catalog.read_tier(spark, name, as_of=snap)
+    return range_gapfill({name: tier}, start, end, step, strategy=strategy)
+
+
+def read_doc_range(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    doc_ids: list[str] | None = None,
+    as_of: int | None = None,
+    max_doc_seconds: int | None = None,
+) -> DataFrame:
+    """Point-read serving from the COMMITTED raw tier: (doc_id, source,
+    ts, v) for the requested documents (or the whole window when
+    ``doc_ids=None``) restricted to ``[start, end)`` — rollup.doc_points
+    over a snapshot-pinned catalog read. Lossless blobs make the answer
+    bitwise the original ingested tokens."""
+    from .rollup import doc_points
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    raw = catalog.read_tier(spark, "raw", as_of=snap)
+    return doc_points(raw, start, end, doc_ids, max_doc_seconds=max_doc_seconds)
 
 
 def read_tier_realtime(
