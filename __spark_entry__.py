@@ -1605,6 +1605,69 @@ def _q_range_stitch_agg_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("range_id", "source", "cnt", "sum", "vmin", "vmax", "mean")
 
 
+#: Gap-fill serving range: 6 h, minute grid, real gaps at sf0.01 (sparse
+#: sources leave empty minutes inside the range).
+_GAPFILL_RANGE = (1_700_010_000, 1_700_031_600)
+
+
+def _q_range_gapfill_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill-style SERVING read (rollup.range_gapfill): a
+    step-aligned [start,end) minute grid per source, answered from ONE
+    scan of the coarsest dividing rollup tier (bucket_ts range predicate
+    pushed to the committed scan), exact integer re-bucketing, then LOCF /
+    linear interpolation over the fixed requested grid. Gap rows carry
+    cnt=0 and a filled mean; the oracle replays the grid + both fills from
+    the raw points."""
+    from tersets_spark.rollup import cascade, range_gapfill
+
+    tiers = cascade(_sequences(spark, sf_dir))
+    s, e = _GAPFILL_RANGE
+    out = None
+    for strat in ("locf", "linear"):
+        part = range_gapfill(tiers, s, e, 60, strategy=strat).withColumn(
+            "strategy", F.lit(strat)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "strategy", "source", "bucket_ts",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("mean").cast("double").alias("mean"),
+        F.col("gap_filled").cast("int").alias("gap_filled"),
+    )
+
+
+#: Point-read gate: four specific documents over a wide window, plus a
+#: whole-window export of a narrow 2-minute slice.
+_POINT_READ_DOCS = [
+    "doc_000000000012", "doc_000000000033",
+    "doc_000000000123", "doc_000000000200",
+]
+_POINT_READ_RANGE = (1_700_020_000, 1_700_060_000)
+_POINT_READ_WINDOW = (1_700_040_000, 1_700_040_120)
+
+
+def _q_doc_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document POINT READ (rollup.doc_points / jobs.read_doc_range):
+    'show me series X over [t0,t1)' served from the committed raw tier —
+    doc_id IN + ts0 bounds pushed to the scan, then one mapInArrow pass
+    decodes AND slices each blob in-kernel (only in-window values cross
+    the Arrow boundary). Lossless blobs make the answer bitwise the
+    ingested tokens; 'window' mode exports every overlapping document's
+    points for a narrow slice."""
+    from tersets_spark.rollup import doc_points
+
+    seq = _sequences(spark, sf_dir)
+    raw = seq.select(
+        "doc_id", "source", "ts0", "n_tok",
+        compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens")).alias("blob"),
+    )
+    docs = doc_points(raw, *_POINT_READ_RANGE, doc_ids=_POINT_READ_DOCS)
+    window = doc_points(raw, *_POINT_READ_WINDOW)
+    return docs.withColumn("mode", F.lit("docs")).unionByName(
+        window.withColumn("mode", F.lit("window"))
+    ).select("mode", "doc_id", "source", "ts", "v")
+
+
 def _q_sketch_range_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-scoped percentile serving: the psk sketch tiers (1m/1h/1d)
     are stitched over an arbitrary minute-aligned [start,end) — coarsest
@@ -1803,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_span_dedup": _q_seq_span_dedup,
         "seq_source_divergence": _q_seq_source_divergence,
         "range_stitch_agg": _q_range_stitch_agg,
+        "range_gapfill_serve": _q_range_gapfill_serve,
+        "doc_point_read": _q_doc_point_read,
         "sketch_range_percentiles": _q_sketch_range_percentiles,
         "hll_range_distinct": _q_hll_range_distinct,
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
@@ -2763,6 +2828,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
             FROM pts JOIN r ON pts.ts >= r.lo AND pts.ts < r.hi
             GROUP BY 1, 2
+        """,
+        # gap-filled serving grid: fixed [start,end) minute spine per
+        # source, LOCF + linear fills replayed from the raw points
+        "range_gapfill_serve": f"""
+            WITH pts AS ({pts}),
+            per_min AS (
+                SELECT source, (ts // 60) * 60 AS bucket_ts,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+                FROM pts
+                WHERE ts >= {_GAPFILL_RANGE[0]} AND ts < {_GAPFILL_RANGE[1]}
+                GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT source,
+                       unnest(generate_series({_GAPFILL_RANGE[0]},
+                                              {_GAPFILL_RANGE[1]} - 60, 60)) AS bucket_ts
+                FROM (SELECT DISTINCT source FROM per_min)
+            ),
+            j AS (
+                SELECT g.source, g.bucket_ts, p.cnt, p.mean,
+                       CAST(p.mean IS NULL AS INT) AS gap_filled
+                FROM grid g LEFT JOIN per_min p
+                  ON g.source = p.source AND g.bucket_ts = p.bucket_ts
+            ),
+            w AS (
+                SELECT *,
+                       LAST_VALUE(mean IGNORE NULLS) OVER wb AS pv,
+                       LAST_VALUE(CASE WHEN gap_filled = 0 THEN bucket_ts END
+                                  IGNORE NULLS) OVER wb AS pt,
+                       FIRST_VALUE(mean IGNORE NULLS) OVER wf AS nv,
+                       FIRST_VALUE(CASE WHEN gap_filled = 0 THEN bucket_ts END
+                                   IGNORE NULLS) OVER wf AS nt
+                FROM j
+                WINDOW wb AS (PARTITION BY source ORDER BY bucket_ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (PARTITION BY source ORDER BY bucket_ts
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT 'locf' AS strategy, source, bucket_ts,
+                   CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+                   pv AS mean, gap_filled
+            FROM w
+            UNION ALL
+            SELECT 'linear', source, bucket_ts,
+                   CAST(COALESCE(cnt, 0) AS BIGINT),
+                   CAST(CASE WHEN gap_filled = 0 THEN mean
+                        WHEN nt IS NULL THEN pv
+                        WHEN pt IS NULL THEN nv
+                        ELSE pv + (nv - pv) * ((bucket_ts - pt) / CAST(nt - pt AS DOUBLE))
+                   END AS DOUBLE), gap_filled
+            FROM w
+        """,
+        # point reads must be bitwise the ingested tokens in-window
+        "doc_point_read": f"""
+            WITH pts AS ({pts})
+            SELECT 'docs' AS mode, doc_id, source, ts, CAST(v AS BIGINT) AS v
+            FROM pts
+            WHERE doc_id IN ({", ".join(f"'{d}'" for d in _POINT_READ_DOCS)})
+              AND ts >= {_POINT_READ_RANGE[0]} AND ts < {_POINT_READ_RANGE[1]}
+            UNION ALL
+            SELECT 'window', doc_id, source, ts, CAST(v AS BIGINT)
+            FROM pts
+            WHERE ts >= {_POINT_READ_WINDOW[0]} AND ts < {_POINT_READ_WINDOW[1]}
         """,
         # range-scoped sketch serving: one-shot sketches over the range's
         # raw points; equality with the stitched tier merge is the proof

@@ -805,14 +805,19 @@ def sketch_partials_map_in_arrow(
     return _gen
 
 
-def edge_points_map_in_arrow(start: int, end: int):
-    """mapInArrow RAW-TIER edge decode: (source, ts0, n_tok, blob) ->
-    (source, v) points with point-ts in ``[start, end)`` — decode AND
-    slice inside the batch, so only the in-edge values (< 60 per document
+def edge_points_map_in_arrow(start: int, end: int, keys: tuple[str, ...] = ("source",),
+                             with_ts: bool = False):
+    """mapInArrow RAW-TIER slice decode: (*keys, ts0, n_tok, blob) ->
+    (*keys[, ts], v) points with point-ts in ``[start, end)`` — decode AND
+    slice inside the batch, so only the in-range values (< 60 per document
     for a sub-minute edge) ever cross the Arrow boundary. The previous
     shape (pandas-UDF decode -> JVM slice/explode) shipped every decoded
     document whole: ~100M values for a 2-edge sf1.6 range whose answer
     needs a few thousand.
+
+    Serves both the range-stitch edges (``keys=("source",)``) and the
+    per-document point-read path (``keys=("doc_id", "source"),
+    with_ts=True``).
 
     Bit-identical to ``slice(decompress(blob), lo+1, hi-lo)``: same
     decode, same [max(0, start-ts0), min(n_tok, end-ts0)) positions.
@@ -825,9 +830,10 @@ def edge_points_map_in_arrow(start: int, end: int):
                 continue
             ts0 = batch.column(batch.schema.get_field_index("ts0")).to_numpy()
             ntk = batch.column(batch.schema.get_field_index("n_tok")).to_numpy()
-            src_col = batch.column(batch.schema.get_field_index("source"))
+            key_cols = [batch.column(batch.schema.get_field_index(k)) for k in keys]
             blob_col = batch.column(batch.schema.get_field_index("blob"))
             vals: list[np.ndarray] = []
+            tss: list[np.ndarray] = []
             idxs: list[np.ndarray] = []
             for i, b in enumerate(blob_col):
                 lo = max(0, int(start - ts0[i]))
@@ -836,14 +842,20 @@ def edge_points_map_in_arrow(start: int, end: int):
                     continue
                 t = np.round(codecs.decompress(b.as_py())).astype(np.int64)[lo:hi]
                 vals.append(t)
+                if with_ts:
+                    tss.append(np.arange(ts0[i] + lo, ts0[i] + hi, dtype=np.int64))
                 idxs.append(np.full(len(t), i, dtype=np.int64))
             if not vals:
                 continue
             flat = np.concatenate(vals)
             take = pa.array(np.concatenate(idxs))
-            yield pa.RecordBatch.from_arrays(
-                [src_col.take(take), pa.array(flat, type=pa.int64())],
-                ["source", "v"],
-            )
+            arrays = [c.take(take) for c in key_cols]
+            names = list(keys)
+            if with_ts:
+                arrays.append(pa.array(np.concatenate(tss), type=pa.int64()))
+                names.append("ts")
+            arrays.append(pa.array(flat, type=pa.int64()))
+            names.append("v")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     return _gen

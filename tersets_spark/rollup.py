@@ -100,10 +100,14 @@ def gap_fill(
     step: int,
     value_cols: list[str],
     strategy: str = "locf",
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Densify a per-series time grid and fill missing values.
 
-    Emits one row per ``step`` between each series' min and max ``ts_col``.
+    Emits one row per ``step`` between each series' min and max ``ts_col``
+    — or, with ``bounds=(t0, t1)``, over the FIXED inclusive grid
+    ``t0..t1`` for every series present (the serving shape: the caller
+    asked for a range, not for each series' own extent).
     ``strategy``: 'null' (grid only), 'locf' (last observation carried
     forward), or 'linear' (interpolate between surrounding anchors; falls
     back to LOCF after the last anchor). Adds boolean ``gap_filled``.
@@ -114,8 +118,15 @@ def gap_fill(
     """
     if strategy not in ("null", "locf", "linear"):
         raise ValueError(f"unknown gap-fill strategy {strategy!r}")
-    bounds = df.groupBy(*keys).agg(F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1"))
-    grid = bounds.select(
+    if bounds is None:
+        bdf = df.groupBy(*keys).agg(F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1"))
+    else:
+        bdf = df.select(*keys).distinct().select(
+            *keys,
+            F.lit(int(bounds[0])).cast("long").alias("_t0"),
+            F.lit(int(bounds[1])).cast("long").alias("_t1"),
+        )
+    grid = bdf.select(
         *keys, F.explode(F.sequence("_t0", "_t1", F.lit(step))).alias(ts_col)
     )
     joined = grid.join(df, on=[*keys, ts_col], how="left")
@@ -402,4 +413,108 @@ def range_aggregate(
         F.min("vmin").cast("long").alias("vmin"),
         F.max("vmax").cast("long").alias("vmax"),
         (F.sum("sum").cast("double") / F.sum("cnt")).alias("mean"),
+    )
+
+
+def doc_points(
+    raw_df: DataFrame,
+    start: int,
+    end: int,
+    doc_ids: list[str] | None = None,
+    max_doc_seconds: int | None = None,
+) -> DataFrame:
+    """Per-document POINT READ from the raw tier: (doc_id, source, ts, v)
+    for the requested documents restricted to ``[start, end)`` — the
+    "show me series X over this window" query every time-series store
+    serves. ``doc_ids=None`` exports the whole window (every overlapping
+    document's in-range points).
+
+    Plan: the ``doc_id IN (...)`` filter and the ``ts0`` bounds push to
+    the committed raw scan (time-clustered files prune on ts0 row-group
+    stats; the unpushable ``ts0 + n_tok > start`` overlap test needs a
+    lower bound, supplied like :func:`_raw_edge_points`), then ONE
+    mapInArrow pass decodes and slices each blob in-kernel — only the
+    in-window values cross the Arrow boundary, never the whole document.
+    """
+    if end <= start:
+        raise ValueError("empty range")
+    from .kernels import edge_points_map_in_arrow
+
+    cand = raw_df
+    if doc_ids is not None:
+        if not doc_ids:
+            raise ValueError("doc_ids must be None (whole window) or non-empty")
+        cand = cand.where(F.col("doc_id").isin(list(doc_ids)))
+    if max_doc_seconds is None:
+        max_doc_seconds = int(cand.agg(F.max("n_tok")).head()[0] or 0)
+    cand = cand.where(
+        (F.col("ts0") < end)
+        & (F.col("ts0") > start - max_doc_seconds)
+        & (F.col("ts0") + F.col("n_tok") > start)
+    ).select("doc_id", "source", "ts0", "n_tok", "blob")
+    return cand.mapInArrow(
+        edge_points_map_in_arrow(
+            start, end, keys=("doc_id", "source"), with_ts=True
+        ),
+        "doc_id string, source string, ts long, v long",
+    )
+
+
+def serving_tier_for_step(
+    step: int, tiers: list[tuple[str, int]] | None = None
+) -> tuple[str, int]:
+    """Coarsest tier whose bucket length divides ``step`` — the tier a
+    ``step``-resolution serving read should scan (a 1d grid reads the 1d
+    tier: 1440x fewer rows than answering it from 1m)."""
+    for name, secs in tiers if tiers is not None else STITCH_TIERS:
+        if secs <= step and step % secs == 0:
+            return name, secs
+    raise ValueError(f"no tier divides step={step}s")
+
+
+def range_gapfill(
+    tier_dfs: dict[str, DataFrame],
+    start: int,
+    end: int,
+    step: int,
+    strategy: str = "locf",
+    tiers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Gap-filled per-source series at ``step``-second resolution over
+    ``[start, end)``, served from the committed rollup tiers — the
+    TimescaleDB ``time_bucket_gapfill`` serving shape on top of the
+    cascade. ``start``/``end`` must be step-aligned (the caller asked for
+    a grid; a ragged range is a :func:`range_aggregate` question).
+
+    Plan: ONE scan of the coarsest dividing tier
+    (:func:`serving_tier_for_step`) with the ``bucket_ts`` range predicate
+    pushed down (row-group pruning on the time-clustered committed
+    parquet), exact integer re-bucketing to ``step``, then :func:`gap_fill`
+    over the fixed requested grid. Output: (source, bucket_ts, cnt, mean,
+    gap_filled) with cnt = 0 on gap rows and mean filled per ``strategy``.
+    """
+    if start % step or end % step:
+        raise ValueError(f"range [{start},{end}) is not {step}s-aligned")
+    if end <= start:
+        raise ValueError("empty range")
+    name, _secs = serving_tier_for_step(step, tiers)
+    if name not in tier_dfs:
+        raise KeyError(f"range_gapfill: tier {name!r} not provided")
+    tier = tier_dfs[name].where(
+        (F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end)
+    )
+    agg = tier.groupBy(
+        "source", (F.floor(F.col("bucket_ts") / step) * step).cast("long").alias("bucket_ts")
+    ).agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        (F.sum("sum").cast("double") / F.sum("cnt")).alias("mean"),
+    )
+    filled = gap_fill(
+        agg, ["source"], "bucket_ts", step, ["mean"],
+        strategy=strategy, bounds=(start, end - step),
+    )
+    return filled.select(
+        "source", "bucket_ts",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        "mean", "gap_filled",
     )

@@ -568,3 +568,158 @@ def test_realtime_hwm_mode_prefix_commit(seq, spark, tmp_path):
 
     with pytest.raises(ValueError, match="mode"):
         read_tier_realtime(spark, out, "1h", seq, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# range_gapfill serving
+# ---------------------------------------------------------------------------
+
+
+def test_serving_tier_for_step_picks_coarsest_divisor():
+    from tersets_spark.rollup import serving_tier_for_step
+
+    assert serving_tier_for_step(60) == ("1m", 60)
+    assert serving_tier_for_step(120) == ("1m", 60)  # 1h does not divide
+    assert serving_tier_for_step(3600) == ("1h", 3600)
+    assert serving_tier_for_step(7200) == ("1h", 3600)
+    assert serving_tier_for_step(86400) == ("1d", 86400)
+    with pytest.raises(ValueError, match="no tier divides"):
+        serving_tier_for_step(90)
+
+
+def test_range_gapfill_grid_fill_and_validation(spark, seq):
+    """Fixed requested grid, cnt=0 + LOCF/linear fills on gap rows, exact
+    non-gap values vs a raw-token pandas replica."""
+    from tersets_spark.rollup import cascade, range_gapfill
+
+    tiers = cascade(seq)
+    start, end, step = 1_700_000_400, 1_700_003_400, 60
+    out = range_gapfill(tiers, start, end, step, strategy="locf").toPandas()
+    grid = list(range(start, end, step))
+    # every present source carries the FULL requested grid
+    for _src, g in out.groupby("source"):
+        assert sorted(g["bucket_ts"]) == grid
+
+    # independent replica from the raw tokens
+    import pandas as pd
+
+    pts = seq.select(
+        "source",
+        F.explode(F.expr("transform(tokens, (v, i) -> struct(ts0 + i AS ts, v))")).alias("p"),
+    ).select("source", "p.ts", "p.v").where(
+        (F.col("ts") >= start) & (F.col("ts") < end)
+    ).toPandas()
+    pts["bucket_ts"] = (pts["ts"] // step) * step
+    ref = pts.groupby(["source", "bucket_ts"]).agg(
+        cnt=("v", "size"), s=("v", "sum")
+    ).reset_index()
+    ref["mean"] = ref["s"].astype(float) / ref["cnt"]
+    merged = out.merge(ref, on=["source", "bucket_ts"], how="left", suffixes=("", "_ref"))
+    nongap = merged[~merged["gap_filled"]]
+    assert (nongap["cnt"] == nongap["cnt_ref"]).all()
+    assert (nongap["mean"] == nongap["mean_ref"]).all()
+    gaps = merged[merged["gap_filled"]]
+    assert (gaps["cnt"] == 0).all() and gaps["cnt_ref"].isna().all()
+    # LOCF: each gap mean equals the last non-gap mean before it
+    for _src, g in merged.sort_values("bucket_ts").groupby("source"):
+        last = None
+        for _, row in g.iterrows():
+            if not row["gap_filled"]:
+                last = row["mean"]
+            elif last is not None:
+                assert row["mean"] == last
+
+    with pytest.raises(ValueError, match="aligned"):
+        range_gapfill(tiers, start + 1, end, step)
+    with pytest.raises(ValueError, match="empty"):
+        range_gapfill(tiers, start, start, step)
+
+
+def test_range_gapfill_from_catalog_pushdown_and_retention_guard(spark, full_cat):
+    from tersets_spark.jobs import range_gapfill_from_catalog
+
+    start, end = 1_700_002_800, 1_700_053_200  # hour-aligned 14 h window
+    df = range_gapfill_from_catalog(spark, full_cat, start, end, 3600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    # only the 1h tier is read (the 3600s grid's coarsest divisor) and the
+    # bucket_ts range predicate is pushed into EVERY scan of it
+    assert scans and all("/1h/" in ln for ln in scans), plan
+    assert all(
+        "PushedFilters" in ln and "GreaterThanOrEqual(bucket_ts" in ln
+        for ln in scans
+    ), plan
+    assert df.count() > 0
+
+    # retention-expired serving tier must fail fast, not serve all-gaps
+    # (scratch catalog: the guard fires before any tier read)
+    import tempfile
+
+    from tersets_spark.catalog import TierCatalog
+
+    with tempfile.TemporaryDirectory() as scratch:
+        TierCatalog(scratch).record(
+            "1h", "_retention", status="retention", horizon_ts=end + 3600
+        )
+        with pytest.raises(ValueError, match="retention horizon"):
+            range_gapfill_from_catalog(spark, scratch, start, end, 3600)
+
+
+# ---------------------------------------------------------------------------
+# doc_points / read_doc_range (per-document point reads)
+# ---------------------------------------------------------------------------
+
+
+def _inline_raw(seq):
+    from tersets_spark.kernels import compress_udf
+    from tersets_spark.methods import Method
+
+    return seq.select(
+        "doc_id", "source", "ts0", "n_tok",
+        compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens")).alias("blob"),
+    )
+
+
+def test_doc_points_bitwise_equals_ingested_tokens(spark, seq):
+    from tersets_spark.rollup import doc_points
+
+    ids = [r[0] for r in seq.select("doc_id").limit(5).collect()]
+    start, end = 1_700_010_000, 1_700_050_000
+    got = sorted(map(tuple, doc_points(_inline_raw(seq), start, end, ids).collect()))
+    ref = sorted(map(tuple, seq.where(F.col("doc_id").isin(ids)).select(
+        "doc_id", "source",
+        F.explode(F.expr("transform(tokens, (v, i) -> struct(ts0 + i AS ts, CAST(v AS LONG) AS v))")).alias("p"),
+    ).select("doc_id", "source", "p.ts", "p.v")
+        .where((F.col("ts") >= start) & (F.col("ts") < end)).collect()))
+    assert got == ref and got  # non-empty, bitwise equal
+
+    # whole-window export: every overlapping document's in-window points
+    w0, w1 = 1_700_040_000, 1_700_040_090
+    got_w = sorted(map(tuple, doc_points(_inline_raw(seq), w0, w1).collect()))
+    ref_w = sorted(map(tuple, seq.select(
+        "doc_id", "source",
+        F.explode(F.expr("transform(tokens, (v, i) -> struct(ts0 + i AS ts, CAST(v AS LONG) AS v))")).alias("p"),
+    ).select("doc_id", "source", "p.ts", "p.v")
+        .where((F.col("ts") >= w0) & (F.col("ts") < w1)).collect()))
+    assert got_w == ref_w and got_w
+
+    with pytest.raises(ValueError, match="empty range"):
+        doc_points(_inline_raw(seq), start, start, ids)
+    with pytest.raises(ValueError, match="non-empty"):
+        doc_points(_inline_raw(seq), start, end, [])
+
+
+def test_read_doc_range_pushes_docid_and_ts0(spark, full_cat):
+    from tersets_spark.jobs import read_doc_range
+
+    df = read_doc_range(spark, full_cat, 1_700_010_000, 1_700_050_000,
+                        ["doc_000000000001", "doc_000000000002"],
+                        max_doc_seconds=4096)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all("/raw/" in ln for ln in scans), plan
+    assert any("In(doc_id" in ln and "LessThan(ts0" in ln for ln in scans), plan
+    # and the result is the committed lossless decode of those docs
+    assert df.count() > 0
+    assert set(r[0] for r in df.select("doc_id").distinct().collect()) <= {
+        "doc_000000000001", "doc_000000000002"}
