@@ -1668,6 +1668,31 @@ def _q_doc_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("mode", "doc_id", "source", "ts", "v")
 
 
+def _q_overview_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard OVERVIEW serving (rollup.overview_points): k-point LTTB
+    per source over a range, from ONE pruned scan of the coarsest tier
+    with enough resolution. The oracle pins the structural LTTB contract
+    (n_out = min(k, buckets), both endpoints kept) plus the EXACT endpoint
+    values (first/last bucket means); interior triangle selection is not
+    SQL-expressible and is pinned by tests/test_serving_mix.py against a
+    NumPy replica instead (the same split as lttb_downsample)."""
+    from tersets_spark.rollup import cascade, overview_points
+
+    k = 48
+    s, e = _GAPFILL_RANGE  # 6 h: picks the 1m tier (360 buckets >= 4k)
+    tiers = cascade(_sequences(spark, sf_dir))
+    pts = overview_points(tiers, s, e, k)
+    per_src = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+        F.min("ts").cast("long").alias("first_ts"),
+        F.max("ts").cast("long").alias("last_ts"),
+        F.min_by("v", "ts").cast("double").alias("first_v"),
+        F.max_by("v", "ts").cast("double").alias("last_v"),
+    )
+    return per_src.select("source", "n_out", "first_ts", "last_ts",
+                          "first_v", "last_v")
+
+
 def _q_sketch_range_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-scoped percentile serving: the psk sketch tiers (1m/1h/1d)
     are stitched over an arbitrary minute-aligned [start,end) — coarsest
@@ -1868,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_stitch_agg": _q_range_stitch_agg,
         "range_gapfill_serve": _q_range_gapfill_serve,
         "doc_point_read": _q_doc_point_read,
+        "overview_serve": _q_overview_serve,
         "sketch_range_percentiles": _q_sketch_range_percentiles,
         "hll_range_distinct": _q_hll_range_distinct,
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
@@ -2880,6 +2906,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE pv + (nv - pv) * ((bucket_ts - pt) / CAST(nt - pt AS DOUBLE))
                    END AS DOUBLE), gap_filled
             FROM w
+        """,
+        # overview serving: LTTB structure + exact endpoint bucket means
+        "overview_serve": f"""
+            WITH pts AS ({pts}),
+            per_min AS (
+                SELECT source, (ts // 60) * 60 AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM pts
+                WHERE ts >= {_GAPFILL_RANGE[0]} AND ts < {_GAPFILL_RANGE[1]}
+                GROUP BY 1, 2
+            ),
+            marked AS (
+                SELECT source, bucket_ts, CAST(s AS DOUBLE) / c AS mean,
+                       COUNT(*) OVER (PARTITION BY source) AS buckets,
+                       MIN(bucket_ts) OVER (PARTITION BY source) AS t0,
+                       MAX(bucket_ts) OVER (PARTITION BY source) AS t1
+                FROM per_min
+            )
+            SELECT source,
+                   CAST(LEAST(CAST(MAX(buckets) AS BIGINT), 48) AS BIGINT) AS n_out,
+                   CAST(MAX(t0) AS BIGINT) AS first_ts,
+                   CAST(MAX(t1) AS BIGINT) AS last_ts,
+                   CAST(MAX(CASE WHEN bucket_ts = t0 THEN mean END) AS DOUBLE) AS first_v,
+                   CAST(MAX(CASE WHEN bucket_ts = t1 THEN mean END) AS DOUBLE) AS last_v
+            FROM marked GROUP BY source
         """,
         # point reads must be bitwise the ingested tokens in-window
         "doc_point_read": f"""

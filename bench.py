@@ -198,6 +198,54 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
                 )
             )
 
+        # point reads: 4 documents over a 5000 s window, catalog blobs vs
+        # exploding the corpus
+        pr_docs = ["doc_%012d" % i for i in (12, 33, 123, 200)]
+        pr_s, pr_e = 1_700_020_000, 1_700_060_000
+
+        def point_read():
+            from tersets_spark.jobs import read_doc_range
+
+            return read_doc_range(spark, out, pr_s, pr_e, pr_docs,
+                                  max_doc_seconds=4096)
+
+        def point_read_raw():
+            pts = seq.where(F.col("doc_id").isin(pr_docs)).select(
+                "doc_id", "source", F.posexplode("tokens").alias("pos", "v"), "ts0"
+            ).select("doc_id", "source",
+                     (F.col("ts0") + F.col("pos")).alias("ts"),
+                     F.col("v").cast("long").alias("v"))
+            return pts.where((F.col("ts") >= pr_s) & (F.col("ts") < pr_e))
+
+        # gap-filled hourly grid over 21 h, served from the 1h tier vs
+        # recomputed from the raw points
+        gf_s, gf_e = 1_700_002_800, 1_700_078_400
+
+        def gapfill_1h():
+            from tersets_spark.jobs import range_gapfill_from_catalog
+
+            return range_gapfill_from_catalog(spark, out, gf_s, gf_e, 3600)
+
+        def gapfill_raw():
+            from tersets_spark.rollup import gap_fill
+
+            pts = seq.select(
+                "source", F.posexplode("tokens").alias("pos", "v"), "ts0"
+            ).select("source", (F.col("ts0") + F.col("pos")).alias("ts"), "v")
+            agg = (
+                pts.where((F.col("ts") >= gf_s) & (F.col("ts") < gf_e))
+                .groupBy("source",
+                         ((F.col("ts") / 3600).cast("long") * 3600).alias("bucket_ts"))
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                     (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean"))
+            )
+            filled = gap_fill(agg, ["source"], "bucket_ts", 3600, ["mean"],
+                              strategy="locf", bounds=(gf_s, gf_e - 3600))
+            return filled.select(
+                "source", "bucket_ts",
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+                "mean", "gap_filled")
+
         strategies = {
             "stitched": stitched, "m1_only": m1_only, "raw_scan": raw_scan,
             "stitched_aligned": stitched_aligned, "m1_aligned": m1_aligned,
@@ -215,6 +263,25 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
             answers[name] = sorted(
                 (r["source"], r["cnt"], r["sum"], r["vmin"], r["vmax"]) for r in rows
             )
+        # point-read and gap-fill serving twins (generic row equality)
+        for name, fn in (
+            ("point_read", point_read), ("point_read_raw", point_read_raw),
+            ("gapfill_1h", gapfill_1h), ("gapfill_raw", gapfill_raw),
+        ):
+            fn().collect()
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.monotonic()
+                rows = fn().collect()
+                best = min(best, time.monotonic() - t0)
+            walls[name] = round(best, 3)
+            answers[name] = sorted(map(tuple, rows))
+        assert answers["point_read"] == answers["point_read_raw"] and answers[
+            "point_read"
+        ], "point-read strategies disagree or probed an empty window"
+        assert answers["gapfill_1h"] == answers["gapfill_raw"], (
+            "gap-fill strategies disagree"
+        )
         assert answers["stitched"] == answers["m1_only"] == answers["raw_scan"], (
             "serving strategies disagree"
         )
@@ -250,12 +317,30 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
             )
             .head()[0]
         )
+        gf_tier_rows = (
+            cat.read_tier(spark, "1h")
+            .where((F.col("bucket_ts") >= gf_s) & (F.col("bucket_ts") < gf_e))
+            .count()
+        )
+        gf_raw_points = int(
+            seq.where((F.col("ts0") < gf_e) & (F.col("ts0") + F.col("n_tok") > gf_s))
+            .select(
+                F.sum(
+                    F.least(F.col("n_tok").cast("long"), F.lit(gf_e) - F.col("ts0"))
+                    - F.greatest(F.lit(0), F.lit(gf_s) - F.col("ts0"))
+                )
+            )
+            .head()[0]
+        )
         return {
             "walls_sec": walls,
             "rows_aggregated": {
                 "stitched_tier_rows": tier_rows,
                 "m1_only_rows": m1_rows,
                 "raw_scan_points": raw_points,
+                "gapfill_1h_tier_rows": gf_tier_rows,
+                "gapfill_raw_points": gf_raw_points,
+                "point_read_points": len(answers["point_read"]),
             },
         }
     finally:

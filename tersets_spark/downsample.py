@@ -40,6 +40,16 @@ def lttb(values: np.ndarray, threshold: int) -> np.ndarray:
     n = len(values)
     if threshold >= n or threshold < 3:
         return np.asarray(values, dtype=np.float64)
+    return np.asarray(values, dtype=np.float64)[lttb_indices(values, threshold)]
+
+
+def lttb_indices(values: np.ndarray, threshold: int) -> np.ndarray:
+    """The SELECTED INDICES of :func:`lttb` (same triangle selection) —
+    callers that carry a real time axis (overview serving) map them back
+    to timestamps."""
+    n = len(values)
+    if threshold >= n or threshold < 3:
+        return np.arange(n, dtype=np.int64)
     v = np.asarray(values, dtype=np.float64)
     t = np.arange(n, dtype=np.float64)
     # interior bucket boundaries (canonical LTTB split)
@@ -65,7 +75,7 @@ def lttb(values: np.ndarray, threshold: int) -> np.ndarray:
         prev = lo + int(np.argmax(areas))
         out_idx[i + 1] = prev
     out_idx[-1] = n - 1
-    return v[out_idx]
+    return out_idx
 
 
 def lttb_batch(arrays: list, threshold: int) -> list | None:

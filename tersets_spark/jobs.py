@@ -1025,6 +1025,27 @@ def range_gapfill_from_catalog(
     return range_gapfill({name: tier}, start, end, step, strategy=strategy)
 
 
+def overview_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    k: int,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Dashboard overview serving: k-point LTTB per source over
+    ``[start, end)`` from ONE committed tier — the coarsest with enough
+    resolution (rollup.overview_tier_for_range) — at one manifest
+    snapshot. A year-long overview reads the 1d tier, never raw points."""
+    from .rollup import overview_points, overview_tier_for_range
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    name, _secs = overview_tier_for_range(start, end, k)
+    tier = catalog.read_tier(spark, name, as_of=snap)
+    return overview_points({name: tier}, start, end, k)
+
+
 def read_doc_range(
     spark: SparkSession,
     out_dir: str,

@@ -416,6 +416,74 @@ def range_aggregate(
     )
 
 
+def overview_tier_for_range(
+    start: int, end: int, k: int, tiers: list[tuple[str, int]] | None = None
+) -> tuple[str, int]:
+    """Coarsest tier giving at least ``max(4k, k+2)`` buckets over the
+    range — enough resolution that a k-point LTTB pass has real triangles
+    to choose from; falls back to the finest tier for short ranges. Bounds
+    the per-series state a k-point overview reads: at most
+    ``4k x (ratio to the next coarser tier)`` rows (240k for 1m-vs-1h),
+    independent of range length — a year-long overview reads the 1d/1h
+    tier, never 525k minute rows."""
+    want = max(4 * k, k + 2)
+    ts = tiers if tiers is not None else STITCH_TIERS
+    for name, secs in ts:  # coarse -> fine
+        if (end - start) // secs >= want:
+            return name, secs
+    return ts[-1]
+
+
+def overview_points(
+    tier_dfs: dict[str, DataFrame],
+    start: int,
+    end: int,
+    k: int,
+    tiers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """k-point LTTB OVERVIEW of ``[start, end)`` per source — the
+    dashboard-serving read: pick the coarsest tier with enough resolution
+    (:func:`overview_tier_for_range`), ONE pruned scan of it, exact
+    per-(source, bucket) mean, then Largest-Triangle-Three-Buckets over
+    the bounded mean series. Output (source, ts, v): ts is the selected
+    bucket's start, v its exact mean; first/last buckets are always kept
+    (LTTB contract).
+
+    Plan: bucket_ts range predicate pushed to the tier scan; one bounded
+    hash agg to (source, bucket); one ``applyInPandas`` per source over
+    the tier-bounded series (never raw points)."""
+    if end <= start:
+        raise ValueError("empty range")
+    if k < 3:
+        raise ValueError("k must be >= 3 (LTTB keeps both endpoints)")
+    name, _secs = overview_tier_for_range(start, end, k, tiers)
+    if name not in tier_dfs:
+        raise KeyError(f"overview_points: tier {name!r} not provided")
+    agg = (
+        tier_dfs[name]
+        .where((F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end))
+        .groupBy("source", "bucket_ts")
+        .agg(F.sum("cnt").cast("long").alias("cnt"),
+             F.sum("sum").cast("long").alias("sum"))
+    )
+
+    def _select(pdf):
+        import pandas as pd
+
+        from .downsample import lttb_indices
+
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        mean = pdf["sum"].to_numpy(dtype="float64") / pdf["cnt"].to_numpy(dtype="float64")
+        idx = lttb_indices(mean, k)
+        return pd.DataFrame({
+            "source": pdf["source"].iloc[idx].to_numpy(),
+            "ts": pdf["bucket_ts"].iloc[idx].to_numpy(),
+            "v": mean[idx],
+        })
+
+    return agg.groupBy("source").applyInPandas(_select, "source string, ts long, v double")
+
+
 def doc_points(
     raw_df: DataFrame,
     start: int,

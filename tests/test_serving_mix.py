@@ -723,3 +723,89 @@ def test_read_doc_range_pushes_docid_and_ts0(spark, full_cat):
     assert df.count() > 0
     assert set(r[0] for r in df.select("doc_id").distinct().collect()) <= {
         "doc_000000000001", "doc_000000000002"}
+
+
+# ---------------------------------------------------------------------------
+# overview_points (k-point LTTB dashboard serving)
+# ---------------------------------------------------------------------------
+
+
+def _lttb_ref_indices(vals, k):
+    """Plain-loop canonical LTTB (Steinarsson 2013) — independent of the
+    package's vectorized implementation."""
+    n = len(vals)
+    if k >= n or k < 3:
+        return list(range(n))
+    import math
+
+    every = (n - 2) / (k - 2)
+    bounds = [int(math.floor(i * every)) + 1 for i in range(k - 1)] + [n - 1]
+    out = [0]
+    prev = 0
+    for i in range(k - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < len(bounds) else n)
+        if i == k - 3:
+            nhi = n
+        if nhi > nlo:
+            avg_t = sum(range(nlo, nhi)) / (nhi - nlo)
+            avg_v = sum(vals[nlo:nhi]) / (nhi - nlo)
+        else:
+            avg_t, avg_v = float(n - 1), vals[n - 1]
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            area = abs((prev - avg_t) * (vals[j] - vals[prev])
+                       - (prev - j) * (avg_v - vals[prev]))
+            if area > best_area:
+                best, best_area = j, area
+        out.append(best)
+        prev = best
+    out.append(n - 1)
+    return out
+
+
+def test_overview_tier_choice():
+    from tersets_spark.rollup import overview_tier_for_range
+
+    assert overview_tier_for_range(0, 6 * 3600, 48) == ("1m", 60)
+    assert overview_tier_for_range(0, 30 * 86400, 48) == ("1h", 3600)
+    assert overview_tier_for_range(0, 365 * 86400, 48) == ("1d", 86400)
+    assert overview_tier_for_range(0, 300, 48) == ("1m", 60)  # finest fallback
+
+
+def test_overview_points_matches_plain_loop_replica(spark, seq):
+    from tersets_spark.rollup import cascade, overview_points
+
+    k, start, end = 24, 1_700_000_400, 1_700_021_400  # 350 1m buckets
+    got = overview_points(cascade(seq), start, end, k).toPandas()
+
+    pts = seq.select(
+        "source",
+        F.explode(F.expr("transform(tokens, (v, i) -> struct(ts0 + i AS ts, CAST(v AS LONG) AS v))")).alias("p"),
+    ).select("source", "p.ts", "p.v").where(
+        (F.col("ts") >= start) & (F.col("ts") < end)).toPandas()
+    pts["bucket_ts"] = (pts["ts"] // 60) * 60
+    ref_rows = []
+    for src, g in pts.groupby("source"):
+        b = g.groupby("bucket_ts")["v"].agg(["sum", "count"]).reset_index()
+        b = b.sort_values("bucket_ts").reset_index(drop=True)
+        means = (b["sum"].astype(float) / b["count"]).tolist()
+        for i in _lttb_ref_indices(means, k):
+            ref_rows.append((src, int(b["bucket_ts"][i]), means[i]))
+    got_rows = sorted(map(tuple, got.itertuples(index=False)))
+    assert got_rows == sorted(ref_rows) and got_rows
+
+    with pytest.raises(ValueError, match="k must be"):
+        overview_points(cascade(seq), start, end, 2)
+
+
+def test_overview_from_catalog_prunes_one_tier(spark, full_cat):
+    from tersets_spark.jobs import overview_from_catalog
+
+    df = overview_from_catalog(spark, full_cat, 1_700_000_400, 1_700_021_400, 24)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all("/1m/" in ln for ln in scans), plan
+    assert all("GreaterThanOrEqual(bucket_ts" in ln for ln in scans), plan
+    out = df.toPandas()
+    assert (out.groupby("source")["ts"].count() <= 24).all() and len(out)
