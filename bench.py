@@ -564,7 +564,9 @@ def main() -> None:
 def _write_baseline_md(
     sf_name: str, tokens: int, results: dict, eff: float, lo: int = 2, hi: int = 8
 ) -> None:
-    os.makedirs("BENCH", exist_ok=True)
+    # anchor at the repo root regardless of the caller's cwd
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     lines = [
         "# BENCH/BASELINE — two-parallelism scaling evidence",
         "",
@@ -651,7 +653,7 @@ def _write_baseline_md(
         json.dumps({str(k): v for k, v in results.items()}, indent=2),
         "```",
     ]
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
