@@ -45,6 +45,17 @@ def main() -> None:
                              "aggregate over [START, END) from the stitched "
                              "tiers (second-resolution endpoints decode raw-"
                              "tier edges) and print the rows in the summary")
+    parser.add_argument("--serve-gapfill", nargs=3, type=int, default=None,
+                        metavar=("START", "END", "STEP"),
+                        help="after the cascade, serve the LOCF gap-filled "
+                             "per-source grid over [START, END) at STEP "
+                             "seconds from the coarsest dividing tier and "
+                             "print per-source row/gap counts in the summary")
+    parser.add_argument("--serve-points", nargs=2, type=int, default=None,
+                        metavar=("START", "END"),
+                        help="after the cascade, point-read every document's "
+                             "values in [START, END) from the committed raw "
+                             "tier and print the point count in the summary")
     parser.add_argument("--validate", type=float, default=0.0, metavar="FRAC",
                         help="after the cascade, audit a deterministic FRAC "
                              "of doc_ids on disk (decompress round-trip + "
@@ -90,6 +101,29 @@ def main() -> None:
         summary["range_agg"] = sorted(
             [r["source"], r["cnt"], r["sum"], r["vmin"], r["vmax"]] for r in rows
         )
+    if args.serve_gapfill:
+        from pyspark.sql import functions as F
+
+        from tersets_spark.jobs import range_gapfill_from_catalog
+
+        s, e, step = args.serve_gapfill
+        gf = range_gapfill_from_catalog(spark, args.out, s, e, step)
+        per_src = gf.groupBy("source").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("gap_filled").cast("long")).alias("gaps"),
+        ).collect()
+        summary["gapfill"] = {
+            "range": [s, e, step],
+            "per_source": sorted([r["source"], r["rows"], r["gaps"]] for r in per_src),
+        }
+    if args.serve_points:
+        from tersets_spark.jobs import read_doc_range
+
+        s, e = args.serve_points
+        summary["point_read"] = {
+            "range": [s, e],
+            "points": read_doc_range(spark, args.out, s, e).count(),
+        }
     if args.validate > 0.0:
         from tersets_spark.jobs import validate_tiers
 
