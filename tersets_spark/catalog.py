@@ -260,7 +260,7 @@ class TierCatalog:
         to their final location; visibility comes from the manifest."""
         rel, dest = self._new_run_dir(tier, partition)
         t0 = time.monotonic()
-        cluster_for_scan(df).write.mode("overwrite").parquet(dest)
+        tier_writer(df).mode("overwrite").parquet(dest)
         self.record(
             tier, partition, path=rel,
             wall_ms=round((time.monotonic() - t0) * 1000, 1),
@@ -278,7 +278,7 @@ class TierCatalog:
         is what retention rewrites and compaction want."""
         rel, dest = self._new_run_dir(tier, partition)
         t0 = time.monotonic()
-        cluster_for_scan(df).write.mode("overwrite").parquet(dest)
+        tier_writer(df).mode("overwrite").parquet(dest)
         self.record(
             tier, partition, status="append", path=rel,
             wall_ms=round((time.monotonic() - t0) * 1000, 1),
@@ -399,7 +399,7 @@ class TierCatalog:
             # compaction re-establishes the time clustering that interleaved
             # APPEND runs (watermark finalize) destroy — Iceberg's sorted
             # rewrite_data_files
-            cluster_for_scan(df).write.mode("overwrite").parquet(dest)
+            tier_writer(df).mode("overwrite").parquet(dest)
             # Conditional commit: if a concurrent writer superseded `rel`
             # while we rewrote it, our compaction of the OLD run must not
             # clobber the NEW data — abandon the rewrite instead.
@@ -454,6 +454,27 @@ class TierCatalog:
                     raise
                 last_err = e
         raise last_err
+
+
+def tier_writer(df: DataFrame, *prefix: str):
+    """The ONE tier-write configuration: time-clustered rows
+    (:func:`cluster_for_scan`) plus a parquet BLOOM FILTER on ``doc_id``
+    when present — point reads push ``doc_id IN (...)`` and ids are
+    scattered across time-sorted row groups, so min/max stats never prune
+    them; the bloom filter gives exact row-group membership (Iceberg
+    writes the same thing). Returns a DataFrameWriter."""
+    w = cluster_for_scan(df, *prefix).write
+    if "doc_id" in df.columns and "blob" in df.columns:
+        # raw (blob-carrying) tier only: point reads push doc_id IN (...)
+        # into THIS tier's scan, and ids are scattered across time-sorted
+        # row groups so min/max stats never prune them. The rollup tiers
+        # carry doc_id too but are only ever filtered by bucket_ts, so
+        # they skip the filter (bloom build cost scales with rows).
+        # Adaptive sizing: parquet-mr sizes the filter from the row
+        # group's ACTUAL distinct count, not the 1 MB default-NDV filter.
+        w = (w.option("parquet.bloom.filter.enabled#doc_id", "true")
+              .option("parquet.bloom.filter.adaptive.enabled", "true"))
+    return w
 
 
 def cluster_for_scan(df: DataFrame, *prefix: str) -> DataFrame:

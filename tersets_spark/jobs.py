@@ -26,7 +26,7 @@ import pyarrow.dataset as pa_ds
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import TierCatalog, cluster_for_scan
+from .catalog import TierCatalog, cluster_for_scan, tier_writer
 from .methods import Method
 from .rollup import (
     TIERS,
@@ -91,8 +91,8 @@ def _write_tier(
         # the partitionBy writer's required ordering AND leaves each file's
         # row groups time-clustered so range serving's pushed min/max
         # predicates actually prune (catalog.cluster_for_scan docstring)
-        cluster_for_scan(df.filter(F.col("source").isin(pending)), "source")
-        .write.mode("overwrite")
+        tier_writer(df.filter(F.col("source").isin(pending)), "source")
+        .mode("overwrite")
         .partitionBy("source")
         .parquet(tmp_dir)
     )

@@ -89,3 +89,34 @@ def test_cluster_for_scan_passthrough_and_key_choice(spark):
     ).coalesce(1)
     got = [r.ts0 for r in cluster_for_scan(ts).collect()]
     assert got == [1, 2, 3]
+
+
+def test_raw_tier_writes_carry_docid_bloom_filter(spark, tmp_path):
+    """tier_writer adds an adaptive parquet bloom filter on doc_id for the
+    blob-carrying (raw) tier only. No metadata API exposes bloom offsets in
+    this pyarrow, so detect behaviorally: identical deterministic data
+    written with vs without the bloom option differs in size by the filter
+    bytes for the raw shape, and not at all for a rollup shape."""
+    from tersets_spark.catalog import tier_writer
+
+    def _sz(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    raw = spark.range(20000).selectExpr(
+        "concat('doc_', id) AS doc_id", "'s' AS source",
+        "id AS ts0", "2 AS n_tok", "cast(concat('b', id) AS BINARY) AS blob",
+    ).coalesce(1)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    tier_writer(raw).mode("overwrite").parquet(a)
+    from tersets_spark.catalog import cluster_for_scan
+    cluster_for_scan(raw).write.mode("overwrite").parquet(b)
+    assert _sz(a) > _sz(b), "raw tier file must carry the doc_id bloom bytes"
+
+    rollup = raw.drop("blob").withColumnRenamed("ts0", "bucket_ts")
+    c, d = str(tmp_path / "c"), str(tmp_path / "d")
+    tier_writer(rollup).mode("overwrite").parquet(c)
+    cluster_for_scan(rollup).write.mode("overwrite").parquet(d)
+    assert _sz(c) == _sz(d), "rollup tiers must not pay the bloom build"
