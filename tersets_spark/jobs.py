@@ -1010,19 +1010,29 @@ def range_gapfill_from_catalog(
     catalog = TierCatalog(out_dir)
     snap = catalog.snapshot() if as_of is None else as_of
     name, _secs = serving_tier_for_step(step)
+    _check_retention_horizon(catalog, name, start, "range_gapfill_from_catalog")
+    tier = catalog.read_tier(spark, name, as_of=snap)
+    return range_gapfill({name: tier}, start, end, step, strategy=strategy)
+
+
+def _check_retention_horizon(
+    catalog: TierCatalog, tier: str, start: int, caller: str
+) -> None:
+    """Serving below a tier's retention horizon would silently UNDERCOUNT
+    (the rows are expired, not zero) — every catalog serving read fails
+    fast instead. The horizon comes from retention lineage records."""
     for rec in catalog.metrics():
         if (
             rec.get("status") == "retention"
-            and rec.get("tier") == name
+            and rec.get("tier") == tier
             and rec.get("horizon_ts") is not None
             and start < int(rec["horizon_ts"])
         ):
             raise ValueError(
-                f"range_gapfill_from_catalog: [{start}, ...) needs tier "
-                f"{name!r} below its retention horizon {rec['horizon_ts']}"
+                f"{caller}: [{start}, ...) needs tier {tier!r} below its "
+                f"retention horizon {rec['horizon_ts']} — the rows were "
+                "expired; narrow the range"
             )
-    tier = catalog.read_tier(spark, name, as_of=snap)
-    return range_gapfill({name: tier}, start, end, step, strategy=strategy)
 
 
 def overview_from_catalog(
@@ -1042,6 +1052,7 @@ def overview_from_catalog(
     catalog = TierCatalog(out_dir)
     snap = catalog.snapshot() if as_of is None else as_of
     name, _secs = overview_tier_for_range(start, end, k)
+    _check_retention_horizon(catalog, name, start, "overview_from_catalog")
     tier = catalog.read_tier(spark, name, as_of=snap)
     return overview_points({name: tier}, start, end, k)
 
@@ -1064,6 +1075,7 @@ def read_doc_range(
 
     catalog = TierCatalog(out_dir)
     snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(catalog, "raw", start, "read_doc_range")
     raw = catalog.read_tier(spark, "raw", as_of=snap)
     return doc_points(raw, start, end, doc_ids, max_doc_seconds=max_doc_seconds)
 

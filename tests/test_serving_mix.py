@@ -664,6 +664,44 @@ def test_range_gapfill_from_catalog_pushdown_and_retention_guard(spark, full_cat
         with pytest.raises(ValueError, match="retention horizon"):
             range_gapfill_from_catalog(spark, scratch, start, end, 3600)
 
+    # the same guard protects every catalog serving read
+    from tersets_spark.jobs import overview_from_catalog, read_doc_range
+
+    with tempfile.TemporaryDirectory() as scratch:
+        cat = TierCatalog(scratch)
+        cat.record("1h", "_retention", status="retention", horizon_ts=end + 3600)
+        cat.record("raw", "_retention", status="retention", horizon_ts=end + 3600)
+        with pytest.raises(ValueError, match="retention horizon"):
+            overview_from_catalog(spark, scratch, start, start + 50 * 3600 * 4, 48)
+        with pytest.raises(ValueError, match="retention horizon"):
+            read_doc_range(spark, scratch, start, end)
+
+
+def test_range_gapfill_composes_with_realtime_tier(spark, seq, tmp_path):
+    """Serving freshness: range_gapfill over read_tier_realtime (committed
+    tier UNION un-materialized tail) equals the same grid over a full
+    recompute — between cascade runs a dashboard sees exact, gap-filled,
+    up-to-the-batch data."""
+    import os
+
+    from tersets_spark.jobs import read_tier_realtime, run_cascade
+    from tersets_spark.rollup import range_gapfill
+    from tersets_spark.seqops import default_order_key
+
+    committed_seq = seq.where(default_order_key() < 1200)
+    sub_path = str(tmp_path / "committed.parquet")
+    committed_seq.write.parquet(sub_path)
+    out = str(tmp_path / "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, sub_path, out, with_blocks=False)
+
+    start, end, step = 1_700_002_800, 1_700_053_200, 3600
+    rt_1h = read_tier_realtime(spark, out, "1h", seq, mode="hwm")
+    got = sorted(map(tuple, range_gapfill({"1h": rt_1h}, start, end, step).collect()))
+    full = rollup_up(rollup_raw(seq, 60), 3600)
+    want = sorted(map(tuple, range_gapfill({"1h": full}, start, end, step).collect()))
+    assert got == want and got
+
 
 # ---------------------------------------------------------------------------
 # doc_points / read_doc_range (per-document point reads)
