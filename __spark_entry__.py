@@ -883,6 +883,29 @@ def _q_blocks_roundtrip_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_blocks_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPPER-tier blocks (north-star: EACH tier stored as compressed
+    delta blocks): every 1h bucket stores its child 1m SUM SERIES as a
+    DoD block riding the same shuffle as the aggregate; the block must
+    decompress to exactly n_child values re-aggregating to the stored
+    sum (lossless codec over exact longs)."""
+    from tersets_spark.rollup import rollup_raw as rollup_raw_blocks
+    from tersets_spark.rollup import rollup_up as rollup_up_blocks
+
+    seq = _sequences(spark, sf_dir)  # full table
+    m1 = rollup_raw_blocks(seq, TIERS["1m"])
+    h1 = rollup_up_blocks(m1, TIERS["1h"], with_blocks=True)
+    dec = decompress_udf(F.col("block"))
+    ok = (
+        (F.aggregate(dec, F.lit(0.0), lambda a, v: a + v) == F.col("sum").cast("double"))
+        & (F.size(dec) == F.col("n_child"))
+    )
+    return h1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum(ok.cast("long")).alias("buckets_ok"),
+    )
+
+
 def _q_events_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic time-bucket rollup over the events stream table."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -1855,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_events_locf": _q_gapfill_events_locf,
         "gapfill_events_linear": _q_gapfill_events_linear,
         "blocks_roundtrip_1m": _q_blocks_roundtrip_1m,
+        "blocks_roundtrip_1h": _q_blocks_roundtrip_1h,
         "events_rollup_1m": _q_events_rollup_1m,
         "top_users_by_value": _q_top_users_by_value,
         "text_stats_by_lang": _q_text_stats_by_lang,
@@ -2100,6 +2124,17 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS ({pts}),
             b AS (
                 SELECT doc_id, source, (ts // 60) * 60 AS bucket_ts
+                FROM pts GROUP BY 1, 2, 3
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS buckets,
+                   CAST(COUNT(*) AS BIGINT) AS buckets_ok
+            FROM b GROUP BY source
+        """,
+        "blocks_roundtrip_1h": f"""
+            WITH pts AS ({pts}),
+            b AS (
+                SELECT doc_id, source, (ts // 3600) * 3600 AS bucket_ts
                 FROM pts GROUP BY 1, 2, 3
             )
             SELECT source,

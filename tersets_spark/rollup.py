@@ -57,20 +57,45 @@ def rollup_raw_from_blobs(
     )
 
 
-def rollup_up(tier_df: DataFrame, tier_seconds: int) -> DataFrame:
-    """Aggregate a finer tier into coarser buckets (exact integer combine)."""
+def rollup_up(
+    tier_df: DataFrame,
+    tier_seconds: int,
+    with_blocks: bool = False,
+    block_method: Method = Method.DeltaOfDelta,
+) -> DataFrame:
+    """Aggregate a finer tier into coarser buckets (exact integer combine).
+
+    ``with_blocks=True`` additionally stores each coarse bucket's CHILD
+    SUM SERIES (the finer tier's per-bucket sums, time order) as a codec
+    ``block`` — the north-star "each tier stored as compressed
+    Gorilla/delta blocks" applied ABOVE the finest tier: the upper tier
+    remains exactly drill-down-able to its children without re-reading
+    the tier below (lossless codec, exact longs). The child pairs ride
+    the SAME shuffle the aggregate needs — no extra pass."""
     bucket = (F.floor(F.col("bucket_ts") / tier_seconds) * tier_seconds).cast("long")
-    return (
-        tier_df.groupBy("doc_id", "source", bucket.alias("bucket_ts"))
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("sum").alias("sum"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-            F.min(F.struct("bucket_ts", "first")).getField("first").alias("first"),
-            F.max(F.struct("bucket_ts", "last")).getField("last").alias("last"),
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.min(F.struct("bucket_ts", "first")).getField("first").alias("first"),
+        F.max(F.struct("bucket_ts", "last")).getField("last").alias("last"),
+    ]
+    if with_blocks:
+        aggs.append(
+            F.sort_array(F.collect_list(F.struct("bucket_ts", "sum"))).alias("_child")
         )
-    )
+    out = tier_df.groupBy("doc_id", "source", bucket.alias("bucket_ts")).agg(*aggs)
+    if with_blocks:
+        from .kernels import compress_udf
+
+        child_sums = F.transform(F.col("_child"), lambda p: p.getField("sum"))
+        out = (
+            out.withColumn("block", compress_udf(block_method, 0.0)(child_sums))
+            .withColumn("n_child", F.size(F.col("_child")).cast("long"))
+            .drop("_child")
+        )
+    return out
 
 
 def with_mean(df: DataFrame) -> DataFrame:

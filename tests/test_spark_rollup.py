@@ -199,3 +199,46 @@ def test_compress_udf_roundtrip_token_equality(spark, tiny_table, tmp_path):
             decompress_tokens_udf(F.col("blob")) != F.col("tokens")
         ).count()
         assert bad == 0, f"token inequality for {method.name}"
+
+
+def test_rollup_up_blocks_decode_to_child_sums(spark, tiny_table, tmp_path):
+    """Upper-tier blocks: each 1h bucket's block decodes to EXACTLY the
+    independently recomputed child 1m sum series (time order), and the
+    default with_blocks=False output is unchanged by the feature."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tersets_spark.kernels import decompress_udf
+    from tersets_spark.rollup import rollup_raw, rollup_up
+
+    tmp = str(tmp_path / "blocks_up_seq.parquet")
+    pq.write_table(tiny_table, tmp)
+    seq = spark.read.parquet(tmp)
+    m1 = rollup_raw(seq, 60)
+
+    plain = rollup_up(m1, 3600)
+    blocked = rollup_up(m1, 3600, with_blocks=True)
+    cols = ["doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last"]
+    assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, blocked.select(*cols).collect())
+    )
+
+    # decoded block == independently recomputed child series per bucket
+    got = {
+        (r["doc_id"], r["bucket_ts"]): (r["n_child"], tuple(r["dec"]))
+        for r in blocked.select(
+            "doc_id", "bucket_ts", "n_child", decompress_udf(F.col("block")).alias("dec")
+        ).collect()
+    }
+    child = (
+        m1.withColumn("_h", (F.floor(F.col("bucket_ts") / 3600) * 3600).cast("long"))
+        .groupBy("doc_id", "_h")
+        .agg(F.sort_array(F.collect_list(F.struct("bucket_ts", "sum"))).alias("p"))
+        .collect()
+    )
+    want = {
+        (r["doc_id"], r["_h"]): tuple(float(x["sum"]) for x in r["p"]) for r in child
+    }
+    assert set(got) == set(want) and got
+    for k, (n, dec) in got.items():
+        assert n == len(want[k]) and dec == want[k]
