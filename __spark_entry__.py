@@ -1810,6 +1810,37 @@ def _q_rollup_realtime_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_ingest_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA batch ingest (jobs.ingest_append): a cascade materializes
+    the first ~3/4 of documents by ingest order; the remaining quarter
+    arrives late and is absorbed with APPEND-only commits — per-doc tier
+    keying makes the delta purely additive, so nothing committed is read
+    back or rewritten, the work is O(|late batch|), and replays are
+    exactly-once per batch_id (manifest-recorded). The served 1h tier
+    must hash-match the SAME SQL oracle as rollup_1h over ALL documents:
+    batch backfill equals a full re-run, bitwise."""
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import ingest_append, run_cascade
+    from tersets_spark.seqops import default_order_key
+    from tersets_spark.tables import ROWS_BY_SF
+
+    seq = _sequences(spark, sf_dir)
+    work = _gate_workdir("tersets_ingest_q_")
+    cutoff = ROWS_BY_SF[sf_name_from_dir(sf_dir)] * 3 // 4
+    base_path = os.path.join(work, "base.parquet")
+    late_path = os.path.join(work, "late.parquet")
+    seq.where(default_order_key() < cutoff).write.parquet(base_path)
+    seq.where(default_order_key() >= cutoff).write.parquet(late_path)
+    out = os.path.join(work, "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, base_path, out, with_blocks=False)
+    ingest_append(spark, late_path, out, batch_id="late-q1")
+    served = TierCatalog(out).read_tier(spark, "1h")
+    return with_mean(served).select(
+        "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last", "mean"
+    )
+
+
 def _q_seq_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-weighted mixing WITH upsampling (seqops.upsample_mix): each
     document gets floor(rate) whole copies + one md5-gated fractional
@@ -1922,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_range_distinct": _q_hll_range_distinct,
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
         "rollup_realtime_1h": _q_rollup_realtime_1h,
+        "rollup_ingest_1h": _q_rollup_ingest_1h,
         "seq_source_remix": _q_seq_source_remix,
         "seq_upsample_mix": _q_seq_upsample_mix,
         "seq_shard_stats": _q_seq_shard_stats,
@@ -3084,6 +3116,9 @@ def oracle_sql() -> dict[str, str]:
         # realtime (materialized ∪ fresh) serving must equal a full re-run:
         # the SAME oracle as rollup_1h, over ALL documents
         "rollup_realtime_1h": f"WITH pts AS ({pts}) "
+        + rollup.format(d=3600, where=""),
+        # late-data APPEND ingest must also equal a full re-run, bitwise
+        "rollup_ingest_1h": f"WITH pts AS ({pts}) "
         + rollup.format(d=3600, where=""),
         # remix: the oracle re-derives the integer thresholds itself
         # (HUGEINT cross-multiplied argmin + integer division) and replays

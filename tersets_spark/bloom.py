@@ -179,7 +179,16 @@ def probe_membership(
     universe comes from the word table itself (bounded: it is the
     GROUP BY result). A word row missing for some (key, widx) means those
     bits are zero, hence ``maybe = false`` — the left join's NULL word
-    coalesces to 0 so the mask check fails, never silently passes."""
+    coalesces to 0 so the mask check fails, never silently passes.
+
+    Duplicate (keys, widx) rows — APPEND-committed delta filters from
+    :func:`tersets_spark.jobs.ingest_append` or streamed partials — are
+    bit_or-merged first: probing each partial word alone would let a bit
+    set only in the other partial fail the mask check, i.e. a FALSE
+    NEGATIVE, the one error class a Bloom filter must never make. The
+    merge is a groupBy over the bounded word table (identity when keys
+    are already unique)."""
+    words = merge_words(words, keys)
     masks = _probe_masks(probes, probe_col)
     grid = words.select(*keys).distinct().crossJoin(F.broadcast(masks))
     j = grid.join(words, [*keys, "widx"], "left")

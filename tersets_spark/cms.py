@@ -172,7 +172,15 @@ def estimate_counts(
     counter table itself (bounded: it is the GROUP BY result). A counter
     row missing for some (key, ridx, cidx) means the cell is zero — the
     left join's NULL coalesces to 0 so the min sees it, never skips it.
+
+    Duplicate (keys, ridx, cidx) rows — APPEND-committed delta grids from
+    :func:`tersets_spark.jobs.ingest_append` or streamed partials — are
+    sum-merged first: feeding partial cell counts straight into the min
+    would UNDER-estimate (est < true), breaking count-min's one-sided
+    guarantee. The merge is a groupBy over the bounded counter table
+    (identity when keys are already unique).
     """
+    counters = merge_counters(counters, keys)
     cells = _probe_cells(probes, probe_col)
     grid = counters.select(*keys).distinct().crossJoin(F.broadcast(cells))
     j = grid.join(counters, [*keys, "ridx", "cidx"], "left")

@@ -905,6 +905,11 @@ def validate_tiers(
             except FileNotFoundError:
                 continue
             expected = merge_to_bucket(below_df, secs, merge)
+            # APPEND-committed delta rows (ingest_append / watermark
+            # finalize) leave duplicate keys in BOTH tiers; serving always
+            # merges them, so the audit compares the merged (serving) value
+            # — identity when keys are already unique.
+            actual = merge_to_bucket(actual, secs, merge)
             hs = [horizon[x] for x in (tier, below) if x in horizon]
             if hs:
                 lb = -(-max(hs) // secs) * secs
@@ -1310,3 +1315,367 @@ def delete_documents(
     if skipped:
         deleted["sketch_tiers_skipped"] = len(skipped)
     return deleted
+
+
+# ---------------------------------------------------------------------------
+# late-data batch ingest: APPEND-only absorption into a committed catalog
+# ---------------------------------------------------------------------------
+
+
+def _append_tier(
+    catalog: TierCatalog,
+    df: DataFrame,
+    tier: str,
+    pending: list[str],
+    batch_id: str,
+) -> int:
+    """Commit ``df``'s rows as per-source APPEND runs (prior runs stay
+    live; read_tier unions them). Mirrors ``_write_tier``'s one-job
+    partitionBy write + per-source manifest commits, but with
+    ``status="append"`` carrying ``batch_id`` — the replay-resume key of
+    :func:`ingest_append`. Returns rows appended."""
+    import shutil
+
+    if not pending:
+        return 0
+    tmp_dir = os.path.join(
+        catalog.base_dir, f"_tmp_{tier}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+    t0 = time.monotonic()
+    (
+        tier_writer(df.filter(F.col("source").isin(pending)), "source")
+        .mode("overwrite")
+        .partitionBy("source")
+        .parquet(tmp_dir)
+    )
+    wall_ms = round((time.monotonic() - t0) * 1000, 1)
+    total = 0
+    for src in pending:
+        tmp_part = os.path.join(tmp_dir, f"source={src}")
+        if not os.path.exists(tmp_part):
+            continue  # no delta rows for this source/tier; nothing to commit
+        rows = pa_ds.dataset(tmp_part, format="parquet").count_rows()
+        catalog.commit_moved_partition(
+            tier, src, tmp_part, status="append",
+            batch_id=batch_id, rows=rows, wall_ms=wall_ms,
+        )
+        total += rows
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return total
+
+
+def _retention_horizons(catalog: TierCatalog) -> dict[str, int]:
+    """tier -> strictest event-time horizon ``apply_retention`` ever
+    trimmed it to (from the manifest's retention lineage)."""
+    horizon: dict[str, int] = {}
+    for rec in catalog.metrics():
+        if rec.get("status") == "retention" and rec.get("horizon_ts") is not None:
+            h = int(rec["horizon_ts"])
+            horizon[rec["tier"]] = max(horizon.get(rec["tier"], h), h)
+    return horizon
+
+
+def ingest_append(
+    spark: SparkSession,
+    late_docs,
+    out_dir: str,
+    batch_id: str,
+    compress_method: Method = Method.DeltaOfDelta,
+    with_blocks: bool | None = None,
+    with_sketches: bool | None = None,
+    with_blooms: bool | None = None,
+    with_cms: bool | None = None,
+    skip_existing: bool = True,
+    sketch_kernel: bool | None = None,
+    fail_after_tier: str | None = None,  # test hook, mirrors run_cascade
+) -> dict:
+    """Absorb a LATE batch of documents into a committed catalog with
+    APPEND-only commits — the batch-backfill twin of the streamed
+    watermark finalize, and the reason a 100 TB catalog never re-runs its
+    cascade for yesterday's stragglers.
+
+    Exactness needs no merge or rewrite, by construction of the tier
+    schemas: every core tier row is keyed per ``doc_id`` (rollup_raw /
+    rollup_up group by doc), so a new document's rows are purely ADDITIVE
+    — the post-ingest catalog is bitwise ``run_cascade`` over base∪late.
+    The sketch families absorb deltas exactly under their own merges
+    (psk/cms sum, hll max, blm bit_or — all re-aggregable), which every
+    serving read already applies; ``TierCatalog.compact`` later folds the
+    accumulated append runs into one clustered run per partition.
+
+    Cost is O(|late batch|): one fused Arrow pass (compress + 1m rollup
+    from the same flat buffer, the run_cascade staging shape) over the
+    late docs only, bounded upper-tier aggregations of the DELTA, and —
+    when ``skip_existing`` — one column-pruned doc_id scan of the affected
+    sources' committed raw runs. Nothing existing is read back otherwise,
+    and nothing is rewritten.
+
+    Exactly-once per ``batch_id``: every append commit carries the batch
+    id in its manifest record; a replay (crash anywhere between commits)
+    recomputes the delta from the late input and skips (tier, source)
+    pairs already committed for this batch — the same manifest-is-the-
+    commit-point contract as run_cascade's resume. A completed batch
+    records ``tier="ingest"`` lineage and re-ingesting it is a no-op.
+    ``skip_existing`` resolves against the raw runs NOT committed by this
+    batch, so a replay never mistakes its own partial appends for
+    pre-existing documents.
+
+    Retention-aware: rows at/below a tier's already-applied horizon are
+    EXCLUDED (counted per tier under ``"expired"``) — appending them
+    would resurrect expired event time that the next retention pass wrote
+    lineage against, and TimescaleDB makes the same call (late data below
+    the retention horizon is dropped, never silently served).
+
+    Family flags default to WHAT THE CATALOG ALREADY MATERIALIZES (a
+    catalog built ``with_sketches=True`` gets sketch deltas; one without
+    stays core-only), as does ``with_blocks`` (sniffed from the committed
+    1m schema). Returns ``{"docs", "skipped_existing", "tiers": {tier:
+    rows_appended}, "expired": {tier: rows}}``.
+    """
+    import shutil
+
+    if not batch_id or not isinstance(batch_id, str):
+        raise ValueError("ingest_append requires a non-empty string batch_id")
+    ensure_shipped(spark)
+    catalog = TierCatalog(out_dir, superseded_grace_sec=600.0)
+    recs = catalog.metrics()
+    if any(
+        r["tier"] == "ingest" and r["partition"] == batch_id and r.get("status") == "ingest"
+        for r in recs
+    ):
+        return {"docs": 0, "skipped_existing": 0, "tiers": {}, "expired": {},
+                "resumed": "batch already ingested"}
+
+    late = late_docs if isinstance(late_docs, DataFrame) else spark.read.parquet(late_docs)
+    committed = {r["tier"] for r in recs if r.get("path")}
+    if with_sketches is None:
+        with_sketches = "psk_1m" in committed or "hll_1m" in committed
+    if with_blooms is None:
+        with_blooms = "blm_1m" in committed
+    if with_cms is None:
+        with_cms = "cms_1m" in committed
+    if with_blocks is None:
+        with_blocks = (
+            "block" in catalog.read_tier(spark, "1m").columns
+            if "1m" in committed else True
+        )
+
+    # (tier, source) pairs THIS batch already committed — the replay-resume set
+    appended = {
+        (r["tier"], r["partition"])
+        for r in recs
+        if r.get("status") == "append" and r.get("batch_id") == batch_id
+    }
+    batch_run_rels = {
+        r["path"] for r in recs
+        if r.get("batch_id") == batch_id and r.get("path")
+    }
+
+    skipped_existing = 0
+    if skip_existing and "raw" in committed:
+        # docs already in the committed raw tier are dropped (idempotent
+        # re-delivery of an upstream batch) — resolved against runs NOT
+        # committed by this batch_id, so a crash replay keeps its own docs
+        raw_base = os.path.join(out_dir, "raw")
+        existing_dirs = [
+            os.path.join(raw_base, rel)
+            for runs in catalog.current_run_lists("raw").values()
+            for rel in runs
+            if rel not in batch_run_rels
+        ]
+        if existing_dirs:
+            n_before = late.count()
+            existing_ids = (
+                spark.read.option("basePath", raw_base).parquet(*existing_dirs)
+                .select("doc_id")
+            )
+            late = late.join(existing_ids, "doc_id", "left_anti")
+            # the anti-join output feeds FOUR tier builds; pin it so the
+            # dedup scan runs once, not per tier
+            late = late.localCheckpoint(eager=True)
+            n_docs = late.count()
+            skipped_existing = n_before - n_docs
+        else:
+            n_docs = late.count()
+    else:
+        n_docs = late.count()
+
+    horizon = _retention_horizons(catalog)
+    expired: dict[str, int] = {}
+
+    def _above_horizon(df: DataFrame, tier: str, col: str) -> DataFrame:
+        h = horizon.get(tier)
+        if h is None:
+            return df
+        kept = df.where(F.col(col) >= h)
+        dropped = df.where(F.col(col) < h).count()
+        if dropped:
+            expired[tier] = dropped
+        return kept
+
+    sources = sorted(r[0] for r in late.select("source").distinct().collect())
+
+    def pend(tier: str) -> list[str]:
+        return [s for s in sources if (tier, s) not in appended]
+
+    rows_out: dict[str, int] = {}
+    stage_fused = None
+    try:
+        if n_docs:
+            from .kernels import RAW_M1_UNION_SCHEMA, compress_rollup_map_in_arrow
+
+            union = late.select("doc_id", "source", "ts0", "n_tok", "tokens").mapInArrow(
+                compress_rollup_map_in_arrow(
+                    compress_method, TIERS["1m"], with_blocks, compress_method
+                ),
+                RAW_M1_UNION_SCHEMA,
+            )
+            stage_fused = os.path.join(
+                out_dir, f"_tmp_fused_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+            )
+            union.write.mode("overwrite").parquet(stage_fused)
+            staged = spark.read.parquet(stage_fused)
+            raw_delta = staged.filter(F.col("family") == "r").select(
+                "doc_id", "source", "ts0", "n_tok", "blob"
+            )
+            m1_cols = [
+                "doc_id", "source", "bucket_ts", "cnt", "sum",
+                "vmin", "vmax", "first", "last",
+            ] + (["block"] if with_blocks else [])
+            m1_delta = staged.filter(F.col("family") == "m").select(*m1_cols)
+
+            rows_out["raw"] = _append_tier(
+                catalog, _above_horizon(raw_delta, "raw", "ts0"), "raw",
+                pend("raw"), batch_id,
+            )
+            if fail_after_tier == "raw":
+                raise RuntimeError("injected failure after raw append")
+            rows_out["1m"] = _append_tier(
+                catalog, _above_horizon(m1_delta, "1m", "bucket_ts"), "1m",
+                pend("1m"), batch_id,
+            )
+            if fail_after_tier == "1m":
+                raise RuntimeError("injected failure after 1m append")
+
+            # upper tiers derive from the DELTA 1m alone — per-doc keying
+            # means a late doc's 1h/1d rows are functions of its own rows
+            m1_for_up = m1_delta.drop("block") if with_blocks else m1_delta
+            h1_delta = rollup_up(m1_for_up, TIERS["1h"])
+            rows_out["1h"] = _append_tier(
+                catalog, _above_horizon(h1_delta, "1h", "bucket_ts"), "1h",
+                pend("1h"), batch_id,
+            )
+            if fail_after_tier == "1h":
+                raise RuntimeError("injected failure after 1h append")
+            rows_out["1d"] = _append_tier(
+                catalog,
+                _above_horizon(rollup_up(h1_delta, TIERS["1d"]), "1d", "bucket_ts"),
+                "1d", pend("1d"), batch_id,
+            )
+    finally:
+        if stage_fused is not None:
+            shutil.rmtree(stage_fused, ignore_errors=True)
+
+    if n_docs and (with_sketches or with_blooms or with_cms):
+        from .bloom import bloom_words, merge_words
+        from .cms import WIDTH as CMS_WIDTH, cms_counters, merge_counters
+        from .hll import hll_registers, merge_registers
+        from .sketch import merge_sketch, sketch as hdr_sketch
+
+        if sketch_kernel is None:
+            sketch_kernel = _auto_sketch_kernel(late)
+        fams = []
+        if sketch_kernel:
+            if with_sketches:
+                fams += ["p", "h"]
+            if with_blooms:
+                fams.append("b")
+            if with_cms:
+                fams.append("c")
+        psk_d = hll_d = blm_d = cms_d = None
+        stage_dir = None
+        try:
+            if fams:
+                from .kernels import SKETCH_PARTIALS_SCHEMA, sketch_partials_map_in_arrow
+
+                partials = late.select("source", "ts0", "tokens").mapInArrow(
+                    sketch_partials_map_in_arrow(60, families=tuple(fams)),
+                    SKETCH_PARTIALS_SCHEMA,
+                )
+                stage_dir = os.path.join(
+                    out_dir, f"_tmp_skpart_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                )
+                partials.write.mode("overwrite").parquet(stage_dir)
+                part_df = spark.read.parquet(stage_dir)
+                psk_d = (
+                    part_df.filter(F.col("family") == "p")
+                    .groupBy("source", "bucket_ts", F.col("bucket").alias("bucket_id"))
+                    .agg(F.sum("val").alias("cnt"))
+                )
+                hll_d = (
+                    part_df.filter(F.col("family") == "h")
+                    .groupBy("source", "bucket_ts", "bucket")
+                    .agg(F.max("val").alias("rho"))
+                )
+                blm_d = (
+                    part_df.filter(F.col("family") == "b")
+                    .groupBy("source", "bucket_ts", F.col("bucket").alias("widx"))
+                    .agg(F.bit_or("val").alias("word"))
+                )
+                cms_d = (
+                    part_df.filter(F.col("family") == "c")
+                    .groupBy(
+                        "source",
+                        "bucket_ts",
+                        (F.col("bucket") / CMS_WIDTH).cast("int").alias("ridx"),
+                        (F.col("bucket") % CMS_WIDTH).cast("int").alias("cidx"),
+                    )
+                    .agg(F.sum("val").alias("cnt"))
+                )
+            else:
+                pts = _sketch_points(late)
+                if with_sketches:
+                    psk_d = hdr_sketch(pts, ["source", "bucket_ts"], "v")
+                    hll_d = hll_registers(pts, ["source", "bucket_ts"], "v", dict_hash=True)
+                if with_blooms:
+                    blm_d = bloom_words(pts, ["source", "bucket_ts"], "v", dict_hash=True)
+                if with_cms:
+                    cms_d = cms_counters(pts, ["source", "bucket_ts"], "v", dict_hash=True)
+
+            for family, base_df, merge in (
+                ("psk", psk_d, merge_sketch),
+                ("hll", hll_d, merge_registers),
+                ("blm", blm_d, merge_words),
+                ("cms", cms_d, merge_counters),
+            ):
+                if base_df is None:
+                    continue
+                # the whole family's deltas chain off the DELTA 1m level —
+                # merging the committed tier in would double-count on read
+                delta = base_df
+                rows_out[f"{family}_1m"] = _append_tier(
+                    catalog,
+                    _above_horizon(delta, f"{family}_1m", "bucket_ts"),
+                    f"{family}_1m", pend(f"{family}_1m"), batch_id,
+                )
+                if fail_after_tier == f"{family}_1m":
+                    raise RuntimeError(f"injected failure after {family}_1m append")
+                for tier, _below, secs in SKETCH_CASCADE[family]:
+                    delta = merge_to_bucket(delta, secs, merge)
+                    rows_out[tier] = _append_tier(
+                        catalog, _above_horizon(delta, tier, "bucket_ts"),
+                        tier, pend(tier), batch_id,
+                    )
+        finally:
+            if stage_dir is not None:
+                shutil.rmtree(stage_dir, ignore_errors=True)
+
+    catalog.record(
+        "ingest", batch_id, status="ingest",
+        docs=n_docs, skipped_existing=skipped_existing,
+        sources=len(sources), tiers=len(rows_out),
+    )
+    return {
+        "docs": n_docs, "skipped_existing": skipped_existing,
+        "tiers": rows_out, "expired": expired,
+    }
