@@ -348,6 +348,100 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
         spark.stop()
 
 
+def run_ingest(cpus: int, seq_path: str, n_runs: int) -> dict:
+    """--ingest mode: the write-side payoff of APPEND-only late-data
+    absorption (jobs.ingest_append).
+
+    Splits the corpus by ingest order into a BASE (15/16) and a LATE
+    batch (1/16), commits the base cascade once, then times (warmup +
+    best-of-N, each run on a fresh copy of the base catalog):
+
+    * ``ingest_append``   — absorb the late batch (append commits only;
+      the skip-existing doc_id probe is scoped to the late batch's
+      pushed ts0 window);
+    * ``full_recascade``  — the naive alternative: re-run the whole
+      cascade over base∪late from scratch.
+
+    The walls ratio is the small-sf proxy; the scale-invariant evidence
+    is tokens processed per strategy — ingest touches O(|late|) tokens,
+    the re-cascade touches O(|corpus|), so at 100 TB with a daily 0.1%
+    straggler batch the ratio is ~1000x, not the ~16x measured here.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import ingest_append, run_cascade
+
+    spark = _fresh_session(cpus)
+    work = tempfile.mkdtemp(prefix="tersets_ingest_bench_")
+    try:
+        table = pq.read_table(seq_path)
+        n = table.num_rows
+        cut = n * 15 // 16
+        base_path = os.path.join(work, "base.parquet")
+        late_path = os.path.join(work, "late.parquet")
+        pq.write_table(table.slice(0, cut), base_path)
+        pq.write_table(table.slice(cut, n - cut), late_path)
+        late_tokens = int(
+            pq.read_table(late_path, columns=["n_tok"])["n_tok"].to_pandas().sum()
+        )
+        total_tokens = int(table["n_tok"].to_pandas().sum())
+        del table
+
+        base_cat = os.path.join(work, "base_cat")
+        os.makedirs(base_cat)
+        run_cascade(spark, base_path, base_cat, with_blocks=True, resume=False)
+
+        ingest_walls = []
+        for i in range(n_runs + 1):  # first run = warmup (codegen, cache)
+            cat_i = os.path.join(work, f"cat_{i}")
+            shutil.copytree(base_cat, cat_i)
+            t0 = time.monotonic()
+            res = ingest_append(spark, late_path, cat_i, batch_id=f"bench-{i}")
+            wall = time.monotonic() - t0
+            if i:
+                ingest_walls.append(wall)
+            assert res["docs"] == n - cut and not res["skipped_existing"]
+            # serving invariant: the appended 1h tier covers the full corpus
+            served = (
+                TierCatalog(cat_i).read_tier(spark, "1h")
+                .agg(F.sum("cnt")).head()[0]
+            )
+            assert served == total_tokens, "ingested catalog lost tokens"
+            shutil.rmtree(cat_i, ignore_errors=True)
+
+        recascade_walls = []
+        for i in range(n_runs + 1):
+            out = os.path.join(work, f"full_{i}")
+            os.makedirs(out)
+            t0 = time.monotonic()
+            run_cascade(spark, seq_path, out, with_blocks=True, resume=False)
+            if i:
+                recascade_walls.append(time.monotonic() - t0)
+            shutil.rmtree(out, ignore_errors=True)
+
+        best_ing, best_re = min(ingest_walls), min(recascade_walls)
+        return {
+            "walls_sec": {
+                "ingest_append": round(best_ing, 3),
+                "full_recascade": round(best_re, 3),
+            },
+            "all_runs_sec": {
+                "ingest_append": [round(w, 3) for w in ingest_walls],
+                "full_recascade": [round(w, 3) for w in recascade_walls],
+            },
+            "late_docs": n - cut,
+            "late_tokens": late_tokens,
+            "corpus_tokens": total_tokens,
+            "speedup": round(best_re / best_ing, 2),
+            "tokens_touched_ratio": round(total_tokens / late_tokens, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def run_default(cpus: int, seq_path: str, total_tokens: int, n_runs: int) -> dict:
     """Driver-contract default mode: one discarded warmup then best-of-N
     measured runs in a single session. The warmup absorbs worker spawn +
@@ -445,6 +539,8 @@ def main() -> None:
     parser.add_argument("--scaling", action="store_true", help="local[N] vs local[4N] protocol")
     parser.add_argument("--serving", action="store_true",
                         help="range-serving strategies: stitched vs 1m-only vs raw scan")
+    parser.add_argument("--ingest", action="store_true",
+                        help="late-batch APPEND ingest vs full re-cascade")
     parser.add_argument("--runs", type=int, default=3)
     parser.add_argument("--level", type=int, default=0, help=argparse.SUPPRESS)
     args = parser.parse_args()
@@ -482,6 +578,27 @@ def main() -> None:
             "queries": r["walls_sec"],
             "sf": sf,
             "rows_aggregated": r["rows_aggregated"],
+            "cpus": cpus,
+            "protocol": "warmup + best-of-%d" % args.runs,
+            "host_stream_melem_s": host_stream_probe(),
+            "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
+        }))
+        return
+
+    if args.ingest:
+        r = run_ingest(cpus, seq_path, args.runs)
+        print(json.dumps({
+            "metric": "late_batch_ingest",
+            "value": r["walls_sec"]["ingest_append"],
+            "unit": "sec",
+            "queries": r["walls_sec"],
+            "sf": sf,
+            "all_runs_sec": r["all_runs_sec"],
+            "late_docs": r["late_docs"],
+            "late_tokens": r["late_tokens"],
+            "corpus_tokens": r["corpus_tokens"],
+            "speedup_vs_recascade": r["speedup"],
+            "tokens_touched_ratio": r["tokens_touched_ratio"],
             "cpus": cpus,
             "protocol": "warmup + best-of-%d" % args.runs,
             "host_stream_melem_s": host_stream_probe(),

@@ -1485,8 +1485,16 @@ def ingest_append(
         ]
         if existing_dirs:
             n_before = late.count()
+            # a re-DELIVERED doc is identical content, so it carries the
+            # same ts0 — scope the dedup scan to the late batch's event
+            # window (pushed min/max prune on the time-clustered raw runs;
+            # at 100 TB this reads the overlapping days, not the corpus).
+            # A doc_id arriving with a DIFFERENT ts0 is a mutation, which
+            # this dedup deliberately does not mask.
+            lo, hi = late.agg(F.min("ts0"), F.max("ts0")).collect()[0]
             existing_ids = (
                 spark.read.option("basePath", raw_base).parquet(*existing_dirs)
+                .where(F.col("ts0").between(lo, hi))
                 .select("doc_id")
             )
             late = late.join(existing_ids, "doc_id", "left_anti")
@@ -1679,3 +1687,58 @@ def ingest_append(
         "docs": n_docs, "skipped_existing": skipped_existing,
         "tiers": rows_out, "expired": expired,
     }
+
+
+def maintain(
+    spark: SparkSession,
+    out_dir: str,
+    now_ts: int | None = None,
+    retention_policy: dict[str, int | None] | None = None,
+    compact_files: int = 1,
+    superseded_grace_sec: float = 600.0,
+) -> dict:
+    """One maintenance pass over a committed catalog — the scheduled job a
+    long-lived deployment runs between cascades (TimescaleDB's
+    retention + compression policies; Iceberg's ``expire_snapshots`` +
+    ``rewrite_data_files``), in the order the pieces compose:
+
+    1. **retention** (when ``now_ts`` is given): expire tier rows past the
+       policy horizon (:func:`apply_retention` — affected sources only).
+    2. **compaction**: fold every partition's accumulated APPEND runs
+       (streamed watermark finalizes, :func:`ingest_append` batches) and
+       small files into ``compact_files`` time-clustered files
+       (``TierCatalog.compact`` — conditional commits, so a concurrent
+       writer is never clobbered). Runs after retention so a partition is
+       not rewritten twice in one pass.
+    3. **vacuum**: physically remove superseded run dirs past the reader
+       grace window.
+
+    Every sub-step already writes its own per-partition lineage; this
+    adds one ``tier="maintain"`` summary record so operators can see each
+    pass and its totals in the manifest. All steps are idempotent and
+    resumable by construction (re-running a crashed pass re-does only
+    what is still pending). Returns
+    ``{"expired": {tier: rows}, "compacted": {tier: partitions},
+    "vacuumed": {tier: dirs}}``.
+    """
+    catalog = TierCatalog(out_dir, superseded_grace_sec=superseded_grace_sec)
+    expired: dict[str, int] = {}
+    if now_ts is not None:
+        expired = apply_retention(
+            spark, out_dir, now_ts, retention_policy,
+            superseded_grace_sec=superseded_grace_sec,
+        )
+    tiers = sorted(
+        {r["tier"] for r in catalog.metrics() if r.get("path")} - {"raw+1m"}
+    )
+    tiers = [t for t in tiers if not t.endswith("_partials")]
+    compacted = {t: catalog.compact(spark, t, max_files_per_partition=compact_files)
+                 for t in tiers}
+    vacuumed = {t: catalog.vacuum(t) for t in tiers}
+    catalog.record(
+        "maintain", str(now_ts if now_ts is not None else "-"), status="maintain",
+        expired_rows=sum(expired.values()),
+        compacted_partitions=sum(compacted.values()),
+        vacuumed_dirs=sum(vacuumed.values()),
+    )
+    return {"expired": expired, "compacted": compacted, "vacuumed": vacuumed}

@@ -215,3 +215,43 @@ def test_ingest_validation_errors(spark, corpus, tmp_path):
     os.makedirs(out)
     with pytest.raises(ValueError, match="batch_id"):
         ingest_append(spark, corpus["late"], out, batch_id="")
+
+
+def test_maintain_folds_appends_and_preserves_serving(spark, corpus, ref_catalog, tmp_path):
+    """One maintenance pass (jobs.maintain): retention -> compaction ->
+    vacuum. After two append batches, every partition folds to one run,
+    superseded dirs are physically gone, serving is unchanged, and the
+    manifest carries the pass summary."""
+    from tersets_spark.jobs import maintain
+
+    out = str(tmp_path / "cat")
+    os.makedirs(out)
+    run_cascade(spark, corpus["base"], out, with_blocks=False, **ALL_FAMS)
+    t = pq.read_table(corpus["late"])
+    late_a, late_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(t.slice(0, 50), late_a)
+    pq.write_table(t.slice(50, 50), late_b)
+    ingest_append(spark, late_a, out, batch_id="m-a")
+    ingest_append(spark, late_b, out, batch_id="m-b")
+
+    cat = TierCatalog(out, superseded_grace_sec=0.0)
+    assert any(len(r) > 1 for r in cat.current_run_lists("1m").values())
+    res = maintain(spark, out, superseded_grace_sec=0.0)
+    assert sum(res["compacted"].values()) > 0
+    for tier in ("raw", "1m", "1h", "1d", "psk_1m", "blm_1d", "cms_1h"):
+        assert all(
+            len(runs) == 1 for runs in cat.current_run_lists(tier).values()
+        ), tier
+        # vacuum physically removed everything the manifest no longer serves
+        live = {
+            os.path.join(out, tier, rel)
+            for runs in cat.current_run_lists(tier).values() for rel in runs
+        }
+        on_disk = {
+            os.path.join(out, tier, d, r)
+            for d in os.listdir(os.path.join(out, tier))
+            for r in os.listdir(os.path.join(out, tier, d))
+        }
+        assert on_disk == live, tier
+    _assert_catalogs_equivalent(spark, out, ref_catalog)
+    assert any(r["tier"] == "maintain" for r in cat.metrics())
