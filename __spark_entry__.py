@@ -1841,6 +1841,33 @@ def _q_rollup_ingest_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_ingest_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier DELTA absorption under the hash gate: a base cascade
+    materializes the psk/hll tier families for the first ~3/4 of
+    documents; the last quarter arrives late via jobs.ingest_append
+    (APPEND-only delta partials — sum-merge for psk absorbs them exactly,
+    no rewrite of committed sketch rows). Percentiles served from the
+    COMMITTED psk_1h tier (merging appended rows, like every sketch read)
+    must hash-match the one-shot DuckDB sketch over ALL documents —
+    re-aggregability AND delta absorption in one equality."""
+    from tersets_spark.jobs import ingest_append, percentiles_from_catalog, run_cascade
+    from tersets_spark.seqops import default_order_key
+    from tersets_spark.tables import ROWS_BY_SF
+
+    seq = _sequences(spark, sf_dir)
+    work = _gate_workdir("tersets_skingest_q_")
+    cutoff = ROWS_BY_SF[sf_name_from_dir(sf_dir)] * 3 // 4
+    base_path = os.path.join(work, "base.parquet")
+    late_path = os.path.join(work, "late.parquet")
+    seq.where(default_order_key() < cutoff).write.parquet(base_path)
+    seq.where(default_order_key() >= cutoff).write.parquet(late_path)
+    out = os.path.join(work, "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, base_path, out, with_blocks=False, with_sketches=True)
+    ingest_append(spark, late_path, out, batch_id="late-sk1")
+    return percentiles_from_catalog(spark, out, tier="psk_1h", keys=("source",))
+
+
 def _q_seq_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-weighted mixing WITH upsampling (seqops.upsample_mix): each
     document gets floor(rate) whole copies + one md5-gated fractional
@@ -1954,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
         "rollup_realtime_1h": _q_rollup_realtime_1h,
         "rollup_ingest_1h": _q_rollup_ingest_1h,
+        "sketch_ingest_percentiles": _q_sketch_ingest_percentiles,
         "seq_source_remix": _q_seq_source_remix,
         "seq_upsample_mix": _q_seq_upsample_mix,
         "seq_shard_stats": _q_seq_shard_stats,
@@ -2569,6 +2597,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(t.true_tokens, 0) AS BIGINT) AS true_tokens
             FROM ea e
             LEFT JOIN tr t ON t.source = e.source AND t.probe = e.probe
+        """,
+        # sketch DELTA absorption (base cascade + late APPEND ingest) must
+        # serve the SAME one-shot sketch — identical oracle as
+        # sketch_percentiles over ALL documents
+        "sketch_ingest_percentiles": f"""
+            WITH pts AS (
+                SELECT source, unnest(tokens) AS v FROM read_parquet('{seq}')
+            ),
+            sk AS (
+                SELECT source,
+                       CAST(length(bin(v)) * 32
+                            + (v >> greatest(length(bin(v)) - 5, 0)) AS BIGINT)
+                           AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT source, bucket_id,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY bucket_id) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS total
+                FROM sk
+            ),
+            q AS (SELECT unnest([50, 90, 99]) AS pct),
+            hit AS (
+                SELECT c.source, q.pct, MIN(c.bucket_id) AS bucket_id
+                FROM c CROSS JOIN q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2
+            )
+            SELECT source, CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM hit
         """,
         "sketch_percentiles": f"""
             WITH pts AS (

@@ -56,6 +56,17 @@ def main() -> None:
                         help="after the cascade, point-read every document's "
                              "values in [START, END) from the committed raw "
                              "tier and print the point count in the summary")
+    parser.add_argument("--ingest", nargs=2, default=None,
+                        metavar=("LATE_PATH", "BATCH_ID"),
+                        help="absorb a LATE batch into the committed catalog "
+                             "with APPEND-only commits (jobs.ingest_append; "
+                             "exactly-once per BATCH_ID) instead of running "
+                             "the cascade")
+    parser.add_argument("--maintain", type=int, default=None, metavar="NOW_TS",
+                        help="run one retention->compaction->vacuum pass "
+                             "(jobs.maintain) after the cascade/ingest; "
+                             "NOW_TS anchors the retention policy horizon "
+                             "(0 = compaction+vacuum only)")
     parser.add_argument("--validate", type=float, default=0.0, metavar="FRAC",
                         help="after the cascade, audit a deterministic FRAC "
                              "of doc_ids on disk (decompress round-trip + "
@@ -78,20 +89,37 @@ def main() -> None:
 
         spark = SparkSession.builder.appName("tersets-cascade").getOrCreate()
 
-    tiers = run_cascade(
-        spark,
-        args.input,
-        args.out,
-        compress_method=Method[args.method],
-        with_blocks=not args.no_blocks,
-        resume=not args.no_resume,
-        salt=args.salt,
-        with_sketches=args.sketches,
-    )
-    summary = {
-        "tiers": tiers,
-        "partitions_done": len(TierCatalog(args.out).metrics()),
-    }
+    if args.ingest:
+        from tersets_spark.jobs import ingest_append
+
+        late_path, batch_id = args.ingest
+        ingest_res = ingest_append(spark, late_path, args.out, batch_id,
+                                   compress_method=Method[args.method])
+        summary = {
+            "ingest": ingest_res,
+            "partitions_done": len(TierCatalog(args.out).metrics()),
+        }
+    else:
+        tiers = run_cascade(
+            spark,
+            args.input,
+            args.out,
+            compress_method=Method[args.method],
+            with_blocks=not args.no_blocks,
+            resume=not args.no_resume,
+            salt=args.salt,
+            with_sketches=args.sketches,
+        )
+        summary = {
+            "tiers": tiers,
+            "partitions_done": len(TierCatalog(args.out).metrics()),
+        }
+    if args.maintain is not None:
+        from tersets_spark.jobs import maintain
+
+        summary["maintain"] = maintain(
+            spark, args.out, now_ts=args.maintain if args.maintain > 0 else None
+        )
     if args.serve_range:
         from tersets_spark.jobs import range_aggregate_from_catalog
 
