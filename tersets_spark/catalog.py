@@ -37,6 +37,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class TierCatalog:
@@ -353,6 +354,7 @@ class TierCatalog:
         tier: str,
         partitions: list[str] | None = None,
         max_files_per_partition: int = 1,
+        range_partition: bool = False,
     ) -> int:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
         each partition's CURRENT run into ``max_files_per_partition`` files
@@ -391,9 +393,22 @@ class TierCatalog:
             # appended partitions compact once they hold multiple runs OR
             # too many files — the rewrite folds every live run into ONE
             # replace commit (Iceberg rewrite_data_files over appends)
-            if n_files <= max_files_per_partition and len(run_dirs) == 1:
+            if (not range_partition
+                    and n_files <= max_files_per_partition and len(run_dirs) == 1):
                 continue
-            df = spark.read.parquet(*run_dirs).coalesce(max_files_per_partition)
+            df = spark.read.parquet(*run_dirs)
+            key = "ts0" if "ts0" in df.columns else (
+                "bucket_ts" if "bucket_ts" in df.columns else None
+            )
+            if range_partition and max_files_per_partition > 1 and key:
+                # time-DISJOINT files (Iceberg sort-ordered rewrite): each
+                # output file covers its own time range, so a later
+                # file-level retention pass (apply_retention) drops whole
+                # expired files and rewrites at most the one straddler —
+                # DELETE WHERE ts < h becomes churn-bounded
+                df = df.repartitionByRange(max_files_per_partition, F.col(key))
+            else:
+                df = df.coalesce(max_files_per_partition)
             t0 = time.monotonic()
             rel_new, dest = self._new_run_dir(tier, part)
             # compaction re-establishes the time clustering that interleaved

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import TierCatalog, cluster_for_scan, tier_writer
+from .catalog import _dir_bytes as _catalog_dir_bytes
 from .methods import Method
 from .rollup import (
     TIERS,
@@ -645,12 +646,48 @@ def frequency_estimates_from_catalog(
 DEFAULT_RETENTION = {"raw": 7 * 86400, "1m": 30 * 86400, "1h": 365 * 86400, "1d": None}
 
 
+def _parquet_file_ts_range(path: str, col: str) -> tuple[int, int] | None:
+    """(min, max) of ``col`` across a parquet file's row-group statistics,
+    or None when any row group lacks them (the caller must then treat the
+    file as straddling — conservative, never wrong)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        found = False
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema == col:
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+                found = True
+                break
+        if not found:
+            return None
+    return None if lo is None else (int(lo), int(hi))
+
+
+def _link_or_copy(src: str, dest: str) -> None:
+    import shutil
+
+    try:
+        os.link(src, dest)
+    except OSError:  # cross-device / fs without hardlinks
+        shutil.copy2(src, dest)
+
+
 def apply_retention(
     spark: SparkSession,
     out_dir: str,
     now_ts: int,
     policy: dict[str, int | None] | None = None,
     superseded_grace_sec: float = 600.0,
+    file_level: bool = True,
 ) -> dict[str, int]:
     """Expire tier data older than the policy's horizon, per tier.
 
@@ -660,15 +697,32 @@ def apply_retention(
     1. one aggregation computes per-source expired-row counts (this is also
        the lineage: each affected source gets a ``status=retention``
        manifest record with its dropped count);
-    2. one partitioned write rewrites ONLY the affected sources without
-       their expired rows; each rewritten partition directory is then
-       swapped in atomically, and partitions whose data expired entirely
+    2. one partitioned write rewrites the affected sources' rows that
+       actually need rewriting; each new run directory is then committed
+       through the manifest, and partitions whose data expired entirely
        are deleted.
+
+    ``file_level=True`` (default) makes step 2 CHURN-BOUNDED, the
+    plain-parquet analog of Iceberg's metadata ``DELETE WHERE ts < h``
+    over a sort-ordered table: each affected source's current files are
+    classified by their row-group time statistics — files wholly below
+    the horizon are DROPPED (never read), files wholly at/above it are
+    HARD-LINKED into the new run (no data movement; on an object store
+    this is the manifest re-reference Iceberg does), and only files
+    STRADDLING the horizon are rewritten, in one Spark job for all
+    sources (source recovered from the run path). On a catalog compacted
+    with ``range_partition=True`` (time-disjoint files) the rewrite
+    touches exactly one file per source per pass — retention cost is
+    proportional to data churn, not partition size. Files without usable
+    statistics are conservatively treated as straddling, which degrades
+    to the old full rewrite, never to wrong data. ``file_level=False``
+    keeps the plain full-partition rewrite (the bit-identical twin the
+    tests compare against).
 
     The previous design ran a count + rewrite job per partition from a
     driver loop — at thousands of (source x tier) partitions the driver
     serializes the cluster. On Iceberg proper this whole function is a
-    metadata ``DELETE WHERE ts < horizon``; the two-job shape here is the
+    metadata ``DELETE WHERE ts < horizon``; the shape here is the
     plain-parquet equivalent with the same per-partition lineage.
 
     Scale note: both jobs filter on the time axis — a pushed-down min/max
@@ -707,13 +761,99 @@ def apply_retention(
             dropped[tier] = 0
             continue
         affected = sorted(expired)
-        # job 2: one partitioned rewrite of only the affected sources
+        if file_level:
+            # churn-bounded step 2: classify each affected source's current
+            # files by row-group time stats — drop / hard-link / rewrite
+            run_lists = catalog.current_run_lists(tier)
+            plans: dict[str, tuple[list[str], list[str], int]] = {}
+            all_straddle: list[str] = []
+            for src in affected:
+                files: list[str] = []
+                for rel in run_lists.get(src, []):
+                    rd = os.path.join(out_dir, tier, rel)
+                    files += [
+                        os.path.join(rd, f) for f in sorted(os.listdir(rd))
+                        if f.endswith(".parquet") and not f.startswith("_")
+                    ]
+                keep: list[str] = []
+                straddle: list[str] = []
+                drop_n = 0
+                for f in files:
+                    rng = _parquet_file_ts_range(f, ts_col)
+                    if rng is not None and rng[1] < horizon:
+                        drop_n += 1  # wholly expired: never read, never copied
+                    elif rng is not None and rng[0] >= horizon:
+                        keep.append(f)  # wholly kept: re-referenced, not rewritten
+                    else:
+                        straddle.append(f)  # straddles (or no stats): rewrite
+                plans[src] = (keep, straddle, drop_n)
+                all_straddle += straddle
+            tmp_dir = os.path.join(
+                out_dir, f"_retention_{tier}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+            )
+            if all_straddle:
+                # ONE job for every source's straddlers; the owning source
+                # is recovered from the run path (partitionBy-written files
+                # do not carry the column)
+                sdf = spark.read.parquet(*all_straddle).withColumn(
+                    "source",
+                    F.regexp_extract(F.input_file_name(), r"source=([^/]+)/", 1),
+                ).filter(F.col(ts_col) >= horizon)
+                (
+                    tier_writer(sdf, "source").mode("overwrite")
+                    .partitionBy("source").parquet(tmp_dir)
+                )
+            for src in affected:
+                keep, straddle, drop_n = plans[src]
+                rel_new, dest = catalog._new_run_dir(tier, src)
+                os.makedirs(dest, exist_ok=True)
+                n_out = 0
+                tmp_part = os.path.join(tmp_dir, f"source={src}")
+                if straddle and os.path.exists(tmp_part):
+                    for f in sorted(os.listdir(tmp_part)):
+                        if f.endswith(".parquet") and not f.startswith("_"):
+                            os.rename(
+                                os.path.join(tmp_part, f),
+                                os.path.join(dest, f"rw-{n_out:05d}-{f}"),
+                            )
+                            n_out += 1
+                for i, f in enumerate(keep):
+                    _link_or_copy(
+                        f, os.path.join(dest, f"keep-{i:05d}-{os.path.basename(f)}")
+                    )
+                    n_out += 1
+                if n_out == 0:  # every row of this source expired
+                    os.rmdir(dest)
+                    catalog.delete_partition(
+                        tier, src, status="retention",
+                        dropped_rows=expired[src], horizon_ts=horizon,
+                    )
+                else:
+                    catalog.record(
+                        tier, src, status="retention", path=rel_new,
+                        bytes_out=_catalog_dir_bytes(dest),
+                        dropped_rows=expired[src], horizon_ts=horizon,
+                        files_linked=len(keep), files_rewritten=len(straddle),
+                        files_dropped=drop_n,
+                    )
+                    if catalog.auto_vacuum:
+                        catalog.vacuum(tier, partitions=[src])
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            dropped[tier] = sum(expired.values())
+            continue
+        # job 2 (full-rewrite twin): one partitioned rewrite of the
+        # affected sources, minus their expired rows
         tmp_dir = os.path.join(
             out_dir, f"_retention_{tier}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
         )
         (
-            tier_df.filter(F.col("source").isin(affected) & (F.col(ts_col) >= horizon))
-            .write.mode("overwrite")
+            tier_writer(
+                tier_df.filter(
+                    F.col("source").isin(affected) & (F.col(ts_col) >= horizon)
+                ),
+                "source",
+            )
+            .mode("overwrite")
             .partitionBy("source")
             .parquet(tmp_dir)
         )
@@ -1695,6 +1835,7 @@ def maintain(
     now_ts: int | None = None,
     retention_policy: dict[str, int | None] | None = None,
     compact_files: int = 1,
+    compact_range: bool = False,
     superseded_grace_sec: float = 600.0,
 ) -> dict:
     """One maintenance pass over a committed catalog — the scheduled job a
@@ -1712,6 +1853,12 @@ def maintain(
        not rewritten twice in one pass.
     3. **vacuum**: physically remove superseded run dirs past the reader
        grace window.
+
+    ``compact_range=True`` (with ``compact_files > 1``) lays each
+    partition out as time-DISJOINT files (``repartitionByRange`` on the
+    tier's time column), which is what makes the NEXT retention pass
+    churn-bounded: wholly-expired files drop, wholly-kept files re-link,
+    only the straddler rewrites (see ``apply_retention(file_level=...)``).
 
     Every sub-step already writes its own per-partition lineage; this
     adds one ``tier="maintain"`` summary record so operators can see each
@@ -1732,8 +1879,13 @@ def maintain(
         {r["tier"] for r in catalog.metrics() if r.get("path")} - {"raw+1m"}
     )
     tiers = [t for t in tiers if not t.endswith("_partials")]
-    compacted = {t: catalog.compact(spark, t, max_files_per_partition=compact_files)
-                 for t in tiers}
+    compacted = {
+        t: catalog.compact(
+            spark, t, max_files_per_partition=compact_files,
+            range_partition=compact_range,
+        )
+        for t in tiers
+    }
     vacuumed = {t: catalog.vacuum(t) for t in tiers}
     catalog.record(
         "maintain", str(now_ts if now_ts is not None else "-"), status="maintain",
