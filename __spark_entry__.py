@@ -1841,6 +1841,31 @@ def _q_rollup_ingest_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_retention_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention expiry under the hash gate (jobs.apply_retention, the
+    churn-bounded file-level path that is now the default): a committed
+    cascade is trimmed to a fixed mid-range event-time horizon on the 1h
+    tier; the post-retention tier must hash-match the batch oracle over
+    ONLY the unexpired buckets — expiry is exact row-level event-time
+    semantics, whether a file was dropped whole, re-linked whole, or had
+    its straddling rows rewritten."""
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import apply_retention, run_cascade
+
+    seq_path = ensure_sequences(sf_name_from_dir(sf_dir))
+    work = _gate_workdir("tersets_retention_q_")
+    out = os.path.join(work, "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, seq_path, out, with_blocks=False)
+    # fixed absolute horizon: RETENTION_Q_NOW - keep = 1_700_040_000 (data
+    # spans ~[1.7e9, 1.7e9 + 1 day]; mid-range so both sides are non-empty)
+    apply_retention(spark, out, 1_700_070_000, {"1h": 30_000})
+    served = TierCatalog(out).read_tier(spark, "1h")
+    return with_mean(served).select(
+        "doc_id", "source", "bucket_ts", "cnt", "sum", "vmin", "vmax", "first", "last", "mean"
+    )
+
+
 def _q_sketch_ingest_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier DELTA absorption under the hash gate: a base cascade
     materializes the psk/hll tier families for the first ~3/4 of
@@ -1982,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_realtime_1h": _q_rollup_realtime_1h,
         "rollup_ingest_1h": _q_rollup_ingest_1h,
         "sketch_ingest_percentiles": _q_sketch_ingest_percentiles,
+        "rollup_retention_1h": _q_rollup_retention_1h,
         "seq_source_remix": _q_seq_source_remix,
         "seq_upsample_mix": _q_seq_upsample_mix,
         "seq_shard_stats": _q_seq_shard_stats,
@@ -3181,6 +3207,10 @@ def oracle_sql() -> dict[str, str]:
         # late-data APPEND ingest must also equal a full re-run, bitwise
         "rollup_ingest_1h": f"WITH pts AS ({pts}) "
         + rollup.format(d=3600, where=""),
+        # retention expiry: exactly the unexpired buckets survive
+        "rollup_retention_1h": f"WITH pts AS ({pts}) " + rollup.format(
+            d=3600, where="WHERE (ts // 3600) * 3600 >= 1700040000"
+        ),
         # remix: the oracle re-derives the integer thresholds itself
         # (HUGEINT cross-multiplied argmin + integer division) and replays
         # the md5 gate — threshold derivation and gating, end to end

@@ -1836,6 +1836,7 @@ def maintain(
     retention_policy: dict[str, int | None] | None = None,
     compact_files: int = 1,
     compact_range: bool = False,
+    fold_sketches: bool = True,
     superseded_grace_sec: float = 600.0,
 ) -> dict:
     """One maintenance pass over a committed catalog — the scheduled job a
@@ -1853,6 +1854,14 @@ def maintain(
        not rewritten twice in one pass.
     3. **vacuum**: physically remove superseded run dirs past the reader
        grace window.
+
+    ``fold_sketches=True`` (default) additionally SEMANTICALLY compacts
+    the sketch families before the file compaction: the duplicate
+    (source, bucket, id) delta rows that APPEND commits accumulate (one
+    per ingest batch / stream finalize) are merged back to one row per
+    key with the family's own combine — bounding sketch tier size by the
+    key universe again instead of growing with ingest count. Committed
+    through the same conditional guard as compaction.
 
     ``compact_range=True`` (with ``compact_files > 1``) lays each
     partition out as time-DISJOINT files (``repartitionByRange`` on the
@@ -1879,6 +1888,15 @@ def maintain(
         {r["tier"] for r in catalog.metrics() if r.get("path")} - {"raw+1m"}
     )
     tiers = [t for t in tiers if not t.endswith("_partials")]
+    sketch_tiers = [
+        t for t in tiers if t.split("_", 1)[0] in ("psk", "hll", "blm", "cms")
+    ]
+    folded: dict[str, int] = {}
+    if fold_sketches:
+        # semantic compaction FIRST: merge the delta rows APPEND commits
+        # accumulated, then the file compaction below skips the partitions
+        # the fold already rewrote to one run/one file
+        folded = {t: _fold_sketch_tier(spark, catalog, t) for t in sketch_tiers}
     compacted = {
         t: catalog.compact(
             spark, t, max_files_per_partition=compact_files,
@@ -1890,7 +1908,71 @@ def maintain(
     catalog.record(
         "maintain", str(now_ts if now_ts is not None else "-"), status="maintain",
         expired_rows=sum(expired.values()),
+        folded_partitions=sum(folded.values()),
         compacted_partitions=sum(compacted.values()),
         vacuumed_dirs=sum(vacuumed.values()),
     )
-    return {"expired": expired, "compacted": compacted, "vacuumed": vacuumed}
+    return {"expired": expired, "folded": folded,
+            "compacted": compacted, "vacuumed": vacuumed}
+
+
+#: family prefix -> (merge fn import path is resolved lazily), tier seconds
+_SKETCH_TIER_SECS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def _fold_sketch_tier(spark: SparkSession, catalog: TierCatalog, tier: str) -> int:
+    """Semantic compaction of one sketch tier: merge duplicate
+    (source, bucket, id) rows that APPEND commits accumulate (one delta
+    row per ingest batch / stream finalize) back into a single row per
+    key — the same combine every serving read applies, materialized.
+    Committed per source through the SAME conditional-commit guard as
+    file compaction, so a concurrent writer is never clobbered. Returns
+    partitions rewritten."""
+    import shutil
+
+    from .bloom import merge_words
+    from .cms import merge_counters
+    from .hll import merge_registers
+    from .sketch import merge_sketch
+
+    merges = {"psk": merge_sketch, "hll": merge_registers,
+              "blm": merge_words, "cms": merge_counters}
+    fam, _, level = tier.partition("_")
+    merge = merges.get(fam)
+    secs = _SKETCH_TIER_SECS.get(level)
+    if merge is None or secs is None:
+        raise ValueError(f"not a sketch tier: {tier!r}")
+    guards = catalog.current_runs(tier)  # src -> last live rel (the guard)
+    if not any(guards.values()):
+        return 0
+    folded = merge_to_bucket(catalog.read_tier(spark, tier), secs, merge)
+    tmp_dir = os.path.join(
+        catalog.base_dir, f"_tmp_fold_{tier}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+    (
+        tier_writer(folded, "source").mode("overwrite")
+        .partitionBy("source").parquet(tmp_dir)
+    )
+    rewritten = 0
+    for src, guard in sorted(guards.items()):
+        if guard is None:
+            continue
+        tmp_part = os.path.join(tmp_dir, f"source={src}")
+        if not os.path.exists(tmp_part):
+            continue
+        rel_new, dest = catalog._new_run_dir(tier, src)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(tmp_part, dest)
+        rows = pa_ds.dataset(dest, format="parquet").count_rows()
+        ok = catalog.record_if_current(
+            tier, src, guard, path=rel_new, rows=rows,
+            bytes_out=_catalog_dir_bytes(dest), folded=True,
+        )
+        if not ok:  # concurrent writer superseded the guard: abandon
+            shutil.rmtree(dest, ignore_errors=True)
+            continue
+        if catalog.auto_vacuum:
+            catalog.vacuum(tier, partitions=[src])
+        rewritten += 1
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return rewritten

@@ -238,6 +238,14 @@ def test_maintain_folds_appends_and_preserves_serving(spark, corpus, ref_catalog
     assert any(len(r) > 1 for r in cat.current_run_lists("1m").values())
     res = maintain(spark, out, superseded_grace_sec=0.0)
     assert sum(res["compacted"].values()) > 0
+    # sketch fold: the two batches' delta rows merged back to 1 row/key —
+    # physical row counts equal the single-cascade reference again
+    assert sum(res["folded"].values()) > 0
+    for tier in ("psk_1m", "hll_1h", "blm_1m", "cms_1d"):
+        assert (
+            cat.read_tier(spark, tier).count()
+            == TierCatalog(ref_catalog).read_tier(spark, tier).count()
+        ), tier
     for tier in ("raw", "1m", "1h", "1d", "psk_1m", "blm_1d", "cms_1h"):
         assert all(
             len(runs) == 1 for runs in cat.current_run_lists(tier).values()
