@@ -1976,3 +1976,53 @@ def _fold_sketch_tier(spark: SparkSession, catalog: TierCatalog, tier: str) -> i
         rewritten += 1
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return rewritten
+
+
+def serve(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    doc_ids: list[str] | None = None,
+    step: int | None = None,
+    strategy: str = "locf",
+    k: int | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """ONE serving entry point over a committed catalog — routes an
+    event-time ``[start, end)`` read to the strategy its shape implies,
+    so a consumer does not have to know the tier layout:
+
+    * ``doc_ids`` given  -> :func:`read_doc_range` — exact per-document
+      points of those series (blob decode+slice in-kernel; pushed
+      ``doc_id IN`` + ``ts0`` bounds).
+    * ``k`` given        -> :func:`overview_from_catalog` — k-point LTTB
+      dashboard overview from the coarsest tier with enough resolution.
+    * ``step`` given     -> :func:`range_gapfill_from_catalog` — fixed
+      step-aligned grid with ``strategy`` fill (locf/linear/null), served
+      from the coarsest tier dividing ``step``.
+    * otherwise          -> :func:`range_aggregate_from_catalog` — exact
+      per-source aggregate, stitched from the coarsest aligned tier
+      segments with raw-edge decode for sub-minute endpoints.
+
+    The shape selectors are mutually exclusive (raises ``ValueError`` on
+    ambiguity); ``as_of`` pins every variant to one manifest snapshot.
+    Each underlying path enforces its own retention-horizon guard, so a
+    request older than what the chosen tier retains fails fast instead
+    of silently under-reporting.
+    """
+    chosen = [name for name, v in
+              (("doc_ids", doc_ids), ("k", k), ("step", step)) if v is not None]
+    if len(chosen) > 1:
+        raise ValueError(
+            f"serve: selectors are mutually exclusive, got {chosen}"
+        )
+    if doc_ids is not None:
+        return read_doc_range(spark, out_dir, start, end, doc_ids, as_of=as_of)
+    if k is not None:
+        return overview_from_catalog(spark, out_dir, start, end, k, as_of=as_of)
+    if step is not None:
+        return range_gapfill_from_catalog(
+            spark, out_dir, start, end, step, strategy=strategy, as_of=as_of
+        )
+    return range_aggregate_from_catalog(spark, out_dir, start, end, as_of=as_of)

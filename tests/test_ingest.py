@@ -263,3 +263,38 @@ def test_maintain_folds_appends_and_preserves_serving(spark, corpus, ref_catalog
         assert on_disk == live, tier
     _assert_catalogs_equivalent(spark, out, ref_catalog)
     assert any(r["tier"] == "maintain" for r in cat.metrics())
+
+
+def test_serve_router_dispatches_to_each_strategy(spark, corpus, tmp_path):
+    """jobs.serve: one entry point; each shape equals its direct call."""
+    from tersets_spark.jobs import (
+        overview_from_catalog,
+        range_aggregate_from_catalog,
+        range_gapfill_from_catalog,
+        read_doc_range,
+        serve,
+    )
+
+    out = str(tmp_path / "cat")
+    os.makedirs(out)
+    run_cascade(spark, corpus["full"], out, with_blocks=False)
+    seq = spark.read.parquet(corpus["full"])
+    lo, hi = seq.agg(F.min("ts0"), F.max(F.col("ts0") + F.col("n_tok"))).collect()[0]
+    start = (int(lo) // 3600) * 3600 + 3600
+    end = start + 6 * 3600
+    some_docs = [r["doc_id"] for r in seq.limit(3).collect()]
+
+    pairs = [
+        (serve(spark, out, start, end),
+         range_aggregate_from_catalog(spark, out, start, end)),
+        (serve(spark, out, start, end, step=3600),
+         range_gapfill_from_catalog(spark, out, start, end, 3600)),
+        (serve(spark, out, start, end, k=16),
+         overview_from_catalog(spark, out, start, end, 16)),
+        (serve(spark, out, start, end, doc_ids=some_docs),
+         read_doc_range(spark, out, start, end, some_docs)),
+    ]
+    for got, want in pairs:
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        serve(spark, out, start, end, step=3600, k=16)
