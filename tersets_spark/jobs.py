@@ -2026,3 +2026,163 @@ def serve(
             spark, out_dir, start, end, step, strategy=strategy, as_of=as_of
         )
     return range_aggregate_from_catalog(spark, out_dir, start, end, as_of=as_of)
+
+
+def validate_ingest(
+    spark: SparkSession,
+    sequences_path: str,
+    out_dir: str,
+    since: int,
+) -> dict[str, dict[str, int]]:
+    """CHURN-BOUNDED audit: verify only what APPEND commits added after
+    manifest snapshot ``since`` — the consumer-side companion of
+    :func:`ingest_append` and the streamed watermark finalize. A 100 TB
+    catalog cannot re-audit everything after every daily batch;
+    ``validate_tiers`` bounds cost by ``sample_frac`` (a fraction of the
+    whole catalog), this bounds it by the CHURN (all of the new data,
+    none of the old).
+
+    * **core tiers** — post-``since`` append runs are per-doc rows: each
+      tier's new rows are recomputed from the original sequences of
+      exactly those doc_ids (semi-join; the corpus scan prunes to the
+      appended docs) and compared value-exact, the same invariants as
+      ``validate_tiers``.
+    * **sketch tiers** — the new delta rows' (source, bucket) keys are
+      re-merged from the FULL tier and compared against an exact merge of
+      the full tier below, restricted to those keys — both scans push the
+      bucket predicates into time-clustered files, so cost is bounded by
+      the touched buckets, not the tier.
+
+    REPLACE commits (retention, compaction, delete) are deliberately out
+    of scope — they rewrite history that this audit treats as already
+    audited; run ``validate_tiers`` for whole-catalog assurance. Returns
+    ``{tier: {"checked": n, "mismatches": m}}`` over the touched tiers.
+    """
+    from .kernels import safe_decompress_tokens_udf
+
+    ensure_shipped(spark)
+    catalog = TierCatalog(out_dir, superseded_grace_sec=600.0)
+    recs = catalog.metrics()
+    new_runs: dict[str, list[str]] = {}
+    for rec in recs[since:]:
+        if rec.get("status") == "append" and rec.get("path"):
+            new_runs.setdefault(rec["tier"], []).append(rec["path"])
+    # drop runs a later REPLACE/compaction superseded (their dirs may be
+    # vacuumed); the rewrite that folded them is out of scope by contract
+    live: dict[str, list[str]] = {}
+    for tier, rels in new_runs.items():
+        current = {
+            r for runs in catalog.current_run_lists(tier).values() for r in runs
+        }
+        keep = [r for r in rels if r in current]
+        if keep:
+            live[tier] = keep
+    report: dict[str, dict[str, int]] = {}
+    if not live:
+        return report
+    seq = spark.read.parquet(sequences_path)
+
+    def _read_runs(tier: str) -> DataFrame:
+        base = os.path.join(out_dir, tier)
+        dirs = [os.path.join(base, rel) for rel in live[tier]]
+        return spark.read.option("basePath", base).parquet(*dirs).drop("run")
+
+    # core tiers: per-doc recompute of exactly the appended docs
+    if "raw" in live:
+        raw = _read_runs("raw").select("doc_id", "blob")
+        j = raw.join(seq.select("doc_id", "tokens"), "doc_id", "left")
+        bad = (
+            F.col("tokens").isNull()
+            | ~safe_decompress_tokens_udf(F.col("blob")).eqNullSafe(F.col("tokens"))
+        )
+        row = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("m"),
+        ).collect()[0]
+        report["raw"] = {"checked": int(row["n"]), "mismatches": int(row["m"] or 0)}
+    core_pairs = []
+    if "1m" in live:
+        core_pairs.append(("1m", None))
+    for tier, below in (("1h", "1m"), ("1d", "1h")):
+        if tier in live:
+            core_pairs.append((tier, below))
+    horizon = _retention_horizons(catalog)
+    for tier, below in core_pairs:
+        actual = _read_runs(tier)
+        if "block" in actual.columns:
+            actual = actual.drop("block")
+        docs = actual.select("doc_id").distinct()
+        seq_docs = seq.join(docs, "doc_id", "left_semi")
+        expected = rollup_raw(seq_docs, TIERS["1m"])
+        if tier != "1m":
+            expected = rollup_up(expected, TIERS["1h"])
+        if tier == "1d":
+            expected = rollup_up(expected, TIERS["1d"])
+        # ingest_append excluded rows at/below an applied retention horizon
+        # — the recompute must exclude them too, or they read as missing
+        if tier in horizon:
+            expected = expected.where(F.col("bucket_ts") >= horizon[tier])
+        n, m = _mismatch_counts(actual, expected)
+        report[tier] = {"checked": n, "mismatches": m}
+
+    # sketch tiers: bucket-scoped merged comparison against the tier below
+    from .bloom import merge_words
+    from .cms import merge_counters
+    from .hll import merge_registers
+    from .sketch import merge_sketch
+
+    fam_specs = {
+        "psk": (merge_sketch, ("bucket_id",), "cnt"),
+        "hll": (merge_registers, ("bucket",), "rho"),
+        "blm": (merge_words, ("widx",), "word"),
+        "cms": (merge_counters, ("ridx", "cidx"), "cnt"),
+    }
+    for tier in sorted(live):
+        fam, _, level = tier.partition("_")
+        if fam not in fam_specs:
+            continue
+        merge, id_cols, val_col = fam_specs[fam]
+        secs = _SKETCH_TIER_SECS[level]
+        keys_df = _read_runs(tier).select("source", "bucket_ts").distinct()
+        if level == "1m":
+            # finest sketch level: recompute the touched buckets from the
+            # original sequences of their sources' points in-range
+            lohi = keys_df.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+            pts = _sketch_points(seq).where(
+                F.col("bucket_ts").between(int(lohi[0]), int(lohi[1]))
+            )
+            if fam == "psk":
+                from .sketch import sketch as hdr_sketch
+
+                expected = hdr_sketch(pts, ["source", "bucket_ts"], "v")
+            elif fam == "hll":
+                from .hll import hll_registers
+
+                expected = hll_registers(pts, ["source", "bucket_ts"], "v",
+                                         dict_hash=True)
+            elif fam == "blm":
+                from .bloom import bloom_words
+
+                expected = bloom_words(pts, ["source", "bucket_ts"], "v",
+                                       dict_hash=True)
+            else:
+                from .cms import cms_counters
+
+                expected = cms_counters(pts, ["source", "bucket_ts"], "v",
+                                        dict_hash=True)
+        else:
+            below = f"{fam}_" + {"1h": "1m", "1d": "1h"}[level]
+            expected = merge_to_bucket(catalog.read_tier(spark, below), secs, merge)
+        actual = merge_to_bucket(catalog.read_tier(spark, tier), secs, merge)
+        keys = ["source", "bucket_ts", *id_cols]
+        a = actual.join(keys_df, ["source", "bucket_ts"], "left_semi").select(
+            *keys, F.col(val_col).alias("_a"))
+        e = expected.join(keys_df, ["source", "bucket_ts"], "left_semi").select(
+            *keys, F.col(val_col).alias("_e"))
+        j = a.join(e, keys, "full_outer")
+        row = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~F.col("_a").eqNullSafe(F.col("_e")), 1).otherwise(0)).alias("m"),
+        ).collect()[0]
+        report[tier] = {"checked": int(row["n"]), "mismatches": int(row["m"] or 0)}
+    return report

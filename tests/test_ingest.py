@@ -298,3 +298,50 @@ def test_serve_router_dispatches_to_each_strategy(spark, corpus, tmp_path):
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     with pytest.raises(ValueError, match="mutually exclusive"):
         serve(spark, out, start, end, step=3600, k=16)
+
+
+def test_validate_ingest_is_churn_bounded(spark, corpus, tmp_path):
+    """validate_ingest audits ONLY post-snapshot appends: the late batch's
+    rows check exactly; a tampered appended run is caught; a tampered
+    pre-snapshot run is out of scope (validate_tiers' job)."""
+    import shutil
+
+    from tersets_spark.jobs import validate_ingest
+
+    out = str(tmp_path / "cat")
+    os.makedirs(out)
+    run_cascade(spark, corpus["base"], out, with_blocks=False, **ALL_FAMS)
+    cat = TierCatalog(out)
+    s0 = cat.snapshot()
+
+    def _tamper(rel):
+        run_dir = os.path.join(out, "1h", rel)
+        df = spark.read.parquet(run_dir)
+        tmp = str(tmp_path / f"tamper_{rel.replace('/', '_')}")
+        (df.withColumn("sum", F.col("sum") + 1)
+           .coalesce(1).write.mode("overwrite").parquet(tmp))
+        shutil.rmtree(run_dir)
+        os.rename(tmp, run_dir)
+
+    # tamper a PRE-snapshot 1h run first: incremental audit must not see it
+    base_rel = next(r["path"] for r in cat.metrics()
+                    if r["tier"] == "1h" and r.get("path"))
+    _tamper(base_rel)
+
+    ingest_append(spark, corpus["late"], out, batch_id="vi")
+    rep = validate_ingest(spark, corpus["full"], out, since=s0)
+    assert rep and all(v["mismatches"] == 0 for v in rep.values()), rep
+    assert rep["raw"]["checked"] == 100  # exactly the appended docs
+    assert 0 < rep["1m"]["checked"] < cat.read_tier(spark, "1m").count()
+    assert "psk_1h" in rep and "cms_1d" in rep and "blm_1m" in rep
+
+    # tamper an APPENDED 1h run: caught
+    app_rel = next(r["path"] for r in cat.metrics()
+                   if r["tier"] == "1h" and r.get("status") == "append"
+                   and r.get("path"))
+    _tamper(app_rel)
+    rep2 = validate_ingest(spark, corpus["full"], out, since=s0)
+    assert rep2["1h"]["mismatches"] > 0
+
+    # nothing appended after `since` -> empty report, zero Spark work
+    assert validate_ingest(spark, corpus["full"], out, since=cat.snapshot()) == {}
