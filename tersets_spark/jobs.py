@@ -1578,6 +1578,13 @@ def ingest_append(
         raise ValueError("ingest_append requires a non-empty string batch_id")
     ensure_shipped(spark)
     catalog = TierCatalog(out_dir, superseded_grace_sec=600.0)
+    # sweep staging a KILLED ingest/cascade left behind (same PID-scoped
+    # rule as run_cascade: only dirs whose writer process is gone)
+    for entry in os.listdir(out_dir):
+        if entry.startswith(("_tmp_", "_retention_")) and not _writer_alive(entry):
+            import shutil as _sh
+
+            _sh.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     recs = catalog.metrics()
     if any(
         r["tier"] == "ingest" and r["partition"] == batch_id and r.get("status") == "ingest"
