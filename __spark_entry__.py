@@ -1941,6 +1941,56 @@ def _q_seq_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter rate over the 1h tier (rollup.counter_rate):
+    per-series delta / reset-corrected increase / per-second rate between
+    consecutive buckets, with TRUE elapsed seconds on sparse series. One
+    JVM lag() window keyed by the tier's own layout key (doc_id, source);
+    the oracle replays the identical window in SQL — exact longs in,
+    bit-stable long/long->double division out."""
+    from tersets_spark.rollup import counter_rate
+
+    seq = _sequences(spark, sf_dir)
+    h1 = rollup_up(rollup_raw(seq, TIERS["1m"]), TIERS["1h"])
+    return counter_rate(h1, value_col="last").select(
+        "doc_id", "source", "bucket_ts", "value", "delta", "increase",
+        "elapsed", "rate",
+    )
+
+
+def _q_overview_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 pixel-exact overview (downsample.m4_points, Jugel et al. VLDB'14):
+    the per-source 1m total-tokens series squeezed into 48 pixel buckets,
+    keeping each bucket's first/last/min/max points — error-free per pixel
+    column and, unlike LTTB's sequential sweep, a plain hash aggregation
+    with map-side combine. Tie-breaks are lexicographic (value, ts) /
+    (ts, value) struct compares, which DuckDB's row() min/max replays
+    exactly."""
+    from tersets_spark.downsample import m4_points
+
+    seq = _sequences(spark, sf_dir)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    series = m1.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("v")
+    )
+    lo, hi = series.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    return m4_points(
+        series, ["source"], "bucket_ts", "v", int(lo), int(hi) + 60, k=48
+    )
+
+
+def _q_token_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed heavy hitters (seqops.windowed_token_topk): exact top-5
+    token ids per (source, event-time hour) with window totals — the
+    trending-tokens serving read and the exact companion of the CMS
+    frequency tiers. Explode + partial agg (shuffle bounded by sources x
+    windows x vocab), rank window per at-most-vocab-sized group, total
+    (cnt DESC, token ASC) order so the row set is deterministic."""
+    from tersets_spark.seqops import windowed_token_topk
+
+    return windowed_token_topk(_sequences(spark, sf_dir), k=5, bucket_seconds=3600)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -2011,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_source_remix": _q_seq_source_remix,
         "seq_upsample_mix": _q_seq_upsample_mix,
         "seq_shard_stats": _q_seq_shard_stats,
+        "counter_rate_1h": _q_counter_rate_1h,
+        "overview_m4": _q_overview_m4,
+        "token_topk_1h": _q_token_topk_1h,
     }
 
 
@@ -3310,5 +3363,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS docs,
                    CAST(SUM(c.n_tok) AS BIGINT) AS tokens
             FROM c, t GROUP BY 1
+        """,
+        # counter rate: lag window over the 1h tier, reset correction as
+        # a CASE — exact longs, bit-stable long/long -> double division
+        "counter_rate_1h": f"""
+            WITH pts AS ({pts}),
+            r AS (
+                SELECT doc_id, source,
+                       CAST((ts // 3600) * 3600 AS BIGINT) AS bucket_ts,
+                       CAST(LAST(v ORDER BY ts) AS BIGINT) AS value
+                FROM pts GROUP BY 1, 2, 3
+            ),
+            w AS (
+                SELECT doc_id, source, bucket_ts, value,
+                       lag(value) OVER (PARTITION BY doc_id, source
+                                        ORDER BY bucket_ts) AS pv,
+                       lag(bucket_ts) OVER (PARTITION BY doc_id, source
+                                            ORDER BY bucket_ts) AS pt
+                FROM r
+            )
+            SELECT doc_id, source, bucket_ts, value,
+                   CAST(value - pv AS BIGINT) AS delta,
+                   CAST(CASE WHEN value >= pv THEN value - pv
+                             ELSE value END AS BIGINT) AS increase,
+                   CAST(bucket_ts - pt AS BIGINT) AS elapsed,
+                   CAST(CASE WHEN value >= pv THEN value - pv
+                             ELSE value END AS DOUBLE)
+                       / CAST(bucket_ts - pt AS DOUBLE) AS rate
+            FROM w WHERE pv IS NOT NULL
+        """,
+        # M4: per pixel bucket the lexicographic (ts,v)/(v,ts) struct
+        # extrema — DuckDB struct compare == Spark struct compare
+        "overview_m4": f"""
+            WITH pts AS ({pts}),
+            m1 AS (
+                SELECT source, CAST((ts // 60) * 60 AS BIGINT) AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS v
+                FROM pts GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT CAST(MIN(bucket_ts) AS BIGINT) AS lo,
+                       CAST(MAX(bucket_ts) + 60 AS BIGINT) AS hi
+                FROM m1
+            ),
+            px AS (
+                SELECT source, bucket_ts, v,
+                       CAST(((bucket_ts - b.lo) * 48) // (b.hi - b.lo)
+                            AS BIGINT) AS pxl
+                FROM m1, b
+            )
+            SELECT source, pxl,
+                   struct_extract(min(struct_pack(ts := bucket_ts, v := v)), 'ts') AS t_first,
+                   struct_extract(min(struct_pack(ts := bucket_ts, v := v)), 'v') AS v_first,
+                   struct_extract(min(struct_pack(v := v, ts := bucket_ts)), 'ts') AS t_min,
+                   struct_extract(min(struct_pack(v := v, ts := bucket_ts)), 'v') AS v_min,
+                   struct_extract(max(struct_pack(v := v, ts := bucket_ts)), 'ts') AS t_max,
+                   struct_extract(max(struct_pack(v := v, ts := bucket_ts)), 'v') AS v_max,
+                   struct_extract(max(struct_pack(ts := bucket_ts, v := v)), 'ts') AS t_last,
+                   struct_extract(max(struct_pack(ts := bucket_ts, v := v)), 'v') AS v_last
+            FROM px GROUP BY 1, 2
+        """,
+        # windowed heavy hitters: total (cnt DESC, token ASC) rank order
+        "token_topk_1h": f"""
+            WITH pts AS ({pts}),
+            f AS (
+                SELECT source, CAST((ts // 3600) * 3600 AS BIGINT) AS bucket_ts,
+                       CAST(v AS BIGINT) AS token,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts GROUP BY 1, 2, 3
+            ),
+            t AS (
+                SELECT source, bucket_ts, CAST(SUM(cnt) AS BIGINT) AS bucket_tokens
+                FROM f GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT source, bucket_ts, token, cnt,
+                       CAST(row_number() OVER (
+                           PARTITION BY source, bucket_ts
+                           ORDER BY cnt DESC, token ASC) AS BIGINT) AS "rank"
+                FROM f
+            )
+            SELECT r.source, r.bucket_ts, r."rank", r.token, r.cnt,
+                   t.bucket_tokens
+            FROM r JOIN t USING (source, bucket_ts) WHERE r."rank" <= 5
         """,
     }

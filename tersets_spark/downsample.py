@@ -128,3 +128,72 @@ def lttb_udf(threshold: int):
         return pd.Series([lttb(a, threshold).tolist() for a in arrays])
 
     return _lttb
+
+
+# ---------------------------------------------------------------------------
+# M4 (pixel-bucket min/max/first/last — Jugel et al., VLDB 2014)
+# ---------------------------------------------------------------------------
+
+
+def m4_points(
+    df,
+    keys: list[str],
+    ts_col: str,
+    val_col: str,
+    start: int,
+    end: int,
+    k: int,
+):
+    """M4 downsampling: split ``[start, end)`` into ``k`` equal pixel
+    buckets per series and keep each bucket's FIRST, LAST, MIN and MAX
+    points — the four extrema that make a line chart over <= 4k points
+    pixel-identical to the full-resolution rendering (Jugel et al., "M4: A
+    Visualization-Oriented Time Series Data Aggregation", VLDB 2014).
+    Complements LTTB above: M4 is error-free per pixel column and — unlike
+    LTTB's sequential triangle sweep — is a PLAIN HASH AGGREGATION, so it
+    parallelizes over any partitioning with map-side partial combine.
+
+    Tie-breaks are total and engine-portable: min/max points compare the
+    (value, ts) STRUCT lexicographically (equal values -> earlier ts wins
+    min, later ts wins max), first/last compare (ts, value). All integer
+    math: pixel = (ts - start) * k DIV (end - start).
+
+    Output: one row per non-empty (keys, pxl) bucket with
+    (t_first, v_first, t_min, v_min, t_max, v_max, t_last, v_last).
+
+    Scale: ONE shuffle keyed (keys, pxl) — k bounds output at |series| * 4k
+    points no matter the input size; partial aggregation means each map
+    task contributes at most k rows per series. Pure JVM, no Python.
+    """
+    if end <= start:
+        raise ValueError("m4_points: empty range")
+    if k <= 0:
+        raise ValueError("m4_points: k must be positive")
+    span = end - start
+    ts = F.col(ts_col).cast("long")
+    v = F.col(val_col).cast("long")
+    pxl = ((ts - F.lit(start)) * k - ((ts - F.lit(start)) * k) % span) / span
+    rows = df.where((ts >= start) & (ts < end)).select(
+        *keys,
+        pxl.cast("long").alias("pxl"),
+        ts.alias("_ts"),
+        v.alias("_v"),
+    )
+    agg = rows.groupBy(*keys, "pxl").agg(
+        F.min(F.struct(F.col("_ts"), F.col("_v"))).alias("_first"),
+        F.max(F.struct(F.col("_ts"), F.col("_v"))).alias("_last"),
+        F.min(F.struct(F.col("_v"), F.col("_ts"))).alias("_min"),
+        F.max(F.struct(F.col("_v"), F.col("_ts"))).alias("_max"),
+    )
+    return agg.select(
+        *keys,
+        "pxl",
+        F.col("_first._ts").alias("t_first"),
+        F.col("_first._v").alias("v_first"),
+        F.col("_min._ts").alias("t_min"),
+        F.col("_min._v").alias("v_min"),
+        F.col("_max._ts").alias("t_max"),
+        F.col("_max._v").alias("v_max"),
+        F.col("_last._ts").alias("t_last"),
+        F.col("_last._v").alias("v_last"),
+    )

@@ -611,3 +611,64 @@ def range_gapfill(
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
         "mean", "gap_filled",
     )
+
+
+# ---------------------------------------------------------------------------
+# counter rate / increase (PromQL rate() / TimescaleDB counter_agg analog)
+# ---------------------------------------------------------------------------
+
+
+def counter_rate(
+    tier_df: DataFrame,
+    value_col: str = "last",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "bucket_ts",
+    reset_correction: bool = True,
+) -> DataFrame:
+    """Per-series delta / increase / rate over a tier's bucket series —
+    the PromQL ``rate()`` / TimescaleDB ``counter_agg`` serving read,
+    expressed over the cascade's committed tiers instead of raw samples.
+
+    Semantics (PromQL counter contract): consecutive buckets of one series
+    (``keys`` order ``ts_col``) yield
+
+    * ``delta``    = v - prev_v                      (gauge difference)
+    * ``increase`` = v - prev_v, or v when v < prev_v (counter RESET: the
+      counter restarted from ~0, so the whole new reading is the increase
+      — exactly PromQL's reset correction) when ``reset_correction``,
+      else = delta
+    * ``elapsed``  = ts - prev_ts (buckets may be SPARSE; a series with a
+      gap gets the true elapsed seconds, not the tier step)
+    * ``rate``     = increase / elapsed (per-second, exact-long division
+      to double — bit-stable across engines)
+
+    The first bucket of each series has no predecessor and is dropped
+    (PromQL needs >= 2 points in range for rate()).
+
+    Scale: ONE window over (keys) — the shuffle key is the tier's own
+    layout key (doc_id, source), and the input is tier rows (60-86400x
+    smaller than raw), so serving rate over a month of 1h buckets touches
+    ~720 rows per series. Pure JVM lag() — whole-stage codegen, no Python.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    v = F.col(value_col).cast("long")
+    prev_v = F.lag(v).over(w)
+    prev_t = F.lag(F.col(ts_col)).over(w)
+    delta = (v - prev_v).alias("delta")
+    if reset_correction:
+        increase = F.when(v >= prev_v, v - prev_v).otherwise(v)
+    else:
+        increase = v - prev_v
+    elapsed = (F.col(ts_col) - prev_t).cast("long")
+    return (
+        tier_df.select(
+            *keys,
+            F.col(ts_col),
+            v.alias("value"),
+            delta,
+            increase.cast("long").alias("increase"),
+            elapsed.alias("elapsed"),
+        )
+        .where(F.col("delta").isNotNull())
+        .withColumn("rate", F.col("increase") / F.col("elapsed"))
+    )

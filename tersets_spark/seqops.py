@@ -941,3 +941,58 @@ def upsample_mix(
         "copies",
         (k_expr + (hexpfx < thr_expr).cast("long")).cast("long"),
     )
+
+
+def windowed_token_topk(
+    seq: DataFrame, k: int = 5, bucket_seconds: int = 3600
+) -> DataFrame:
+    """Per-window heavy hitters: the ``k`` most frequent token ids for each
+    (source, event-time bucket) — "trending tokens per hour", the windowed
+    twin of :func:`token_stats`'s corpus-lifetime leaderboard and the exact
+    companion to the CMS frequency tiers (cms.py estimates any token's
+    count in a window; this materializes the window's top of the table).
+
+    Event time follows the engine's token-per-second model (token at
+    position p of a doc carries ts0 + p, the same clock the sketch tiers
+    and rollups use), so the windows line up with the cascade's buckets.
+
+    Determinism: rank orders by (cnt DESC, token ASC) — a total order, so
+    the returned row set is reproducible and oracle-hashable.
+
+    Output: (source, bucket_ts, rank, token, cnt, bucket_tokens) with
+    rank in [1, k]; ``bucket_tokens`` is the window's total token count
+    (the denominator for share-of-window analyses).
+
+    Scale: posexplode streams inside whole-stage codegen; map-side partial
+    aggregation bounds the shuffle at (sources x windows x batch-local
+    vocab) rows per map task regardless of corpus size, and the rank
+    window runs over per-(source, window) groups that are at most
+    vocab-sized. Pure JVM end to end.
+    """
+    b = int(bucket_seconds)
+    pts = seq.select(
+        "source", "ts0", F.posexplode("tokens").alias("pos", "token")
+    ).select(
+        "source",
+        (F.floor((F.col("ts0") + F.col("pos")) / b) * b).cast("long").alias("bucket_ts"),
+        "token",
+    )
+    freq = pts.groupBy("source", "bucket_ts", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = freq.groupBy("source", "bucket_ts").agg(
+        F.sum("cnt").cast("long").alias("bucket_tokens")
+    )
+    wr = Window.partitionBy("source", "bucket_ts").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    return (
+        freq.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .join(F.broadcast(totals), ["source", "bucket_ts"])
+        .select(
+            "source", "bucket_ts", "rank",
+            F.col("token").cast("long").alias("token"),
+            "cnt", "bucket_tokens",
+        )
+    )

@@ -1,0 +1,128 @@
+"""Session-5 serving operators: counter_rate, m4_points, windowed_token_topk.
+
+Each test pins the SEMANTIC edge the oracle hash-match exercises only in
+aggregate: counter reset correction and sparse-gap elapsed time for rate,
+lexicographic struct tie-breaks for M4, and the total (cnt DESC, token ASC)
+order for windowed heavy hitters.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tersets_spark.downsample import m4_points
+from tersets_spark.rollup import counter_rate
+from tersets_spark.seqops import windowed_token_topk
+
+
+def _tier(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, source string, bucket_ts long, last long"
+    )
+
+
+def test_counter_rate_reset_correction(spark):
+    # series: 10 -> 25 -> 4 (RESET) -> 9; hourly buckets
+    rows = [("d", "s", h * 3600, v) for h, v in enumerate([10, 25, 4, 9])]
+    out = counter_rate(_tier(spark, rows)).orderBy("bucket_ts").collect()
+    assert [r.delta for r in out] == [15, -21, 5]
+    # reset bucket: increase = new reading (PromQL correction), not negative
+    assert [r.increase for r in out] == [15, 4, 5]
+    assert all(r.elapsed == 3600 for r in out)
+    assert out[1].rate == 4 / 3600
+
+
+def test_counter_rate_sparse_gap_elapsed(spark):
+    # a 3-bucket gap: elapsed must be the TRUE seconds, not the tier step
+    rows = [("d", "s", 0, 100), ("d", "s", 4 * 3600, 136)]
+    (r,) = counter_rate(_tier(spark, rows)).collect()
+    assert (r.delta, r.increase, r.elapsed) == (36, 36, 4 * 3600)
+    assert r.rate == 36 / (4 * 3600)
+
+
+def test_counter_rate_first_bucket_dropped_per_series(spark):
+    rows = [("a", "s", 0, 1), ("a", "s", 60, 2), ("b", "s", 0, 7)]
+    out = counter_rate(_tier(spark, rows), value_col="last", keys=("doc_id", "source"))
+    got = {(r.doc_id, r.bucket_ts) for r in out.collect()}
+    assert got == {("a", 60)}  # single-point series b emits nothing
+
+
+def test_counter_rate_no_reset_correction_flag(spark):
+    rows = [("d", "s", 0, 10), ("d", "s", 60, 4)]
+    (r,) = counter_rate(_tier(spark, rows), reset_correction=False).collect()
+    assert r.increase == -6 and r.delta == -6
+
+
+def _series(spark, pts):
+    return spark.createDataFrame(
+        [("s", t, v) for t, v in pts], "source string, ts long, v long"
+    )
+
+
+def test_m4_extrema_and_tiebreaks(spark):
+    # one pixel bucket [0,100), k=1; duplicate min value 1 at ts 20 and 70,
+    # duplicate max value 9 at ts 30 and 60
+    pts = [(0, 5), (20, 1), (30, 9), (60, 9), (70, 1), (99, 4)]
+    (r,) = m4_points(_series(spark, pts), ["source"], "ts", "v", 0, 100, 1).collect()
+    assert (r.t_first, r.v_first) == (0, 5)
+    assert (r.t_last, r.v_last) == (99, 4)
+    # min tie -> EARLIER ts; max tie -> LATER ts (struct lexicographic)
+    assert (r.t_min, r.v_min) == (20, 1)
+    assert (r.t_max, r.v_max) == (60, 9)
+
+
+def test_m4_pixel_assignment_and_range_filter(spark):
+    # k=4 over [0,8): point at ts=8 excluded; ts=7 -> last pixel
+    pts = [(0, 1), (2, 2), (7, 3), (8, 99)]
+    out = m4_points(_series(spark, pts), ["source"], "ts", "v", 0, 8, 4)
+    got = {r.pxl: (r.t_first, r.v_first) for r in out.collect()}
+    assert set(got) == {0, 1, 3}
+    assert got[3] == (7, 3)
+
+
+def test_m4_single_point_bucket_is_all_four_roles(spark):
+    (r,) = m4_points(_series(spark, [(5, 42)]), ["source"], "ts", "v", 0, 10, 2).collect()
+    assert (
+        r.t_first, r.v_first, r.t_min, r.v_min, r.t_max, r.v_max, r.t_last, r.v_last
+    ) == (5, 42, 5, 42, 5, 42, 5, 42)
+
+
+def test_m4_rejects_degenerate_args(spark):
+    df = _series(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        m4_points(df, ["source"], "ts", "v", 10, 10, 4)
+    with pytest.raises(ValueError):
+        m4_points(df, ["source"], "ts", "v", 0, 10, 0)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(d, s, t0, toks, len(toks)) for d, s, t0, toks in rows],
+        "doc_id string, source string, ts0 long, tokens array<int>, n_tok int",
+    )
+
+
+def test_topk_rank_order_and_ties(spark):
+    # window 0: token 7 x3, token 3 x3 (tie -> lower id first), token 9 x1
+    seq = _docs(spark, [("a", "s", 0, [7, 3, 7, 3, 9, 7, 3])])
+    out = windowed_token_topk(seq, k=2, bucket_seconds=3600).collect()
+    assert [(r.rank, r.token, r.cnt) for r in out] == [(1, 3, 3), (2, 7, 3)]
+    assert all(r.bucket_tokens == 7 for r in out)
+
+
+def test_topk_event_time_windows_follow_token_clock(spark):
+    # doc starts at ts0=3599: first token in hour 0, the rest in hour 1
+    seq = _docs(spark, [("a", "s", 3599, [5, 6, 6])])
+    out = windowed_token_topk(seq, k=5, bucket_seconds=3600)
+    got = {(r.bucket_ts, r.token): (r.rank, r.cnt) for r in out.collect()}
+    assert got == {(0, 5): (1, 1), (3600, 6): (1, 2)}
+
+
+def test_topk_per_source_windows_are_independent(spark):
+    seq = _docs(
+        spark,
+        [("a", "s1", 0, [1, 1, 2]), ("b", "s2", 0, [2, 2, 1])],
+    )
+    out = windowed_token_topk(seq, k=1, bucket_seconds=3600).collect()
+    got = {r.source: r.token for r in out}
+    assert got == {"s1": 1, "s2": 2}
