@@ -1991,6 +1991,50 @@ def _q_token_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_token_topk(_sequences(spark, sf_dir), k=5, bucket_seconds=3600)
 
 
+def _q_time_weight_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per document over its 1m tier series
+    (rollup.time_weighted_avg — TimescaleDB average(time_weight('LOCF'))
+    analog): each bucket's last value holds until the next bucket, the
+    final bucket bounds the integral with zero weight, single-point series
+    drop. Exact int64 value x elapsed products; the one double division is
+    bit-stable, so the oracle replays the identical window + aggregation."""
+    from tersets_spark.rollup import time_weighted_avg
+
+    seq = _sequences(spark, sf_dir)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    return time_weighted_avg(m1, value_col="last")
+
+
+def _q_anomaly_zscore_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly scan over the source-level 1m total-token
+    series (rollup.rolling_zscore): each minute standardized against its
+    own trailing 24-minute baseline (judged point excluded). Variance is
+    derived from exact int64 frame sums — z = (W*v - s)/sqrt(W*q - s*s) —
+    so besides one correctly-rounded sqrt and one division the math is
+    integer, and DuckDB replays it bit-identically. Flat baselines yield
+    z NULL with a deterministic any-change fallback flag."""
+    from tersets_spark.rollup import rolling_zscore
+
+    seq = _sequences(spark, sf_dir)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    series = m1.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("v")
+    )
+    return rolling_zscore(series, ("source",), "bucket_ts", "v", window=24)
+
+
+def _q_token_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day token-distribution drift per source
+    (seqops.token_distribution_drift): integer-exact total-variation
+    distance between adjacent days' token mixes — the corpus-shift alarm a
+    training-data pipeline runs per source. tv_num = sum |c1*n2 - c2*n1|
+    is exact int64 (one-sided tokens included via the full outer join);
+    tv = tv_num/(2*n1*n2) is the one bit-stable division."""
+    from tersets_spark.seqops import token_distribution_drift
+
+    return token_distribution_drift(_sequences(spark, sf_dir), bucket_seconds=86400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -2064,6 +2108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_1h": _q_counter_rate_1h,
         "overview_m4": _q_overview_m4,
         "token_topk_1h": _q_token_topk_1h,
+        "time_weight_1m": _q_time_weight_1m,
+        "anomaly_zscore_1m": _q_anomaly_zscore_1m,
+        "token_drift_daily": _q_token_drift_daily,
     }
 
 
@@ -3446,5 +3493,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.source, r.bucket_ts, r."rank", r.token, r.cnt,
                    t.bucket_tokens
             FROM r JOIN t USING (source, bucket_ts) WHERE r."rank" <= 5
+        """,
+        # time-weighted average: lead window assigns each bucket its LOCF
+        # hold time; the last bucket's NULL lead drops out of SUM — exact
+        # longs, one bit-stable long/long -> double division
+        "time_weight_1m": f"""
+            WITH pts AS ({pts}),
+            r AS (
+                SELECT doc_id, source,
+                       CAST((ts // 60) * 60 AS BIGINT) AS bucket_ts,
+                       CAST(LAST(v ORDER BY ts) AS BIGINT) AS value
+                FROM pts GROUP BY 1, 2, 3
+            ),
+            w AS (
+                SELECT doc_id, source, bucket_ts, value,
+                       lead(bucket_ts) OVER (PARTITION BY doc_id, source
+                                             ORDER BY bucket_ts) AS nt
+                FROM r
+            )
+            SELECT doc_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS points,
+                   CAST(MIN(bucket_ts) AS BIGINT) AS t_first,
+                   CAST(MAX(bucket_ts) AS BIGINT) AS t_last,
+                   CAST(SUM(value * (nt - bucket_ts)) AS BIGINT) AS weighted_sum,
+                   CAST(MAX(bucket_ts) - MIN(bucket_ts) AS BIGINT) AS total_elapsed,
+                   CAST(SUM(value * (nt - bucket_ts)) AS DOUBLE)
+                       / CAST(MAX(bucket_ts) - MIN(bucket_ts) AS DOUBLE) AS twa
+            FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        # rolling z-score: trailing 24-row frame sums are exact longs;
+        # z = (W*v - s)/sqrt(W*q - s*s) touches floats only in one
+        # correctly-rounded sqrt + one division -> bit-identical
+        "anomaly_zscore_1m": f"""
+            WITH pts AS ({pts}),
+            m1 AS (
+                SELECT source, CAST((ts // 60) * 60 AS BIGINT) AS ts,
+                       CAST(SUM(v) AS BIGINT) AS v
+                FROM pts GROUP BY 1, 2
+            ),
+            w AS (
+                SELECT source, ts, v,
+                       COUNT(*) OVER fr AS n,
+                       CAST(SUM(v) OVER fr AS BIGINT) AS frame_sum,
+                       CAST(SUM(v * v) OVER fr AS BIGINT) AS frame_sumsq
+                FROM m1
+                WINDOW fr AS (PARTITION BY source ORDER BY ts
+                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT source, ts, v, frame_sum, frame_sumsq,
+                   CASE WHEN 24 * frame_sumsq - frame_sum * frame_sum > 0
+                        THEN CAST(24 * v - frame_sum AS DOUBLE)
+                             / sqrt(CAST(24 * frame_sumsq
+                                         - frame_sum * frame_sum AS DOUBLE))
+                   END AS z,
+                   CASE WHEN 24 * frame_sumsq - frame_sum * frame_sum > 0
+                        THEN abs(CAST(24 * v - frame_sum AS DOUBLE)
+                                 / sqrt(CAST(24 * frame_sumsq
+                                             - frame_sum * frame_sum AS DOUBLE)))
+                             > 3.0
+                        ELSE 24 * v - frame_sum <> 0
+                   END AS is_anomaly
+            FROM w WHERE n = 24
+        """,
+        # drift: the full outer join folds into a signed UNION ALL grouped
+        # per token — missing sides contribute nothing; tv_num exact int64
+        "token_drift_daily": f"""
+            WITH pts AS ({pts}),
+            c AS (
+                SELECT source, CAST((ts // 86400) * 86400 AS BIGINT) AS bucket_ts,
+                       CAST(v AS BIGINT) AS token,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts GROUP BY 1, 2, 3
+            ),
+            t AS (
+                SELECT source, bucket_ts, CAST(SUM(cnt) AS BIGINT) AS n
+                FROM c GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT source,
+                       lag(bucket_ts) OVER win AS prev_ts, bucket_ts,
+                       lag(n) OVER win AS n_prev, n AS n_cur
+                FROM t
+                WINDOW win AS (PARTITION BY source ORDER BY bucket_ts)
+                QUALIFY prev_ts IS NOT NULL
+            ),
+            d AS (
+                SELECT source, bucket_ts, token, CAST(SUM(s) AS BIGINT) AS d
+                FROM (
+                    SELECT c.source, p.bucket_ts, c.token,
+                           c.cnt * p.n_cur AS s
+                    FROM c JOIN p ON c.source = p.source
+                                 AND c.bucket_ts = p.prev_ts
+                    UNION ALL
+                    SELECT c.source, p.bucket_ts, c.token,
+                           -(c.cnt * p.n_prev) AS s
+                    FROM c JOIN p ON c.source = p.source
+                                 AND c.bucket_ts = p.bucket_ts
+                ) GROUP BY 1, 2, 3
+            ),
+            a AS (
+                SELECT source, bucket_ts, CAST(SUM(ABS(d)) AS BIGINT) AS tv_num
+                FROM d GROUP BY 1, 2
+            )
+            SELECT p.source, p.prev_ts, p.bucket_ts, p.n_prev, p.n_cur,
+                   a.tv_num,
+                   CAST(a.tv_num AS DOUBLE)
+                       / CAST(2 * p.n_prev * p.n_cur AS DOUBLE) AS tv
+            FROM a JOIN p USING (source, bucket_ts)
         """,
     }

@@ -672,3 +672,144 @@ def counter_rate(
         .where(F.col("delta").isNotNull())
         .withColumn("rate", F.col("increase") / F.col("elapsed"))
     )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TimescaleDB time_weight('LOCF') analog)
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(
+    tier_df: DataFrame,
+    value_col: str = "last",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Time-weighted average of an IRREGULAR gauge series — the TimescaleDB
+    ``average(time_weight('LOCF', ts, value))`` analog, served from the
+    cascade's committed tiers instead of raw samples.
+
+    Semantics (TimescaleDB LOCF contract): each observation holds until the
+    next one, so point i contributes ``value_i * (ts_{i+1} - ts_i)`` to the
+    integral over ``[t_first, t_last]``; the last point bounds the integral
+    and carries NO weight. Series with a single point have a zero-length
+    integral and are dropped (TimescaleDB returns NULL there). A plain
+    ``AVG`` over sparse buckets over-weights dense stretches; this is the
+    correct average for sparse/ragged series.
+
+    All arithmetic is exact int64 (value x elapsed-seconds products summed)
+    until the single final long/long -> double division, so the result is
+    bit-stable across engines (the DuckDB oracle replays the identical
+    window + aggregation).
+
+    Output: one row per series with >= 2 points:
+    (keys..., points, t_first, t_last, weighted_sum, total_elapsed, twa).
+
+    Scale: ONE window + ONE aggregation, both keyed by the tier's own
+    layout key — no shuffle beyond the tier's (doc_id, source) hash, input
+    is tier rows (60-86400x smaller than raw). Pure JVM lag/lead + hash
+    agg, whole-stage codegen end to end.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    ts = F.col(ts_col).cast("long")
+    v = F.col(value_col).cast("long")
+    step = tier_df.select(
+        *keys,
+        ts.alias("_ts"),
+        (v * (F.lead(ts).over(w) - ts)).alias("_wv"),
+    )
+    agg = step.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("points"),
+        F.min("_ts").alias("t_first"),
+        F.max("_ts").alias("t_last"),
+        F.sum("_wv").cast("long").alias("weighted_sum"),
+    )
+    return agg.where(F.col("points") >= 2).select(
+        *keys,
+        "points",
+        "t_first",
+        "t_last",
+        "weighted_sum",
+        (F.col("t_last") - F.col("t_first")).cast("long").alias("total_elapsed"),
+        (
+            F.col("weighted_sum")
+            / (F.col("t_last") - F.col("t_first")).cast("double")
+        ).alias("twa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly detection (integer-exact variance)
+# ---------------------------------------------------------------------------
+
+
+def rolling_zscore(
+    series_df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    val_col: str,
+    window: int = 24,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over a bucket series: each point is
+    standardized against the PRECEDING ``window`` points of its own series
+    (the trailing baseline never includes the point being judged, so an
+    anomaly cannot mask itself).
+
+    Cross-engine determinism: built-in windowed stddev is NOT bit-stable
+    across engines (Welford vs sum-of-squares, different accumulation
+    order), so the z-score is derived from exact int64 frame sums instead:
+    with s = SUM(v), q = SUM(v*v), W = window over the frame,
+
+        z = (W*v - s) / sqrt(W*q - s*s)
+
+    which is algebraically (v - mean)/stddev_pop but touches floating point
+    only in one correctly-rounded sqrt and one division — bit-identical in
+    any IEEE engine. Rows without a full W-point trailing frame are dropped
+    (no partial baselines).
+
+    Zero-variance frames (flat baseline) cannot be standardized: ``z`` is
+    NULL there, and ``is_anomaly`` falls back to "any change from the flat
+    baseline" (W*v != s) — a step after a constant run IS an anomaly.
+
+    Output: (keys..., ts, v, frame_sum, frame_sumsq, z, is_anomaly).
+
+    Scale: ONE window keyed by the series key (a ROWS frame, so Spark
+    keeps a running frame — O(n) per series, no re-scan per row). Pure JVM,
+    whole-stage codegen; input is tier rows, not raw samples.
+    """
+    if window < 2:
+        raise ValueError("rolling_zscore: window must be >= 2")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(val_col).cast("long")
+    out = series_df.select(
+        *keys,
+        F.col(ts_col).cast("long").alias("ts"),
+        v.alias("v"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum(v).over(w).cast("long").alias("frame_sum"),
+        F.sum(v * v).over(w).cast("long").alias("frame_sumsq"),
+    ).where(F.col("_n") == window)
+    num = F.lit(window) * F.col("v") - F.col("frame_sum")
+    var_num = (
+        F.lit(window) * F.col("frame_sumsq")
+        - F.col("frame_sum") * F.col("frame_sum")
+    )
+    z = F.when(
+        var_num > 0, num.cast("double") / F.sqrt(var_num.cast("double"))
+    )
+    return out.select(
+        *keys,
+        "ts",
+        "v",
+        "frame_sum",
+        "frame_sumsq",
+        z.alias("z"),
+        F.when(var_num > 0, F.abs(z) > F.lit(float(threshold)))
+        .otherwise(num != 0)
+        .alias("is_anomaly"),
+    )

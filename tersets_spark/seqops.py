@@ -996,3 +996,101 @@ def windowed_token_topk(
             "cnt", "bucket_tokens",
         )
     )
+
+
+def token_distribution_drift(
+    seq: DataFrame, bucket_seconds: int = 86400
+) -> DataFrame:
+    """Corpus DRIFT monitor: total-variation distance between the token
+    distributions of consecutive time windows, per source — "did what this
+    source feeds the training mix change since yesterday?". TV distance is
+    the standard distribution-shift alarm (0 = identical mix, 1 = disjoint
+    vocabularies); KL needs logs whose libm rounding differs across engines,
+    so TV is the one drift metric an oracle can replay bit-exactly.
+
+    Integer-exact formulation: for windows with token counts c1 (total n1)
+    and c2 (total n2),
+
+        TV = 1/2 * sum_t |c1_t/n1 - c2_t/n2|
+           = sum_t |c1_t*n2 - c2_t*n1|  /  (2*n1*n2)
+
+    — the numerator and denominator are exact int64 (counts x window totals;
+    tokens present in only one window contribute |c*n| via the full outer
+    join), and the single final division is bit-stable.
+
+    "Consecutive" means adjacent EXISTING windows of the source (sparse
+    sources compare across their gap, like :func:`~tersets_spark.rollup.
+    counter_rate` does for elapsed time). Event time follows the engine's
+    token-per-second clock, so windows line up with the cascade's buckets.
+
+    Output: one row per (source, adjacent window pair):
+    (source, prev_ts, bucket_ts, n_prev, n_cur, tv_num, tv) where
+    tv = tv_num / (2*n_prev*n_cur).
+
+    Scale: token counts aggregate with map-side partial combine (shuffle
+    bounded by sources x windows x vocab); the pair join is keyed
+    (source, window, token) over those bounded counts — raw tokens shuffle
+    ONCE into the count table and never again. Pure JVM end to end.
+    """
+    b = int(bucket_seconds)
+    counts = (
+        seq.select(
+            "source", "ts0", F.posexplode("tokens").alias("pos", "token")
+        )
+        .select(
+            "source",
+            (F.floor((F.col("ts0") + F.col("pos")) / b) * b)
+            .cast("long")
+            .alias("bucket_ts"),
+            "token",
+        )
+        .groupBy("source", "bucket_ts", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = counts.groupBy("source", "bucket_ts").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy("bucket_ts")
+    pairs = totals.select(
+        "source",
+        F.lag("bucket_ts").over(w).alias("prev_ts"),
+        F.col("bucket_ts"),
+        F.lag("n").over(w).alias("n_prev"),
+        F.col("n").alias("n_cur"),
+    ).where(F.col("prev_ts").isNotNull())
+    prev = (
+        counts.withColumnRenamed("bucket_ts", "prev_ts")
+        .withColumnRenamed("cnt", "c_prev")
+        .join(F.broadcast(pairs), ["source", "prev_ts"])
+        .select("source", "bucket_ts", "token", "c_prev")
+    )
+    cur = counts.join(
+        F.broadcast(pairs.select("source", "bucket_ts")),
+        ["source", "bucket_ts"],
+    ).withColumnRenamed("cnt", "c_cur")
+    joined = prev.join(cur, ["source", "bucket_ts", "token"], "full_outer")
+    terms = joined.join(
+        F.broadcast(pairs), ["source", "bucket_ts"]
+    ).select(
+        "source",
+        "bucket_ts",
+        F.abs(
+            F.coalesce(F.col("c_prev"), F.lit(0)) * F.col("n_cur")
+            - F.coalesce(F.col("c_cur"), F.lit(0)) * F.col("n_prev")
+        ).alias("term"),
+    )
+    agg = terms.groupBy("source", "bucket_ts").agg(
+        F.sum("term").cast("long").alias("tv_num")
+    )
+    return agg.join(F.broadcast(pairs), ["source", "bucket_ts"]).select(
+        "source",
+        "prev_ts",
+        "bucket_ts",
+        "n_prev",
+        "n_cur",
+        "tv_num",
+        (
+            F.col("tv_num")
+            / (F.lit(2) * F.col("n_prev") * F.col("n_cur")).cast("double")
+        ).alias("tv"),
+    )
