@@ -999,7 +999,9 @@ def windowed_token_topk(
 
 
 def token_distribution_drift(
-    seq: DataFrame, bucket_seconds: int = 86400
+    seq: DataFrame,
+    bucket_seconds: int = 86400,
+    materialize_counts: bool = True,
 ) -> DataFrame:
     """Corpus DRIFT monitor: total-variation distance between the token
     distributions of consecutive time windows, per source — "did what this
@@ -1027,10 +1029,17 @@ def token_distribution_drift(
     (source, prev_ts, bucket_ts, n_prev, n_cur, tv_num, tv) where
     tv = tv_num / (2*n_prev*n_cur).
 
-    Scale: token counts aggregate with map-side partial combine (shuffle
-    bounded by sources x windows x vocab); the pair join is keyed
-    (source, window, token) over those bounded counts — raw tokens shuffle
-    ONCE into the count table and never again. Pure JVM end to end.
+    Scale: raw tokens are exploded and shuffled exactly ONCE into the
+    bounded (source, window, token) count table, which is then MATERIALIZED
+    (``localCheckpoint`` when ``materialize_counts``; counts are bounded by
+    sources x windows x vocab — always orders of magnitude below the token
+    payload) so the two sides of each pair read it instead of re-running
+    the explode. The pairwise full outer join is folded into a SIGNED
+    UNION: the prev side contributes +c1*n2, the cur side -c2*n1, one hash
+    aggregation on (source, pair, token) sums them — tokens present on one
+    side only keep their whole term, and the plan is union + hash agg (one
+    exchange over 2x counts) instead of a sort-merge outer join. Pure JVM
+    end to end.
     """
     b = int(bucket_seconds)
     counts = (
@@ -1047,6 +1056,8 @@ def token_distribution_drift(
         .groupBy("source", "bucket_ts", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    if materialize_counts:
+        counts = counts.localCheckpoint()
     totals = counts.groupBy("source", "bucket_ts").agg(
         F.sum("cnt").cast("long").alias("n")
     )
@@ -1058,29 +1069,27 @@ def token_distribution_drift(
         F.lag("n").over(w).alias("n_prev"),
         F.col("n").alias("n_cur"),
     ).where(F.col("prev_ts").isNotNull())
-    prev = (
+    prev_side = (
         counts.withColumnRenamed("bucket_ts", "prev_ts")
-        .withColumnRenamed("cnt", "c_prev")
         .join(F.broadcast(pairs), ["source", "prev_ts"])
-        .select("source", "bucket_ts", "token", "c_prev")
+        .select(
+            "source", "bucket_ts", "token",
+            (F.col("cnt") * F.col("n_cur")).alias("s"),
+        )
     )
-    cur = counts.join(
-        F.broadcast(pairs.select("source", "bucket_ts")),
+    cur_side = counts.join(
+        F.broadcast(pairs.select("source", "bucket_ts", "n_prev")),
         ["source", "bucket_ts"],
-    ).withColumnRenamed("cnt", "c_cur")
-    joined = prev.join(cur, ["source", "bucket_ts", "token"], "full_outer")
-    terms = joined.join(
-        F.broadcast(pairs), ["source", "bucket_ts"]
     ).select(
-        "source",
-        "bucket_ts",
-        F.abs(
-            F.coalesce(F.col("c_prev"), F.lit(0)) * F.col("n_cur")
-            - F.coalesce(F.col("c_cur"), F.lit(0)) * F.col("n_prev")
-        ).alias("term"),
+        "source", "bucket_ts", "token",
+        (-F.col("cnt") * F.col("n_prev")).alias("s"),
     )
-    agg = terms.groupBy("source", "bucket_ts").agg(
-        F.sum("term").cast("long").alias("tv_num")
+    agg = (
+        prev_side.unionByName(cur_side)
+        .groupBy("source", "bucket_ts", "token")
+        .agg(F.sum("s").cast("long").alias("d"))
+        .groupBy("source", "bucket_ts")
+        .agg(F.sum(F.abs(F.col("d"))).cast("long").alias("tv_num"))
     )
     return agg.join(F.broadcast(pairs), ["source", "bucket_ts"]).select(
         "source",
