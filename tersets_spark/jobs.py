@@ -1202,6 +1202,66 @@ def overview_from_catalog(
     return overview_points({name: tier}, start, end, k)
 
 
+def m4_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    k: int,
+    as_of: int | None = None,
+) -> DataFrame:
+    """M4 pixel-exact overview serving (downsample.m4_points over a
+    catalog read): per-source first/last/min/max of each of ``k`` pixel
+    buckets over ``[start, end)`` — error-free per pixel column, from ONE
+    committed tier (the coarsest with enough resolution, same selector as
+    the LTTB overview) at one manifest snapshot, ``bucket_ts`` range
+    pushed to the time-clustered scan. Unlike the LTTB path this stays a
+    plain JVM hash aggregation (no per-series Python), so it is the
+    cheaper overview when pixel-exactness matters more than LTTB's
+    perceptual point pick."""
+    from .downsample import m4_points
+    from .rollup import overview_tier_for_range
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    name, _secs = overview_tier_for_range(start, end, k)
+    _check_retention_horizon(catalog, name, start, "m4_from_catalog")
+    tier = catalog.read_tier(spark, name, as_of=snap)
+    series = (
+        tier.where((F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end))
+        .groupBy("source", "bucket_ts")
+        .agg(F.sum("sum").cast("long").alias("v"))
+    )
+    return m4_points(series, ["source"], "bucket_ts", "v", start, end, k)
+
+
+def rate_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    tier: str = "1h",
+    as_of: int | None = None,
+    value_col: str = "last",
+) -> DataFrame:
+    """Counter rate serving (rollup.counter_rate over a catalog read):
+    PromQL ``rate()``/``increase()`` per (doc_id, source) series from the
+    committed ``tier`` restricted to ``[start, end)`` — one snapshot, the
+    ``bucket_ts`` range pushed to the time-clustered scan, reset
+    correction and true elapsed seconds on sparse series. Like PromQL, a
+    series needs >= 2 in-range buckets to produce a rate (each series'
+    first in-range bucket seeds the lag and emits nothing)."""
+    from .rollup import counter_rate
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(catalog, tier, start, "rate_from_catalog")
+    t = catalog.read_tier(spark, tier, as_of=snap).where(
+        (F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end)
+    )
+    return counter_rate(t, value_col=value_col)
+
+
 def read_doc_range(
     spark: SparkSession,
     out_dir: str,
@@ -1994,6 +2054,8 @@ def serve(
     step: int | None = None,
     strategy: str = "locf",
     k: int | None = None,
+    style: str = "lttb",
+    rate_tier: str | None = None,
     as_of: int | None = None,
 ) -> DataFrame:
     """ONE serving entry point over a committed catalog — routes an
@@ -2003,11 +2065,16 @@ def serve(
     * ``doc_ids`` given  -> :func:`read_doc_range` — exact per-document
       points of those series (blob decode+slice in-kernel; pushed
       ``doc_id IN`` + ``ts0`` bounds).
-    * ``k`` given        -> :func:`overview_from_catalog` — k-point LTTB
-      dashboard overview from the coarsest tier with enough resolution.
+    * ``k`` given        -> a k-point dashboard overview from the coarsest
+      tier with enough resolution: ``style='lttb'`` (default) is
+      :func:`overview_from_catalog` (perceptual point pick),
+      ``style='m4'`` is :func:`m4_from_catalog` (pixel-exact
+      first/last/min/max per bucket, pure JVM).
     * ``step`` given     -> :func:`range_gapfill_from_catalog` — fixed
       step-aligned grid with ``strategy`` fill (locf/linear/null), served
       from the coarsest tier dividing ``step``.
+    * ``rate_tier`` given -> :func:`rate_from_catalog` — PromQL-style
+      per-series counter rate/increase over that committed tier.
     * otherwise          -> :func:`range_aggregate_from_catalog` — exact
       per-source aggregate, stitched from the coarsest aligned tier
       segments with raw-edge decode for sub-minute endpoints.
@@ -2019,18 +2086,27 @@ def serve(
     of silently under-reporting.
     """
     chosen = [name for name, v in
-              (("doc_ids", doc_ids), ("k", k), ("step", step)) if v is not None]
+              (("doc_ids", doc_ids), ("k", k), ("step", step),
+               ("rate_tier", rate_tier)) if v is not None]
     if len(chosen) > 1:
         raise ValueError(
             f"serve: selectors are mutually exclusive, got {chosen}"
         )
+    if style not in ("lttb", "m4"):
+        raise ValueError(f"serve: unknown overview style {style!r}")
     if doc_ids is not None:
         return read_doc_range(spark, out_dir, start, end, doc_ids, as_of=as_of)
     if k is not None:
+        if style == "m4":
+            return m4_from_catalog(spark, out_dir, start, end, k, as_of=as_of)
         return overview_from_catalog(spark, out_dir, start, end, k, as_of=as_of)
     if step is not None:
         return range_gapfill_from_catalog(
             spark, out_dir, start, end, step, strategy=strategy, as_of=as_of
+        )
+    if rate_tier is not None:
+        return rate_from_catalog(
+            spark, out_dir, start, end, tier=rate_tier, as_of=as_of
         )
     return range_aggregate_from_catalog(spark, out_dir, start, end, as_of=as_of)
 

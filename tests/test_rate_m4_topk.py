@@ -126,3 +126,95 @@ def test_topk_per_source_windows_are_independent(spark):
     out = windowed_token_topk(seq, k=1, bucket_seconds=3600).collect()
     got = {r.source: r.token for r in out}
     assert got == {"s1": 1, "s2": 2}
+
+
+# ---------------------------------------------------------------------------
+# catalog serving twins: rate_from_catalog / m4_from_catalog / serve routing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def served_catalog(spark, tmp_path_factory):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tersets_spark.jobs import run_cascade
+    from tersets_spark.tables import generate_sequences
+
+    d = tmp_path_factory.mktemp("serve_rate_m4")
+    seq_path = str(d / "seq.parquet")
+    pq.write_table(generate_sequences(120, seed=23), seq_path)
+    out = str(d / "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, seq_path, out, with_blocks=False)
+    return {"seq": seq_path, "out": out}
+
+
+def _range_of(spark, served_catalog):
+    from tersets_spark.catalog import TierCatalog
+
+    t = TierCatalog(served_catalog["out"]).read_tier(spark, "1h")
+    import pyspark.sql.functions as SF
+
+    lo, hi = t.agg(SF.min("bucket_ts"), SF.max("bucket_ts")).first()
+    return int(lo), int(hi) + 3600
+
+
+def test_rate_from_catalog_matches_direct(spark, served_catalog):
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import rate_from_catalog, serve
+
+    start, end = _range_of(spark, served_catalog)
+    got = rate_from_catalog(spark, served_catalog["out"], start, end)
+    direct = counter_rate(
+        TierCatalog(served_catalog["out"]).read_tier(spark, "1h")
+    )
+    assert got.exceptAll(direct).count() == 0
+    assert direct.exceptAll(got).count() == 0
+    assert got.count() > 0
+    routed = serve(spark, served_catalog["out"], start, end, rate_tier="1h")
+    assert routed.exceptAll(got).count() == 0
+
+
+def test_rate_from_catalog_range_is_restricted(spark, served_catalog):
+    from tersets_spark.jobs import rate_from_catalog
+
+    start, end = _range_of(spark, served_catalog)
+    mid = start + ((end - start) // 2 // 3600) * 3600
+    sub = rate_from_catalog(spark, served_catalog["out"], start, mid)
+    rows = sub.collect()
+    assert rows and all(start <= r.bucket_ts < mid for r in rows)
+
+
+def test_m4_from_catalog_matches_direct(spark, served_catalog):
+    import pyspark.sql.functions as SF
+
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import m4_from_catalog, serve
+    from tersets_spark.rollup import overview_tier_for_range
+
+    start, end = _range_of(spark, served_catalog)
+    k = 8
+    name, _secs = overview_tier_for_range(start, end, k)
+    tier = TierCatalog(served_catalog["out"]).read_tier(spark, name)
+    series = tier.groupBy("source", "bucket_ts").agg(
+        SF.sum("sum").cast("long").alias("v")
+    )
+    direct = m4_points(series, ["source"], "bucket_ts", "v", start, end, k)
+    got = m4_from_catalog(spark, served_catalog["out"], start, end, k)
+    assert got.exceptAll(direct).count() == 0
+    assert direct.exceptAll(got).count() == 0
+    assert got.count() > 0
+    routed = serve(spark, served_catalog["out"], start, end, k=k, style="m4")
+    assert routed.exceptAll(got).count() == 0
+
+
+def test_serve_rejects_ambiguous_and_bad_style(spark, served_catalog):
+    from tersets_spark.jobs import serve
+
+    start, end = _range_of(spark, served_catalog)
+    with pytest.raises(ValueError):
+        serve(spark, served_catalog["out"], start, end, k=8, rate_tier="1h")
+    with pytest.raises(ValueError):
+        serve(spark, served_catalog["out"], start, end, k=8, style="wat")
