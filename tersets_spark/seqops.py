@@ -967,7 +967,10 @@ def windowed_token_topk(
     aggregation bounds the shuffle at (sources x windows x batch-local
     vocab) rows per map task regardless of corpus size, and the rank
     window runs over per-(source, window) groups that are at most
-    vocab-sized. Pure JVM end to end.
+    vocab-sized. The window total rides the SAME (source, window)
+    partitioning as the rank window (an unbounded-frame sum, not a
+    groupBy+join — one explode pass, one exchange, no recompute of the
+    count subtree). Pure JVM end to end.
     """
     b = int(bucket_seconds)
     pts = seq.select(
@@ -980,20 +983,20 @@ def windowed_token_topk(
     freq = pts.groupBy("source", "bucket_ts", "token").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    totals = freq.groupBy("source", "bucket_ts").agg(
-        F.sum("cnt").cast("long").alias("bucket_tokens")
-    )
-    wr = Window.partitionBy("source", "bucket_ts").orderBy(
-        F.col("cnt").desc(), F.col("token").asc()
-    )
+    wp = Window.partitionBy("source", "bucket_ts")
+    wr = wp.orderBy(F.col("cnt").desc(), F.col("token").asc())
     return (
-        freq.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= int(k))
-        .join(F.broadcast(totals), ["source", "bucket_ts"])
-        .select(
-            "source", "bucket_ts", "rank",
+        freq.select(
+            "source",
+            "bucket_ts",
+            F.row_number().over(wr).cast("long").alias("rank"),
             F.col("token").cast("long").alias("token"),
-            "cnt", "bucket_tokens",
+            "cnt",
+            F.sum("cnt").over(wp).cast("long").alias("bucket_tokens"),
+        )
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "source", "bucket_ts", "rank", "token", "cnt", "bucket_tokens"
         )
     )
 
