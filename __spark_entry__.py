@@ -1691,6 +1691,40 @@ def _q_doc_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("mode", "doc_id", "source", "ts", "v")
 
 
+_THRESHOLD_HI = 18_000
+_THRESHOLD_LO = 1
+_THRESHOLD_LO_WINDOW = (1_700_030_000, 1_700_030_600)
+
+
+def _q_threshold_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-THRESHOLD scan (rollup.threshold_points /
+    jobs.threshold_from_catalog): every point with v >= 18000 over the
+    whole corpus ('hi') plus every point with v <= 1 in a 10-minute
+    window ('lo') — served via the 1m tier's per-(doc, minute) vmin/vmax
+    ZONE MAPS, so only candidate documents' raw blobs are decoded and
+    each decode is sliced to its candidate minutes before the in-kernel
+    value mask. At sf0.01 the 'hi' scan decodes 15 of 20,000 documents
+    (99 of 264,634 minute buckets candidate); the 'lo' branch exercises
+    the vmin path under dense candidates. Exactness never depends on the
+    zone maps — interior non-candidate minutes fail the value mask
+    itself."""
+    from tersets_spark.rollup import rollup_raw, threshold_points
+
+    seq = _sequences(spark, sf_dir)
+    raw = seq.select(
+        "doc_id", "source", "ts0", "n_tok",
+        compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens")).alias("blob"),
+    )
+    m1 = rollup_raw(seq)
+    hi = threshold_points(raw, m1, _THRESHOLD_HI)
+    lo = threshold_points(
+        raw, m1, _THRESHOLD_LO, *_THRESHOLD_LO_WINDOW, mode="<="
+    )
+    return hi.withColumn("mode", F.lit("hi")).unionByName(
+        lo.withColumn("mode", F.lit("lo"))
+    ).select("mode", "doc_id", "source", "ts", "v")
+
+
 def _q_overview_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard OVERVIEW serving (rollup.overview_points): k-point LTTB
     per source over a range, from ONE pruned scan of the coarsest tier
@@ -2094,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_stitch_agg": _q_range_stitch_agg,
         "range_gapfill_serve": _q_range_gapfill_serve,
         "doc_point_read": _q_doc_point_read,
+        "threshold_scan": _q_threshold_scan,
         "overview_serve": _q_overview_serve,
         "sketch_range_percentiles": _q_sketch_range_percentiles,
         "hll_range_distinct": _q_hll_range_distinct,
@@ -3198,6 +3233,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'window', doc_id, source, ts, CAST(v AS BIGINT)
             FROM pts
             WHERE ts >= {_POINT_READ_WINDOW[0]} AND ts < {_POINT_READ_WINDOW[1]}
+        """,
+        # zone-map threshold scan: the oracle is the brute predicate over
+        # every raw point — equality proves the tier-as-index prune loses
+        # nothing (false negatives would show as missing rows)
+        "threshold_scan": f"""
+            WITH pts AS ({pts})
+            SELECT 'hi' AS mode, doc_id, source, ts, CAST(v AS BIGINT) AS v
+            FROM pts WHERE v >= {_THRESHOLD_HI}
+            UNION ALL
+            SELECT 'lo', doc_id, source, ts, CAST(v AS BIGINT)
+            FROM pts
+            WHERE v <= {_THRESHOLD_LO}
+              AND ts >= {_THRESHOLD_LO_WINDOW[0]}
+              AND ts < {_THRESHOLD_LO_WINDOW[1]}
         """,
         # range-scoped sketch serving: one-shot sketches over the range's
         # raw points; equality with the stitched tier merge is the proof

@@ -1285,6 +1285,44 @@ def read_doc_range(
     return doc_points(raw, start, end, doc_ids, max_doc_seconds=max_doc_seconds)
 
 
+def threshold_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    threshold: int,
+    start: int | None = None,
+    end: int | None = None,
+    mode: str = ">=",
+    as_of: int | None = None,
+    max_doc_seconds: int | None = None,
+) -> DataFrame:
+    """VALUE-THRESHOLD serving from a committed catalog: every (doc_id,
+    source, ts, v) point with ``v >= threshold`` (or ``<=``), optionally
+    in ``[start, end)`` — rollup.threshold_points with the committed 1m
+    tier's vmin/vmax zone maps indexing the committed raw blobs. Both
+    tier reads resolve against ONE manifest snapshot (a cascade commit
+    between them could otherwise pair a fresher index with staler blobs,
+    or vice versa).
+
+    Retention guard covers BOTH tiers: an expired 1m bucket is a hole in
+    the INDEX (its raw points would be silently skipped, a false
+    negative), so the guard is as strict as for a direct tier read. An
+    unbounded scan (``start=None``) is guarded at 0 — it fails fast on
+    any retained catalog, because full-history threshold answers below
+    the horizon are unservable, not empty."""
+    from .rollup import threshold_points
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    guard_ts = 0 if start is None else int(start)
+    _check_retention_horizon(catalog, "raw", guard_ts, "threshold_from_catalog")
+    _check_retention_horizon(catalog, "1m", guard_ts, "threshold_from_catalog")
+    raw = catalog.read_tier(spark, "raw", as_of=snap)
+    m1 = catalog.read_tier(spark, "1m", as_of=snap)
+    return threshold_points(
+        raw, m1, threshold, start, end, mode, max_doc_seconds=max_doc_seconds
+    )
+
+
 def read_tier_realtime(
     spark: SparkSession,
     out_dir: str,
@@ -2056,6 +2094,8 @@ def serve(
     k: int | None = None,
     style: str = "lttb",
     rate_tier: str | None = None,
+    threshold: int | None = None,
+    threshold_mode: str = ">=",
     as_of: int | None = None,
 ) -> DataFrame:
     """ONE serving entry point over a committed catalog — routes an
@@ -2075,6 +2115,10 @@ def serve(
       from the coarsest tier dividing ``step``.
     * ``rate_tier`` given -> :func:`rate_from_catalog` — PromQL-style
       per-series counter rate/increase over that committed tier.
+    * ``threshold`` given -> :func:`threshold_from_catalog` — every point
+      with ``v >= threshold`` (``threshold_mode="<="`` flips it), served
+      via the 1m tier's vmin/vmax zone maps so only candidate documents'
+      blobs are decoded.
     * otherwise          -> :func:`range_aggregate_from_catalog` — exact
       per-source aggregate, stitched from the coarsest aligned tier
       segments with raw-edge decode for sub-minute endpoints.
@@ -2087,7 +2131,8 @@ def serve(
     """
     chosen = [name for name, v in
               (("doc_ids", doc_ids), ("k", k), ("step", step),
-               ("rate_tier", rate_tier)) if v is not None]
+               ("rate_tier", rate_tier), ("threshold", threshold))
+              if v is not None]
     if len(chosen) > 1:
         raise ValueError(
             f"serve: selectors are mutually exclusive, got {chosen}"
@@ -2107,6 +2152,11 @@ def serve(
     if rate_tier is not None:
         return rate_from_catalog(
             spark, out_dir, start, end, tier=rate_tier, as_of=as_of
+        )
+    if threshold is not None:
+        return threshold_from_catalog(
+            spark, out_dir, threshold, start, end,
+            mode=threshold_mode, as_of=as_of,
         )
     return range_aggregate_from_catalog(spark, out_dir, start, end, as_of=as_of)
 

@@ -859,3 +859,70 @@ def edge_points_map_in_arrow(start: int, end: int, keys: tuple[str, ...] = ("sou
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return _gen
+
+
+def threshold_points_map_in_arrow(threshold: int, mode: str = ">="):
+    """mapInArrow VALUE-THRESHOLD decode: (doc_id, source, ts0, n_tok,
+    blob, w_lo, w_hi) -> (doc_id, source, ts, v) points with
+    ``v >= threshold`` (mode ``">="``) or ``v <= threshold`` (``"<="``)
+    and point-ts in the row's candidate window ``[w_lo, w_hi)``.
+
+    The candidate window comes from the 1m tier's per-(doc, minute)
+    vmin/vmax zone maps (rollup.threshold_points): only documents with at
+    least one qualifying minute reach this kernel, and each decode is
+    sliced to the doc's first..last candidate minute before the value
+    mask — so the values that cross the Arrow boundary are (a subset of
+    minutes already known to contain a hit) x (the mask), never the
+    corpus.
+
+    Bit-exact contract: decode is the codec's own (lossless blobs give
+    the ingested tokens verbatim); the mask is integer comparison.
+    """
+    import pyarrow as pa
+
+    if mode not in (">=", "<="):
+        raise ValueError(f"mode must be '>=' or '<=', got {mode!r}")
+    thr = np.int64(threshold)
+    want_ge = mode == ">="
+
+    def _gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ts0 = batch.column(batch.schema.get_field_index("ts0")).to_numpy()
+            ntk = batch.column(batch.schema.get_field_index("n_tok")).to_numpy()
+            wlo = batch.column(batch.schema.get_field_index("w_lo")).to_numpy()
+            whi = batch.column(batch.schema.get_field_index("w_hi")).to_numpy()
+            doc_col = batch.column(batch.schema.get_field_index("doc_id"))
+            src_col = batch.column(batch.schema.get_field_index("source"))
+            blob_col = batch.column(batch.schema.get_field_index("blob"))
+            vals: list[np.ndarray] = []
+            tss: list[np.ndarray] = []
+            idxs: list[np.ndarray] = []
+            for i, b in enumerate(blob_col):
+                lo = max(0, int(wlo[i] - ts0[i]))
+                hi = min(int(ntk[i]), int(whi[i] - ts0[i]))
+                if hi <= lo:
+                    continue
+                t = np.round(codecs.decompress(b.as_py())).astype(np.int64)[lo:hi]
+                mask = t >= thr if want_ge else t <= thr
+                if not mask.any():
+                    continue
+                pos = np.flatnonzero(mask)
+                vals.append(t[pos])
+                tss.append(ts0[i] + lo + pos.astype(np.int64))
+                idxs.append(np.full(len(pos), i, dtype=np.int64))
+            if not vals:
+                continue
+            take = pa.array(np.concatenate(idxs))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_col.take(take),
+                    src_col.take(take),
+                    pa.array(np.concatenate(tss), type=pa.int64()),
+                    pa.array(np.concatenate(vals), type=pa.int64()),
+                ],
+                ["doc_id", "source", "ts", "v"],
+            )
+
+    return _gen

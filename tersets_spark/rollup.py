@@ -553,6 +553,102 @@ def doc_points(
     )
 
 
+def threshold_candidates(
+    m1_df: DataFrame,
+    threshold: int,
+    start: int | None = None,
+    end: int | None = None,
+    mode: str = ">=",
+    tier_seconds: int = 60,
+) -> DataFrame:
+    """Per-document candidate windows for a value-threshold scan, read
+    off the 1m tier's per-(doc, minute) vmin/vmax ZONE MAPS: one row
+    (doc_id, w_lo, w_hi) per document owning at least one minute bucket
+    whose [vmin, vmax] admits the predicate, where ``[w_lo, w_hi)`` spans
+    the doc's first..last candidate minute clamped to ``[start, end)``.
+
+    This is the tier-as-index read: the zone-map filter and the
+    bucket_ts range both push to the committed 1m scan (time-clustered
+    files prune bucket_ts on row-group stats), and the aggregate output
+    is one narrow row per candidate DOCUMENT — at most |candidate docs|
+    rows regardless of corpus size."""
+    if mode not in (">=", "<="):
+        raise ValueError(f"mode must be '>=' or '<=', got {mode!r}")
+    zmap = (
+        F.col("vmax") >= int(threshold)
+        if mode == ">="
+        else F.col("vmin") <= int(threshold)
+    )
+    cand = m1_df.where(zmap)
+    if end is not None:
+        cand = cand.where(F.col("bucket_ts") < int(end))
+    if start is not None:
+        cand = cand.where(F.col("bucket_ts") > int(start) - tier_seconds)
+    w_lo = F.min("bucket_ts")
+    w_hi = F.max("bucket_ts") + tier_seconds
+    if start is not None:
+        w_lo = F.greatest(w_lo, F.lit(int(start)))
+    if end is not None:
+        w_hi = F.least(w_hi, F.lit(int(end)))
+    return cand.groupBy("doc_id").agg(
+        w_lo.cast("long").alias("w_lo"), w_hi.cast("long").alias("w_hi")
+    )
+
+
+def threshold_points(
+    raw_df: DataFrame,
+    m1_df: DataFrame,
+    threshold: int,
+    start: int | None = None,
+    end: int | None = None,
+    mode: str = ">=",
+    max_doc_seconds: int | None = None,
+) -> DataFrame:
+    """VALUE-THRESHOLD scan ("every point where v >= X", the
+    spike/outlier export): (doc_id, source, ts, v) points satisfying the
+    predicate, optionally restricted to event-time ``[start, end)`` —
+    answered WITHOUT decoding the corpus by using the 1m tier's
+    vmin/vmax as zone maps over the raw blobs.
+
+    Plan (tier-as-index): :func:`threshold_candidates` reduces the 1m
+    tier to one (doc_id, w_lo, w_hi) row per document with a qualifying
+    minute; the raw tier joins that candidate set on doc_id (its
+    adaptive doc_id blooms + the pushed ts0 bounds prune the scan; AQE
+    broadcasts the candidate side when small, which a selective
+    threshold makes it); ONE mapInArrow pass then decodes each surviving
+    blob, slices it to the doc's candidate window, and applies the value
+    mask in-kernel — only qualifying points ever cross the Arrow
+    boundary. Measured sf0.01 (v >= 18000): 15 of 20,000 documents
+    decoded, 99 of 264,634 minute buckets candidate (0.04%).
+
+    Exactness does not depend on the zone maps: interior non-candidate
+    minutes inside a doc's window are removed by the value mask itself
+    (their vmax excludes the predicate), and lossless blobs decode to
+    the ingested tokens verbatim."""
+    from .kernels import threshold_points_map_in_arrow
+
+    if start is not None and end is not None and end <= start:
+        raise ValueError("empty range")
+    cand = threshold_candidates(m1_df, threshold, start, end, mode)
+    scan = raw_df
+    if end is not None:
+        scan = scan.where(F.col("ts0") < int(end))
+    if start is not None:
+        if max_doc_seconds is None:
+            max_doc_seconds = int(scan.agg(F.max("n_tok")).head()[0] or 0)
+        scan = scan.where(
+            (F.col("ts0") > int(start) - max_doc_seconds)
+            & (F.col("ts0") + F.col("n_tok") > int(start))
+        )
+    joined = scan.select("doc_id", "source", "ts0", "n_tok", "blob").join(
+        cand, "doc_id"
+    )
+    return joined.mapInArrow(
+        threshold_points_map_in_arrow(threshold, mode),
+        "doc_id string, source string, ts long, v long",
+    )
+
+
 def serving_tier_for_step(
     step: int, tiers: list[tuple[str, int]] | None = None
 ) -> tuple[str, int]:

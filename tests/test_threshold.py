@@ -1,0 +1,173 @@
+"""Value-threshold scan served off the 1m tier's vmin/vmax zone maps
+(rollup.threshold_points / jobs.threshold_from_catalog): exactness vs a
+token-explode replica, candidate pruning, range clamping, catalog twin
+equality, and the retention-horizon guard on BOTH tiers it reads."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tersets_spark.catalog import TierCatalog
+from tersets_spark.jobs import apply_retention, run_cascade, threshold_from_catalog
+from tersets_spark.kernels import compress_udf
+from tersets_spark.methods import Method
+from tersets_spark.rollup import rollup_raw, threshold_candidates, threshold_points
+from tersets_spark.tables import generate_sequences
+
+
+@pytest.fixture(scope="module")
+def seq_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("thr_seq") / "seq.parquet")
+    pq.write_table(generate_sequences(240, seed=31), path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def seq(spark, seq_path):
+    return spark.read.parquet(seq_path)
+
+
+@pytest.fixture(scope="module")
+def raw_m1(seq):
+    raw = seq.select(
+        "doc_id", "source", "ts0", "n_tok",
+        compress_udf(Method.DeltaOfDelta, 0.0)(F.col("tokens")).alias("blob"),
+    )
+    return raw, rollup_raw(seq)
+
+
+def _replica(seq_pdf: pd.DataFrame, thr: int, mode: str,
+             start: int | None = None, end: int | None = None) -> pd.DataFrame:
+    rows = []
+    for r in seq_pdf.itertuples():
+        for i, v in enumerate(r.tokens):
+            ts = r.ts0 + i
+            if start is not None and ts < start:
+                continue
+            if end is not None and ts >= end:
+                continue
+            if (v >= thr) if mode == ">=" else (v <= thr):
+                rows.append((r.doc_id, r.source, ts, int(v)))
+    return pd.DataFrame(rows, columns=["doc_id", "source", "ts", "v"])
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["doc_id", "ts"], ignore_index=True).astype(
+        {"ts": "int64", "v": "int64"}
+    )
+
+
+def test_threshold_points_exact_both_modes(seq, raw_m1):
+    raw, m1 = raw_m1
+    pdf = seq.toPandas()
+    flat = pd.Series([v for t in pdf.tokens for v in t])
+    thr_hi = int(flat.quantile(0.999))
+    thr_lo = int(flat.quantile(0.001))
+    for thr, mode in ((thr_hi, ">="), (thr_lo, "<=")):
+        got = threshold_points(raw, m1, thr, mode=mode).toPandas()
+        want = _replica(pdf, thr, mode)
+        assert len(got) > 0, (thr, mode)
+        pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_threshold_points_range_clamped(seq, raw_m1):
+    raw, m1 = raw_m1
+    pdf = seq.toPandas()
+    lo = int(pdf.ts0.min())
+    hi = int((pdf.ts0 + pdf.n_tok).max())
+    # a range cutting through candidate minutes on both sides
+    start, end = lo + (hi - lo) // 3 + 7, lo + 2 * (hi - lo) // 3 + 11
+    flat = pd.Series([v for t in pdf.tokens for v in t])
+    thr = int(flat.quantile(0.99))
+    got = threshold_points(raw, m1, thr, start=start, end=end).toPandas()
+    want = _replica(pdf, thr, ">=", start, end)
+    assert len(want) > 0
+    assert got.ts.between(start, end - 1).all()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_threshold_candidates_prune_and_clamp(spark):
+    # hand-built 1m tier: doc A has one hot minute, doc B never qualifies
+    m1 = spark.createDataFrame(
+        [
+            ("A", "s", 1_700_000_000, 10, 50),
+            ("A", "s", 1_700_000_060, 10, 500),
+            ("A", "s", 1_700_000_120, 10, 60),
+            ("B", "s", 1_700_000_000, 80, 90),
+        ],
+        "doc_id string, source string, bucket_ts long, vmin long, vmax long",
+    )
+    cand = threshold_candidates(m1, 100).collect()
+    assert len(cand) == 1 and cand[0]["doc_id"] == "A"
+    assert cand[0]["w_lo"] == 1_700_000_060 and cand[0]["w_hi"] == 1_700_000_120
+    # clamp: requested range tighter than the candidate minutes
+    cand = threshold_candidates(
+        m1, 100, start=1_700_000_070, end=1_700_000_100
+    ).collect()
+    assert cand[0]["w_lo"] == 1_700_000_070 and cand[0]["w_hi"] == 1_700_000_100
+    # vmin path for '<='
+    cand = threshold_candidates(m1, 55, mode="<=").collect()
+    assert {r["doc_id"] for r in cand} == {"A"}
+    with pytest.raises(ValueError):
+        threshold_candidates(m1, 100, mode="==")
+
+
+def test_threshold_points_empty_and_validation(seq, raw_m1):
+    raw, m1 = raw_m1
+    vmax = int(m1.agg(F.max("vmax")).head()[0])
+    assert threshold_points(raw, m1, vmax + 1).count() == 0
+    with pytest.raises(ValueError):
+        threshold_points(raw, m1, 0, start=100, end=100)
+    with pytest.raises(ValueError):
+        threshold_points(raw, m1, 0, mode="!=")
+
+
+def test_threshold_from_catalog_matches_direct(spark, seq_path, seq, raw_m1, tmp_path):
+    raw, m1 = raw_m1
+    out = str(tmp_path / "tiers")
+    os.makedirs(out)
+    run_cascade(spark, seq_path, out, with_blocks=False)
+    pdf = seq.toPandas()
+    flat = pd.Series([v for t in pdf.tokens for v in t])
+    thr = int(flat.quantile(0.995))
+    got = threshold_from_catalog(spark, out, thr).toPandas()
+    want = threshold_points(raw, m1, thr).toPandas()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+    # serve routing reaches the same path
+    from tersets_spark.jobs import serve
+
+    lo = int(pdf.ts0.min())
+    hi = int((pdf.ts0 + pdf.n_tok).max())
+    via_serve = serve(spark, out, lo, hi, threshold=thr).toPandas()
+    pd.testing.assert_frame_equal(_norm(via_serve), _norm(want))
+    with pytest.raises(ValueError):
+        serve(spark, out, lo, hi, threshold=thr, k=4)
+
+
+def test_threshold_retention_guard(spark, seq_path, tmp_path):
+    out = str(tmp_path / "tiers")
+    os.makedirs(out)
+    run_cascade(spark, seq_path, out, with_blocks=False)
+    row = (
+        spark.read.parquet(seq_path)
+        .agg(F.min("ts0"), F.max(F.col("ts0") + F.col("n_tok")))
+        .collect()[0]
+    )
+    lo, hi = int(row[0]), int(row[1])
+    keep = (hi - lo) // 2
+    apply_retention(spark, out, hi, {"raw": keep, "1m": keep})
+    horizon = hi - keep
+    # unbounded scan and below-horizon start both fail fast
+    with pytest.raises(ValueError, match="retention horizon"):
+        threshold_from_catalog(spark, out, 0)
+    with pytest.raises(ValueError, match="retention horizon"):
+        threshold_from_catalog(spark, out, 0, start=lo, end=hi)
+    # above-horizon start serves
+    got = threshold_from_catalog(spark, out, 0, start=horizon + 60, end=hi)
+    assert got.count() > 0
