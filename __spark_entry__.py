@@ -2069,6 +2069,22 @@ def _q_token_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_distribution_drift(_sequences(spark, sf_dir), bucket_seconds=86400)
 
 
+def _q_corr_sources_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between per-source 1h series
+    (rollup.source_correlation) — cross-series analytics answered from
+    the continuous aggregates, never raw points. Every accumulator and
+    both derived quadratic forms are exact decimal(38,0) integers
+    (HUGEINT in the oracle); floats enter only in the final
+    num/(sqrt(d1)*sqrt(d2)) — three exactly-rounded conversions, two
+    sqrts, one multiply, one divide — so DuckDB replays the correlation
+    bit-identically. Pairs correlate over SHARED buckets only."""
+    from tersets_spark.rollup import rollup_up, source_correlation
+
+    seq = _sequences(spark, sf_dir)
+    h1 = rollup_up(rollup_raw(seq, TIERS["1m"]), TIERS["1h"])
+    return source_correlation(h1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -2146,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weight_1m": _q_time_weight_1m,
         "anomaly_zscore_1m": _q_anomaly_zscore_1m,
         "token_drift_daily": _q_token_drift_daily,
+        "corr_sources_1h": _q_corr_sources_1h,
     }
 
 
@@ -3603,6 +3620,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 24 * v - frame_sum <> 0
                    END AS is_anomaly
             FROM w WHERE n = 24
+        """,
+        # cross-source Pearson: exact HUGEINT quadratic forms, floats only
+        # in the final conversion/sqrt/divide chain (mirrors Spark exactly).
+        # HUGEINT->DOUBLE is routed via VARCHAR: DuckDB's direct cast
+        # computes upper*2^64 + lower in doubles (two roundings, off by an
+        # ulp on >53-bit values); the string parse is correctly rounded,
+        # matching Spark's BigDecimal conversion.
+        "corr_sources_1h": f"""
+            WITH pts AS ({pts}),
+            per AS (
+                SELECT source, CAST((ts // 3600) * 3600 AS BIGINT) AS bucket_ts,
+                       CAST(SUM(v) AS HUGEINT) AS x
+                FROM pts GROUP BY 1, 2
+            ),
+            pr AS (
+                SELECT a.source AS s1, b.source AS s2,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(a.x) AS sx, SUM(b.x) AS sy,
+                       SUM(a.x * b.x) AS sxy,
+                       SUM(a.x * a.x) AS sxx,
+                       SUM(b.x * b.x) AS syy
+                FROM per a JOIN per b
+                  ON a.bucket_ts = b.bucket_ts AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT s1, s2, n,
+                   CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+                   CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS d1,
+                   CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS d2,
+                   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                        THEN CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                             / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                                * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+                   END AS corr
+            FROM pr
         """,
         # drift: the full outer join folds into a signed UNION ALL grouped
         # per token — missing sides contribute nothing; tv_num exact int64

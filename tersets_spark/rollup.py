@@ -909,3 +909,85 @@ def rolling_zscore(
         .otherwise(num != 0)
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-series correlation
+# ---------------------------------------------------------------------------
+
+
+def source_correlation(tier_df: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation between per-source tier series — the
+    "which sources move together" read (cross-series analytics over the
+    continuous aggregates, never raw points).
+
+    Series: x_s(bucket) = SUM(sum) of source ``s``'s tier rows in that
+    bucket. Pairs correlate over their SHARED buckets only (inner join on
+    bucket_ts; a bucket one side lacks is missing data, not zero).
+
+    Cross-engine determinism (the rolling_zscore argument, scaled up):
+    every accumulator — n, Σx, Σy, Σxy, Σx², Σy² — is an exact
+    decimal(38,0) integer (HUGEINT in the DuckDB oracle), as are the
+    derived num = n·Σxy − Σx·Σy and den d_i = n·Σx_i² − (Σx_i)², so
+    aggregation order cannot perturb anything. Floats appear only in the
+    final ``corr = num / (sqrt(d1) · sqrt(d2))``: three exactly-rounded
+    integer→double conversions, two correctly-rounded sqrts, one multiply,
+    one divide — bit-identical in any IEEE engine. Constant series
+    (d_i = 0) get corr NULL. (Engine caveat found while oracling this:
+    DuckDB's direct HUGEINT→DOUBLE cast computes upper·2⁶⁴ + lower in
+    doubles — two roundings, one ulp off on >53-bit values — so the
+    oracle converts via VARCHAR, which parses correctly rounded; Spark's
+    BigDecimal conversion is correctly rounded natively.)
+
+    Scale shape: the tier collapses to one (source, bucket) row per
+    bucket BEFORE pairing (map-side partial agg), so the self-join input
+    is |sources| × buckets narrow rows and the join itself is a
+    bucket_ts-keyed shuffle producing ≤ |sources|²/2 × buckets rows —
+    independent of corpus size. With thousands of sources, pre-filter
+    ``tier_df`` to the cohort of interest; the pair grid is inherently
+    quadratic in |sources|.
+
+    Output: (s1, s2, n, num, d1, d2, corr) with s1 < s2.
+    """
+    dec = "decimal(38,0)"
+    per = tier_df.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("x")
+    )
+    a, b = per.alias("a"), per.alias("b")
+    ax, bx = F.col("a.x").cast(dec), F.col("b.x").cast(dec)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket_ts") == F.col("b.bucket_ts"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(ax).alias("sx"),
+            F.sum(bx).alias("sy"),
+            F.sum(ax * bx).alias("sxy"),
+            F.sum(ax * ax).alias("sxx"),
+            F.sum(bx * bx).alias("syy"),
+        )
+    )
+    n = F.col("n").cast(dec)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        num.cast("double")
+        / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+    )
+    return pairs.select(
+        "s1",
+        "s2",
+        "n",
+        num.cast("double").alias("num"),
+        d1.cast("double").alias("d1"),
+        d2.cast("double").alias("d2"),
+        corr.alias("corr"),
+    )

@@ -1,0 +1,75 @@
+"""Cross-source Pearson correlation over tier series
+(rollup.source_correlation): hand-computed known answers, shared-bucket
+semantics, constant-series NULL, and a NumPy corrcoef replica."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tersets_spark.rollup import TIERS, rollup_raw, rollup_up, source_correlation
+from tersets_spark.tables import ensure_sequences
+
+
+def _tier(spark, rows):
+    # minimal tier shape: per-doc rows with (source, bucket_ts, sum)
+    return spark.createDataFrame(
+        [("d", s, b, v) for s, b, v in rows],
+        "doc_id string, source string, bucket_ts long, sum long",
+    )
+
+
+def test_perfect_and_anti_correlation(spark):
+    rows = []
+    for i, v in enumerate([1, 3, 7, 2, 9]):
+        rows += [("A", i * 60, v), ("B", i * 60, 2 * v + 5), ("C", i * 60, -v + 100)]
+    out = {(r["s1"], r["s2"]): r for r in source_correlation(_tier(spark, rows)).collect()}
+    assert out[("A", "B")]["corr"] == pytest.approx(1.0)
+    assert out[("A", "C")]["corr"] == pytest.approx(-1.0)
+    assert out[("B", "C")]["corr"] == pytest.approx(-1.0)
+    assert all(r["n"] == 5 for r in out.values())
+
+
+def test_shared_buckets_only(spark):
+    # B misses bucket 120: the pair correlates over the other buckets only
+    rows = [("A", 0, 1), ("A", 60, 2), ("A", 120, 50), ("A", 180, 4),
+            ("B", 0, 10), ("B", 60, 20), ("B", 180, 40)]
+    r = source_correlation(_tier(spark, rows)).collect()[0]
+    assert r["n"] == 3
+    # over shared buckets A=[1,2,4], B=[10,20,40] -> exactly linear
+    assert r["corr"] == pytest.approx(1.0)
+
+
+def test_constant_series_null(spark):
+    rows = [("A", 0, 5), ("A", 60, 5), ("B", 0, 1), ("B", 60, 9)]
+    r = source_correlation(_tier(spark, rows)).collect()[0]
+    assert r["d1"] == 0.0 and r["corr"] is None
+
+
+def test_per_doc_rows_sum_to_series(spark):
+    # two docs of one source in the same bucket fold into one series point
+    rows = [("A", 0, 3), ("A", 0, 4), ("A", 60, 1),
+            ("B", 0, 7), ("B", 60, 1)]
+    r = source_correlation(_tier(spark, rows)).collect()[0]
+    # A series = [7, 1], B = [7, 1] -> corr 1
+    assert r["corr"] == pytest.approx(1.0)
+
+
+def test_numpy_replica_on_generated(spark):
+    seq = spark.read.parquet(ensure_sequences("sf0.001"))
+    h1 = rollup_up(rollup_raw(seq), TIERS["1h"])
+    got = {(r["s1"], r["s2"]): r["corr"]
+           for r in source_correlation(h1).collect()}
+    per = {(r["source"], r["bucket_ts"]): r["x"]
+           for r in h1.groupBy("source", "bucket_ts")
+                      .agg(F.sum("sum").alias("x")).collect()}
+    sources = sorted({s for s, _ in per})
+    for i, s1 in enumerate(sources):
+        for s2 in sources[i + 1:]:
+            shared = sorted(b for s, b in per if s == s1
+                            and (s2, b) in per)
+            x = np.array([per[(s1, b)] for b in shared], dtype=np.float64)
+            y = np.array([per[(s2, b)] for b in shared], dtype=np.float64)
+            want = np.corrcoef(x, y)[0, 1]
+            assert got[(s1, s2)] == pytest.approx(want, rel=1e-9), (s1, s2)
