@@ -2085,6 +2085,21 @@ def _q_corr_sources_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_correlation(h1)
 
 
+def _q_coverage_1m_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness audit (rollup.coverage_by_window): per (source,
+    hour) how many of the expected 1m buckets are present plus the
+    longest silent stretch — the feed-health / SLO read. Expected
+    buckets clamp to each source's active span; fully-silent hours
+    inside the span surface as coverage-0 rows via a span-exploded
+    window grid (never from the absent data). All integer arithmetic
+    except the one coverage division."""
+    from tersets_spark.rollup import coverage_by_window
+
+    seq = _sequences(spark, sf_dir)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    return coverage_by_window(m1, TIERS["1m"], TIERS["1h"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -2163,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore_1m": _q_anomaly_zscore_1m,
         "token_drift_daily": _q_token_drift_daily,
         "corr_sources_1h": _q_corr_sources_1h,
+        "coverage_1m_hourly": _q_coverage_1m_hourly,
     }
 
 
@@ -3655,6 +3671,63 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
                    END AS corr
             FROM pr
+        """,
+        # completeness audit: window grid exploded from the span aggregate
+        # so silent hours inside the span replay as coverage-0 rows
+        "coverage_1m_hourly": f"""
+            WITH pts AS ({pts}),
+            b AS (
+                SELECT DISTINCT source, CAST((ts // 60) * 60 AS BIGINT)
+                           AS bucket_ts
+                FROM pts
+            ),
+            span AS (
+                SELECT source, MIN(bucket_ts) AS s0,
+                       MAX(bucket_ts) + 60 AS s1
+                FROM b GROUP BY 1
+            ),
+            lagged AS (
+                SELECT source,
+                       CAST((bucket_ts // 3600) * 3600 AS BIGINT) AS window_ts,
+                       bucket_ts,
+                       lag(bucket_ts) OVER (
+                           PARTITION BY source, bucket_ts // 3600
+                           ORDER BY bucket_ts) AS prev
+                FROM b
+            ),
+            per AS (
+                SELECT source, window_ts,
+                       CAST(COUNT(*) AS BIGINT) AS present,
+                       MIN(bucket_ts) AS f, MAX(bucket_ts) AS l,
+                       MAX(bucket_ts - prev - 60) AS intra
+                FROM lagged GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT source, s0, s1,
+                       CAST(unnest(generate_series(
+                           (s0 // 3600) * 3600,
+                           ((s1 - 1) // 3600) * 3600, 3600)) AS BIGINT)
+                           AS window_ts
+                FROM span
+            ),
+            j AS (
+                SELECT g.source, g.window_ts,
+                       greatest(g.window_ts, g.s0) AS w_lo,
+                       least(g.window_ts + 3600, g.s1) AS w_hi,
+                       COALESCE(p.present, 0) AS present, p.f, p.l, p.intra
+                FROM grid g LEFT JOIN per p
+                  ON g.source = p.source AND g.window_ts = p.window_ts
+            )
+            SELECT source, window_ts,
+                   CAST((w_hi - w_lo) // 60 AS BIGINT) AS expected,
+                   CAST(present AS BIGINT) AS present,
+                   CAST(present AS DOUBLE)
+                       / CAST((w_hi - w_lo) // 60 AS DOUBLE) AS coverage,
+                   CAST(greatest(COALESCE(f, w_hi) - w_lo,
+                                 COALESCE(intra, 0),
+                                 w_hi - (COALESCE(l, w_lo - 60) + 60),
+                                 0) AS BIGINT) AS longest_gap
+            FROM j
         """,
         # drift: the full outer join folds into a signed UNION ALL grouped
         # per token — missing sides contribute nothing; tv_num exact int64

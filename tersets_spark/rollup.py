@@ -991,3 +991,96 @@ def source_correlation(tier_df: DataFrame) -> DataFrame:
         d2.cast("double").alias("d2"),
         corr.alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-completeness / coverage audit
+# ---------------------------------------------------------------------------
+
+
+def coverage_by_window(
+    tier_df: DataFrame,
+    tier_seconds: int = 60,
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """Per-(source, window) DATA-COMPLETENESS audit over a committed tier —
+    the "is this feed healthy" / SLO read: how many of the tier buckets a
+    source SHOULD have in each window are actually present, and how long
+    its longest silent stretch was.
+
+    Expected buckets are clamped to the source's global active span
+    [first bucket, last bucket + tier] — a source that starts mid-window
+    or retires is not penalized for time it never claimed to cover.
+    ``longest_gap`` is the longest missing stretch in seconds within the
+    window: the max of the lead-in gap (window/span start → first present
+    bucket), every intra-window gap between consecutive present buckets,
+    and the tail gap (last present bucket end → window/span end).
+
+    Fully-silent windows inside the span surface as coverage 0 rows (the
+    point of the audit), via a per-source window grid exploded from the
+    |sources|-row span aggregate — never from the data, which is absent.
+
+    Exactness: everything is integer arithmetic on bucket timestamps
+    except the single ``coverage = present/expected`` division. Scale
+    shape: the tier collapses to DISTINCT (source, bucket) rows first
+    (map-side partial), the span aggregate is |sources| rows broadcast
+    back, and the lag window runs per (source, window) partitions of at
+    most window/tier rows. Pure JVM end to end.
+
+    Output: (source, window_ts, expected, present, coverage, longest_gap).
+    """
+    t = int(tier_seconds)
+    w = int(window_seconds)
+    if w % t != 0:
+        raise ValueError(f"window {w}s must be a multiple of tier {t}s")
+    buckets = tier_df.select("source", "bucket_ts").distinct()
+    span = buckets.groupBy("source").agg(
+        F.min("bucket_ts").alias("_s0"),
+        (F.max("bucket_ts") + t).alias("_s1"),
+    )
+    win = (F.floor(F.col("bucket_ts") / w) * w).cast("long")
+    lagged = buckets.select(
+        "source",
+        win.alias("window_ts"),
+        "bucket_ts",
+        F.lag("bucket_ts")
+        .over(Window.partitionBy("source", win).orderBy("bucket_ts"))
+        .alias("_prev"),
+    )
+    per = lagged.groupBy("source", "window_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("present"),
+        F.min("bucket_ts").alias("_first"),
+        F.max("bucket_ts").alias("_last"),
+        F.max(F.col("bucket_ts") - F.col("_prev") - t).alias("_intra"),
+    )
+    # densify: a fully-silent window inside the active span must surface
+    # as coverage 0, not as a missing row (the whole point of the audit)
+    grid = span.select(
+        "source", "_s0", "_s1",
+        F.explode(
+            F.sequence(
+                (F.floor(F.col("_s0") / w) * w).cast("long"),
+                (F.floor((F.col("_s1") - 1) / w) * w).cast("long"),
+                F.lit(w),
+            )
+        ).alias("window_ts"),
+    )
+    j = grid.join(per, ["source", "window_ts"], "left")
+    w_lo = F.greatest(F.col("window_ts"), F.col("_s0"))
+    w_hi = F.least(F.col("window_ts") + w, F.col("_s1"))
+    expected = ((w_hi - w_lo) / t).cast("long")
+    present = F.coalesce(F.col("present"), F.lit(0)).cast("long")
+    gap = F.greatest(
+        F.coalesce(F.col("_first"), w_hi) - w_lo,        # lead-in / all-silent
+        F.coalesce(F.col("_intra"), F.lit(0)),           # between present buckets
+        w_hi - (F.coalesce(F.col("_last"), w_lo - t) + t),  # tail / all-silent
+        F.lit(0),
+    )
+    return j.select(
+        "source",
+        "window_ts",
+        expected.alias("expected"),
+        present.alias("present"),
+        (present.cast("double") / expected.cast("double")).alias("coverage"),
+        gap.cast("long").alias("longest_gap"),
+    )
