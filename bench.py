@@ -246,6 +246,26 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
                 F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
                 "mean", "gap_filled")
 
+        # value-threshold scan: 1m zone maps index the raw blobs vs a
+        # brute posexplode of the corpus (same predicate, same answer)
+        thr = int(0.9 * int(m1.agg(F.max("vmax")).head()[0]))
+
+        def threshold_zone():
+            from tersets_spark.jobs import threshold_from_catalog
+
+            return threshold_from_catalog(spark, out, thr)
+
+        def threshold_raw():
+            pts = seq.select(
+                "doc_id", "source",
+                F.posexplode("tokens").alias("pos", "v"), "ts0",
+            ).select(
+                "doc_id", "source",
+                (F.col("ts0") + F.col("pos")).alias("ts"),
+                F.col("v").cast("long").alias("v"),
+            )
+            return pts.where(F.col("v") >= thr)
+
         strategies = {
             "stitched": stitched, "m1_only": m1_only, "raw_scan": raw_scan,
             "stitched_aligned": stitched_aligned, "m1_aligned": m1_aligned,
@@ -267,6 +287,7 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
         for name, fn in (
             ("point_read", point_read), ("point_read_raw", point_read_raw),
             ("gapfill_1h", gapfill_1h), ("gapfill_raw", gapfill_raw),
+            ("threshold_zone", threshold_zone), ("threshold_raw", threshold_raw),
         ):
             fn().collect()
             best = float("inf")
@@ -282,6 +303,9 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
         assert answers["gapfill_1h"] == answers["gapfill_raw"], (
             "gap-fill strategies disagree"
         )
+        assert answers["threshold_zone"] == answers["threshold_raw"] and answers[
+            "threshold_zone"
+        ], "threshold strategies disagree or matched nothing"
         assert answers["stitched"] == answers["m1_only"] == answers["raw_scan"], (
             "serving strategies disagree"
         )
@@ -341,6 +365,12 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
                 "gapfill_1h_tier_rows": gf_tier_rows,
                 "gapfill_raw_points": gf_raw_points,
                 "point_read_points": len(answers["point_read"]),
+                "threshold_points": len(answers["threshold_zone"]),
+                "threshold_candidate_docs": int(
+                    m1.where(F.col("vmax") >= thr)
+                    .select("doc_id").distinct().count()
+                ),
+                "threshold_total_docs": int(seq.count()),
             },
         }
     finally:
