@@ -2100,6 +2100,19 @@ def _q_coverage_1m_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_by_window(m1, TIERS["1m"], TIERS["1h"])
 
 
+def _q_top_docs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per (source, day) by total tokens
+    (rollup.top_series) — the "top talkers" read, answered from the 1h
+    tier's per-doc rows. Exact int64 totals, deterministic
+    (total DESC, doc_id ASC) rank; one partial-aggregated groupBy then a
+    rank window per at-most-|window docs| group."""
+    from tersets_spark.rollup import rollup_up, top_series
+
+    seq = _sequences(spark, sf_dir)
+    h1 = rollup_up(rollup_raw(seq, TIERS["1m"]), TIERS["1h"])
+    return top_series(h1, k=5, window_seconds=TIERS["1d"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -2179,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_daily": _q_token_drift_daily,
         "corr_sources_1h": _q_corr_sources_1h,
         "coverage_1m_hourly": _q_coverage_1m_hourly,
+        "top_docs_daily": _q_top_docs_daily,
     }
 
 
@@ -3728,6 +3742,23 @@ def oracle_sql() -> dict[str, str]:
                                  w_hi - (COALESCE(l, w_lo - 60) + 60),
                                  0) AS BIGINT) AS longest_gap
             FROM j
+        """,
+        # top talkers: exact totals, deterministic (total DESC, doc ASC) rank
+        "top_docs_daily": f"""
+            WITH pts AS ({pts}),
+            totals AS (
+                SELECT source,
+                       CAST((ts // 86400) * 86400 AS BIGINT) AS window_ts,
+                       doc_id, CAST(SUM(v) AS BIGINT) AS total
+                FROM pts GROUP BY 1, 2, 3
+            )
+            SELECT source, window_ts,
+                   CAST(row_number() OVER (
+                       PARTITION BY source, window_ts
+                       ORDER BY total DESC, doc_id ASC) AS BIGINT) AS rank,
+                   doc_id, total
+            FROM totals
+            QUALIFY rank <= 5
         """,
         # drift: the full outer join folds into a signed UNION ALL grouped
         # per token — missing sides contribute nothing; tv_num exact int64

@@ -1084,3 +1084,39 @@ def coverage_by_window(
         (present.cast("double") / expected.cast("double")).alias("coverage"),
         gap.cast("long").alias("longest_gap"),
     )
+
+
+def top_series(
+    tier_df: DataFrame,
+    k: int = 5,
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """TOP-K series per (source, window) by total tokens — the "top
+    talkers" read ("which documents dominated this source today"),
+    answered from a committed tier's per-doc rows, never raw points.
+
+    Deterministic total order: rank by (total DESC, doc_id ASC), exact
+    int64 totals. Scale shape: one partial-aggregated groupBy collapses
+    the tier to (source, window, doc) totals, then the rank window runs
+    per (source, window) groups — bounded by that window's distinct
+    docs, and only rank <= k rows survive. Pure JVM.
+
+    Output: (source, window_ts, rank, doc_id, total).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = int(window_seconds)
+    win = (F.floor(F.col("bucket_ts") / w) * w).cast("long")
+    totals = tier_df.groupBy(
+        "source", win.alias("window_ts"), "doc_id"
+    ).agg(F.sum("sum").cast("long").alias("total"))
+    rank = F.row_number().over(
+        Window.partitionBy("source", "window_ts").orderBy(
+            F.col("total").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        totals.withColumn("rank", rank.cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select("source", "window_ts", "rank", "doc_id", "total")
+    )
