@@ -2113,6 +2113,49 @@ def _q_top_docs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_series(h1, k=5, window_seconds=TIERS["1d"])
 
 
+_ALERT_THRESHOLD = 12_000
+
+
+def _q_stream_alerts_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED threshold alerting (streaming.stream_threshold_alerts):
+    the sequences parquet staged as a multi-batch file stream; each
+    micro-batch logs the (source, minute) extremes crossing the
+    threshold; the folded log hash-matches the batch answer because the
+    extreme is monotone under batch union — a source-bucket split across
+    batches alerts iff the finished bucket does, and max(logged peaks) is
+    the true bucket vmax (unlogged slices sit below every logged one)."""
+    import pyarrow.parquet as _pq
+
+    from tersets_spark.streaming import (
+        read_stream_alerts,
+        stream_threshold_alerts,
+    )
+
+    seq_path = ensure_sequences(sf_name_from_dir(sf_dir))
+    ensure_shipped(spark)
+    work = _gate_workdir("tersets_alerts_q_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    table = _pq.read_table(seq_path)
+    n = table.num_rows
+    bounds = [i * n // 4 for i in range(5)]
+    for i in range(4):
+        _pq.write_table(
+            table.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(in_dir, f"part-{i}.parquet"),
+        )
+    q = stream_threshold_alerts(
+        spark,
+        in_dir,
+        os.path.join(work, "out"),
+        os.path.join(work, "ckpt"),
+        _ALERT_THRESHOLD,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    return read_stream_alerts(spark, os.path.join(work, "out"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -2193,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_sources_1h": _q_corr_sources_1h,
         "coverage_1m_hourly": _q_coverage_1m_hourly,
         "top_docs_daily": _q_top_docs_daily,
+        "stream_alerts_1m": _q_stream_alerts_1m,
     }
 
 
@@ -3759,6 +3803,17 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, total
             FROM totals
             QUALIFY rank <= 5
+        """,
+        # streamed alert log folds to the batch answer (monotone extremes)
+        "stream_alerts_1m": f"""
+            WITH pts AS ({pts}),
+            sb AS (
+                SELECT source, CAST((ts // 60) * 60 AS BIGINT) AS bucket_ts,
+                       CAST(MAX(v) AS BIGINT) AS peak
+                FROM pts GROUP BY 1, 2
+            )
+            SELECT source, bucket_ts, peak, '>=' AS mode
+            FROM sb WHERE peak >= {_ALERT_THRESHOLD}
         """,
         # drift: the full outer join folds into a signed UNION ALL grouped
         # per token — missing sides contribute nothing; tv_num exact int64

@@ -897,3 +897,104 @@ def finalize_streamed_tier_incremental(
             spark, stream_out_dir, tier, drop_below_ts=watermark_ts - span + 1
         )
     return stats
+
+
+# ---------------------------------------------------------------------------
+# streamed threshold alerting
+# ---------------------------------------------------------------------------
+
+
+def stream_threshold_alerts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: int,
+    mode: str = ">=",
+    tier_seconds: int = TIERS["1m"],
+    schema=None,
+    max_files_per_trigger: int = 8,
+):
+    """REAL-TIME spike alerting over the ingest stream (PromQL alerting
+    analog): per micro-batch, run the same Arrow rollup kernel as the
+    cascade, fold to (source, bucket) extremes, and log every
+    source-bucket whose batch-local extreme crosses ``threshold`` —
+    ``max(vmax) >= threshold`` for mode ``">="``, ``min(vmin) <=`` for
+    ``"<="`` — as an append-only alert log.
+
+    EXACTNESS (arrival-order independence, the stream/batch parity
+    proof): a source-bucket DOES split across micro-batches (different
+    documents of one source arrive in different files), but its extreme
+    is MONOTONE under batch union — the true vmax is the max of the
+    batch-local vmaxes — so (a) some batch slice crosses the threshold
+    iff the finished source-bucket does (no false or missed alerts from
+    batch splits), and (b) the logged rows' ``max(peak)`` (min for
+    ``"<="``) equals the finished bucket's true extreme, because every
+    UNLOGGED slice of an alerted bucket is on the sub-threshold side of
+    every logged one. :func:`read_stream_alerts` applies that fold, so
+    the folded log is bitwise the batch answer regardless of how the
+    corpus was split into batches.
+
+    Per-batch cost: the map-only kernel plus one aggregation bounded at
+    (sources x batch's buckets) rows. Same idempotent-sink pattern as
+    stream_sequences_to_tier: a replayed batch overwrites its own
+    ``alerts/batch=N`` directory.
+    """
+    from .shipping import ensure_shipped
+
+    if mode not in (">=", "<="):
+        raise ValueError(f"mode must be '>=' or '<=', got {mode!r}")
+    ensure_shipped(spark)
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    thr = int(threshold)
+    fold = F.max("vmax") if mode == ">=" else F.min("vmin")
+    base = os.path.join(out_dir, "alerts")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rolled = rollup_raw(batch_df, tier_seconds, with_blocks=False)
+        peaks = rolled.groupBy("source", "bucket_ts").agg(
+            fold.cast("long").alias("peak")
+        )
+        pred = (
+            (F.col("peak") >= thr) if mode == ">=" else (F.col("peak") <= thr)
+        )
+        alerts = peaks.where(pred).select(
+            "source", "bucket_ts", "peak", F.lit(mode).alias("mode")
+        )
+        batch_dir = os.path.join(base, f"batch={batch_id}")
+        alerts.write.mode("overwrite").parquet(batch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the streamed alert log to one row per alerted (source,
+    bucket): ``peak`` = max of the logged batch-local peaks (min for a
+    ``"<="`` log) — exactly the finished bucket's true extreme (see
+    :func:`stream_threshold_alerts`). Output: (source, bucket_ts, peak,
+    mode)."""
+    base = os.path.join(out_dir, "alerts")
+    df = spark.read.option("basePath", base).parquet(
+        os.path.join(base, "batch=*")
+    )
+    modes = [r["mode"] for r in df.select("mode").distinct().collect()]
+    if len(modes) > 1:
+        raise ValueError(f"alert log mixes modes {modes}")
+    fold = F.max("peak") if modes == [">="] else F.min("peak")
+    return (
+        df.groupBy("source", "bucket_ts", "mode")
+        .agg(fold.cast("long").alias("peak"))
+        .select("source", "bucket_ts", "peak", "mode")
+    )
