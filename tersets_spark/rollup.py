@@ -603,6 +603,7 @@ def threshold_points(
     end: int | None = None,
     mode: str = ">=",
     max_doc_seconds: int | None = None,
+    push_limit: int = 10_000,
 ) -> DataFrame:
     """VALUE-THRESHOLD scan ("every point where v >= X", the
     spike/outlier export): (doc_id, source, ts, v) points satisfying the
@@ -612,12 +613,27 @@ def threshold_points(
 
     Plan (tier-as-index): :func:`threshold_candidates` reduces the 1m
     tier to one (doc_id, w_lo, w_hi) row per document with a qualifying
-    minute; the raw tier joins that candidate set on doc_id (its
-    adaptive doc_id blooms + the pushed ts0 bounds prune the scan; AQE
-    broadcasts the candidate side when small, which a selective
-    threshold makes it); ONE mapInArrow pass then decodes each surviving
-    blob, slices it to the doc's candidate window, and applies the value
-    mask in-kernel — only qualifying points ever cross the Arrow
+    minute. When the candidate set is small — which a selective
+    threshold makes it, and is the premise of using an index at all —
+    the candidates are collected (bounded by ``push_limit``) and pushed
+    into the raw scan as a STATIC ``doc_id IN (...)`` plus ts0 bounds
+    derived from the candidate windows: only a static predicate can
+    reach the raw tier's adaptive doc_id bloom filters and
+    time-clustered row-group stats (a dynamic broadcast join prunes
+    nothing at the scan), and the engine session raises
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` so candidate-sized
+    IN lists actually convert to parquet predicates (Spark's default
+    stops at 10 values). At sf1.6/local the walls are footer- and
+    worker-startup-bound either way (pushed ~5.0 s, join ~4.2 s, brute
+    token scan ~1.9 s from page cache, same window) — the scale
+    argument is 230 of 1,600,000 documents decoded and blob bytes vs
+    token bytes, with the bloom mechanism itself measured on the
+    point-read path (PLANS.md). Above ``push_limit`` the dynamic
+    broadcast-join path is kept — with that many candidates the scan is
+    amortized by real decode work, and a driver collect would be the
+    anti-pattern. Either way ONE mapInArrow pass decodes each surviving
+    blob, slices it to the doc's candidate window, and applies the
+    value mask in-kernel — only qualifying points ever cross the Arrow
     boundary. Measured sf0.01 (v >= 18000): 15 of 20,000 documents
     decoded, 99 of 264,634 minute buckets candidate (0.04%).
 
@@ -640,8 +656,31 @@ def threshold_points(
             (F.col("ts0") > int(start) - max_doc_seconds)
             & (F.col("ts0") + F.col("n_tok") > int(start))
         )
+    if push_limit and push_limit > 0:
+        rows = cand.limit(int(push_limit) + 1).collect()
+        if len(rows) <= int(push_limit):
+            if not rows:
+                return scan.sparkSession.createDataFrame(
+                    [], "doc_id string, source string, ts long, v long"
+                )
+            cand = scan.sparkSession.createDataFrame(
+                [(r["doc_id"], r["w_lo"], r["w_hi"]) for r in rows],
+                "doc_id string, w_lo long, w_hi long",
+            )
+            lo = min(r["w_lo"] for r in rows)
+            hi = max(r["w_hi"] for r in rows)
+            if max_doc_seconds is None:
+                max_doc_seconds = int(
+                    raw_df.agg(F.max("n_tok")).head()[0] or 0
+                )
+            scan = scan.where(
+                F.col("doc_id").isin([r["doc_id"] for r in rows])
+                & (F.col("ts0") < hi)
+                & (F.col("ts0") > lo - max_doc_seconds)
+                & (F.col("ts0") + F.col("n_tok") > lo)
+            )
     joined = scan.select("doc_id", "source", "ts0", "n_tok", "blob").join(
-        cand, "doc_id"
+        F.broadcast(cand), "doc_id"
     )
     return joined.mapInArrow(
         threshold_points_map_in_arrow(threshold, mode),

@@ -42,6 +42,13 @@ def get_spark(
         # every core busy on medium inputs instead of 1-2 jumbo partitions.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Serving reads push doc_id IN (...) lists into the raw-tier scan,
+        # where the adaptive per-row-group doc_id bloom filters evaluate
+        # them (catalog.tier_writer). Spark's default only converts IN to
+        # a parquet predicate up to 10 values — far below a zone-map
+        # candidate set (rollup.threshold_points) — so raise it: bloom
+        # probes are cheap and the alternative is reading every row group.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=ERROR")

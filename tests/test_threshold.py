@@ -73,6 +73,14 @@ def test_threshold_points_exact_both_modes(seq, raw_m1):
         want = _replica(pdf, thr, mode)
         assert len(got) > 0, (thr, mode)
         pd.testing.assert_frame_equal(_norm(got), _norm(want))
+        # dynamic-join fallback (candidates above push_limit) is identical
+        joined = threshold_points(raw, m1, thr, mode=mode,
+                                  push_limit=0).toPandas()
+        pd.testing.assert_frame_equal(_norm(joined), _norm(want))
+        # tiny push_limit forces the fallback via the limit probe too
+        probed = threshold_points(raw, m1, thr, mode=mode,
+                                  push_limit=1).toPandas()
+        pd.testing.assert_frame_equal(_norm(probed), _norm(want))
 
 
 def test_threshold_points_range_clamped(seq, raw_m1):
