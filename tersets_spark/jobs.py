@@ -1323,6 +1323,93 @@ def threshold_from_catalog(
     )
 
 
+def _read_tier_range(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str,
+    start: int | None,
+    end: int | None,
+    as_of: int | None,
+    caller: str,
+) -> DataFrame:
+    """Shared shape of the analytics catalog twins: one pinned snapshot,
+    a retention-horizon guard at ``start`` (0 when unbounded — a
+    whole-history analytic below the horizon is unservable, not empty),
+    and bucket_ts bounds pushed into the committed scan (time-clustered
+    files prune on row-group stats)."""
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(
+        catalog, tier, 0 if start is None else int(start), caller
+    )
+    df = catalog.read_tier(spark, tier, as_of=snap)
+    if start is not None:
+        df = df.where(F.col("bucket_ts") >= int(start))
+    if end is not None:
+        df = df.where(F.col("bucket_ts") < int(end))
+    return df
+
+
+def coverage_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str = "1m",
+    window_seconds: int = 3600,
+    start: int | None = None,
+    end: int | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Data-completeness/SLO audit over a COMMITTED tier
+    (rollup.coverage_by_window as a serving read): per (source, window)
+    expected-vs-present buckets + longest silent stretch. ``start``/
+    ``end`` bound the audit (and the span clamp) to the window of
+    interest and push into the clustered scan."""
+    from .rollup import TIERS, coverage_by_window
+
+    df = _read_tier_range(
+        spark, out_dir, tier, start, end, as_of, "coverage_from_catalog"
+    )
+    return coverage_by_window(df, TIERS[tier], window_seconds)
+
+
+def top_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str = "1h",
+    k: int = 5,
+    window_seconds: int = 86400,
+    start: int | None = None,
+    end: int | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Top-K series per (source, window) from a COMMITTED tier
+    (rollup.top_series as a serving read)."""
+    from .rollup import top_series
+
+    df = _read_tier_range(
+        spark, out_dir, tier, start, end, as_of, "top_from_catalog"
+    )
+    return top_series(df, k, window_seconds)
+
+
+def corr_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str = "1h",
+    start: int | None = None,
+    end: int | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Cross-source Pearson correlation over a COMMITTED tier
+    (rollup.source_correlation as a serving read)."""
+    from .rollup import source_correlation
+
+    df = _read_tier_range(
+        spark, out_dir, tier, start, end, as_of, "corr_from_catalog"
+    )
+    return source_correlation(df)
+
+
 def read_tier_realtime(
     spark: SparkSession,
     out_dir: str,
