@@ -2114,6 +2114,28 @@ def _q_top_docs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ALERT_THRESHOLD = 12_000
+_MULTI_RANGES = [
+    (1_700_000_100, 1_700_086_380),   # near-full span: 1m edges + 1h/1d interior
+    (1_700_003_580, 1_700_050_020),   # interior mix
+    (1_700_029_980, 1_700_030_580),   # 10-minute 1m-only panel
+    (1_700_010_000, 1_700_070_000),   # overlaps the panels above
+    (1_700_086_380, 1_700_089_860),   # tail edge
+]
+
+
+def _q_range_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH range serving (rollup.range_aggregate_many /
+    jobs.range_aggregate_many_from_catalog): five overlapping dashboard
+    panels answered with ONE scan per tier total — per tier, every
+    panel's stitched segments OR-combine into the single pushed
+    predicate and rows are attributed to their panels by a codegen
+    when-array explode (plan-shape-tested: <= 3 explode generators
+    regardless of panel count). Each panel's aggregates are bitwise
+    range_aggregate's single-range answer."""
+    from tersets_spark.rollup import cascade, range_aggregate_many
+
+    tiers = cascade(_sequences(spark, sf_dir))
+    return range_aggregate_many(tiers, _MULTI_RANGES)
 
 
 def _q_stream_alerts_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2237,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_1m_hourly": _q_coverage_1m_hourly,
         "top_docs_daily": _q_top_docs_daily,
         "stream_alerts_1m": _q_stream_alerts_1m,
+        "range_multi_agg": _q_range_multi_agg,
     }
 
 
@@ -3814,6 +3837,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, bucket_ts, peak, '>=' AS mode
             FROM sb WHERE peak >= {_ALERT_THRESHOLD}
+        """,
+        # batch range serving: each panel replays as an independent
+        # raw-point aggregate; equality proves the one-scan stitched
+        # attribution loses nothing
+        "range_multi_agg": f"""
+            WITH pts AS ({pts})
+            {" UNION ALL ".join(
+                f'''SELECT CAST({rid} AS BIGINT) AS range_id,
+                           CAST({s} AS BIGINT) AS start,
+                           CAST({e} AS BIGINT) AS "end",
+                           source,
+                           CAST(COUNT(*) AS BIGINT) AS cnt,
+                           CAST(SUM(v) AS BIGINT) AS sum,
+                           CAST(MIN(v) AS BIGINT) AS vmin,
+                           CAST(MAX(v) AS BIGINT) AS vmax,
+                           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+                    FROM pts WHERE ts >= {s} AND ts < {e} GROUP BY source'''
+                for rid, (s, e) in enumerate(_MULTI_RANGES))}
         """,
         # drift: the full outer join folds into a signed UNION ALL grouped
         # per token — missing sides contribute nothing; tv_num exact int64

@@ -1410,6 +1410,35 @@ def corr_from_catalog(
     return source_correlation(df)
 
 
+def range_aggregate_many_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    ranges: list[tuple[int, int]],
+    as_of: int | None = None,
+) -> DataFrame:
+    """BATCH range serving from a committed catalog
+    (rollup.range_aggregate_many): N dashboard panels answered with ONE
+    pinned scan per tier total — every tier read resolves against one
+    manifest snapshot, and each tier actually used by some range's
+    segments is retention-guarded at the earliest start that touches
+    it."""
+    from .rollup import range_aggregate_many, stitch_segments
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    earliest: dict[str, int] = {}
+    for start, end in ranges:
+        for name, s, _e in stitch_segments(int(start), int(end)):
+            earliest[name] = min(earliest.get(name, s), s)
+    tier_dfs = {}
+    for name, s in earliest.items():
+        _check_retention_horizon(
+            catalog, name, s, "range_aggregate_many_from_catalog"
+        )
+        tier_dfs[name] = catalog.read_tier(spark, name, as_of=snap)
+    return range_aggregate_many(tier_dfs, ranges)
+
+
 def read_tier_realtime(
     spark: SparkSession,
     out_dir: str,

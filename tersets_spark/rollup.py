@@ -441,6 +441,94 @@ def range_aggregate(
     )
 
 
+def range_aggregate_many(
+    tier_dfs: dict[str, DataFrame],
+    ranges: list[tuple[int, int]],
+    tiers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """BATCH range serving: exact per-source aggregates for MANY
+    ``[start, end)`` ranges — the "N-panel dashboard" read — with ONE
+    scan per tier TOTAL, not per range.
+
+    Each range stitches into coarsest-aligned segments exactly as
+    :func:`range_aggregate`; per tier, every range's segment predicates
+    OR-combine into the single pushed scan filter, and each surviving
+    row is attributed to the ranges whose segments contain it by a
+    codegen ``array(when(seg_pred, rid)...)`` + ``array_compact`` +
+    ``explode`` — overlapping panels duplicate only the shared rows,
+    never the scan. The whole plan is JVM built-ins: scan → explode →
+    one hash aggregate on (range_id, source).
+
+    Ranges must align to the finest tier (stitch_segments' contract;
+    sub-minute endpoints are the single-range :func:`range_aggregate`'s
+    ``raw_df`` path — a batch of dashboard panels is bucket-aligned).
+    Scale shape: the per-tier predicate is the union of bounded segment
+    windows, so the scan reads O(sum of segment rows); the explode
+    multiplies rows only by their containing-panel count.
+
+    Output: (range_id, start, end, source, cnt, sum, vmin, vmax, mean),
+    range_id = index into ``ranges``.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    by_tier: dict[str, list[tuple[int, int, int]]] = {}
+    for rid, (start, end) in enumerate(ranges):
+        for name, s, e in stitch_segments(int(start), int(end), tiers):
+            by_tier.setdefault(name, []).append((rid, s, e))
+    cols = ["source", "bucket_ts", "cnt", "sum", "vmin", "vmax"]
+    parts: list[DataFrame] = []
+    for name, segs in by_tier.items():
+        if name not in tier_dfs:
+            raise KeyError(f"range_aggregate_many: tier {name!r} not provided")
+        scan_pred = None
+        whens = []
+        for rid, s, e in segs:
+            p = (F.col("bucket_ts") >= s) & (F.col("bucket_ts") < e)
+            scan_pred = p if scan_pred is None else (scan_pred | p)
+            whens.append(F.when(p, F.lit(rid)))
+        tagged = (
+            tier_dfs[name]
+            .select(*cols)
+            .where(scan_pred)
+            .withColumn(
+                "range_id", F.explode(F.array_compact(F.array(*whens)))
+            )
+        )
+        parts.append(tagged)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    bounds = {rid: (int(s), int(e)) for rid, (s, e) in enumerate(ranges)}
+    start_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for rid, (s, e) in bounds.items() for x in (rid, s)]
+        ),
+        F.col("range_id").cast("int"),
+    )
+    end_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for rid, (s, e) in bounds.items() for x in (rid, e)]
+        ),
+        F.col("range_id").cast("int"),
+    )
+    return (
+        u.groupBy("range_id", "source")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("sum").cast("long").alias("sum"),
+            F.min("vmin").cast("long").alias("vmin"),
+            F.max("vmax").cast("long").alias("vmax"),
+            (F.sum("sum").cast("double") / F.sum("cnt")).alias("mean"),
+        )
+        .select(
+            F.col("range_id").cast("long").alias("range_id"),
+            start_col.cast("long").alias("start"),
+            end_col.cast("long").alias("end"),
+            "source", "cnt", "sum", "vmin", "vmax", "mean",
+        )
+    )
+
+
 def overview_tier_for_range(
     start: int, end: int, k: int, tiers: list[tuple[str, int]] | None = None
 ) -> tuple[str, int]:

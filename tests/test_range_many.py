@@ -1,0 +1,89 @@
+"""Batch multi-range serving (rollup.range_aggregate_many): per-range
+equality with the single-range path, overlapping panels, one-scan-per-tier
+plan shape, and the catalog twin."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tersets_spark.catalog import TierCatalog
+from tersets_spark.jobs import range_aggregate_many_from_catalog, run_cascade
+from tersets_spark.rollup import (
+    cascade,
+    range_aggregate,
+    range_aggregate_many,
+)
+from tersets_spark.tables import ensure_sequences, generate_sequences
+
+RANGES = [
+    (1_700_000_100, 1_700_080_000 // 60 * 60),   # 1m edges + 1h/1d interior
+    (1_700_003_600 // 60 * 60, 1_700_050_000 // 60 * 60),
+    (1_700_000_100, 1_700_000_400),               # short, 1m-only
+    (1_700_010_000 // 60 * 60, 1_700_070_000 // 60 * 60),  # overlaps #0/#1
+]
+
+
+@pytest.fixture(scope="module")
+def tiers(spark):
+    seq = spark.read.parquet(ensure_sequences("sf0.001"))
+    t = cascade(seq)
+    return {k: v.localCheckpoint() for k, v in t.items()}
+
+
+def _key(rows):
+    return sorted(map(tuple, rows))
+
+
+def test_matches_single_range_path(spark, tiers):
+    many = range_aggregate_many(tiers, RANGES).collect()
+    by_rid = {}
+    for r in many:
+        by_rid.setdefault(r["range_id"], []).append(
+            (r["source"], r["cnt"], r["sum"], r["vmin"], r["vmax"], r["mean"])
+        )
+    for rid, (s, e) in enumerate(RANGES):
+        single = range_aggregate(tiers, s, e).collect()
+        want = [(r["source"], r["cnt"], r["sum"], r["vmin"], r["vmax"],
+                 r["mean"]) for r in single]
+        assert _key(by_rid[rid]) == _key(want), rid
+        got_bounds = {(r["start"], r["end"]) for r in many
+                      if r["range_id"] == rid}
+        assert got_bounds == {(s, e)}
+
+
+def test_one_scan_per_tier(spark, tiers):
+    plan = range_aggregate_many(tiers, RANGES)._jdf.queryExecution().executedPlan().toString()
+    # each tier contributes exactly one branch regardless of range count:
+    # unions of 3 tier branches -> at most 3 explode generators
+    assert plan.count("Generate explode") <= 3
+
+
+def test_duplicate_and_empty_validation(spark, tiers):
+    with pytest.raises(ValueError):
+        range_aggregate_many(tiers, [])
+    with pytest.raises(ValueError):
+        range_aggregate_many(tiers, [(100, 100)])
+
+
+def test_catalog_twin(spark, tmp_path):
+    path = str(tmp_path / "seq.parquet")
+    pq.write_table(generate_sequences(200, seed=53), path)
+    out = str(tmp_path / "tiers")
+    os.makedirs(out)
+    run_cascade(spark, path, out, with_blocks=False)
+    seq = spark.read.parquet(path)
+    row = seq.agg(F.min("ts0"), F.max(F.col("ts0") + F.col("n_tok"))).collect()[0]
+    lo = (int(row[0]) // 60 + 1) * 60
+    hi = int(row[1]) // 60 * 60
+    mid = ((lo + hi) // 2) // 60 * 60
+    ranges = [(lo, hi), (mid, mid + 600), (lo + 60, hi - 60)]
+    got = range_aggregate_many_from_catalog(spark, out, ranges).collect()
+    cat = TierCatalog(out)
+    tiers = {t: cat.read_tier(spark, t) for t in ("1m", "1h", "1d")}
+    want = range_aggregate_many(tiers, ranges).collect()
+    assert _key(map(tuple, got)) == _key(map(tuple, want))
+    assert {r["range_id"] for r in got} == {0, 1, 2}
