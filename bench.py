@@ -266,6 +266,31 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
             )
             return pts.where(F.col("v") >= thr)
 
+        # batch multi-range serving: 16 overlapping dashboard panels in ONE
+        # job (one scan per tier) vs 16 sequential single-range jobs
+        p0, p1 = 1_700_000_100, 1_700_086_400 // 60 * 60
+        span = p1 - p0
+        panels = []
+        for i in range(16):
+            s = (p0 + (i * span // 24)) // 60 * 60
+            e = (s + span // (2 + i % 5)) // 60 * 60
+            panels.append((s, min(e, p1)))
+
+        def multi_batched():
+            from tersets_spark.jobs import range_aggregate_many_from_catalog
+
+            return range_aggregate_many_from_catalog(spark, out, panels)
+
+        def multi_sequential():
+            from tersets_spark.jobs import range_aggregate_from_catalog
+
+            rows = []
+            for rid, (s, e) in enumerate(panels):
+                for r in range_aggregate_from_catalog(spark, out, s, e).collect():
+                    rows.append((rid, s, e, r["source"], r["cnt"], r["sum"],
+                                 r["vmin"], r["vmax"], r["mean"]))
+            return rows
+
         strategies = {
             "stitched": stitched, "m1_only": m1_only, "raw_scan": raw_scan,
             "stitched_aligned": stitched_aligned, "m1_aligned": m1_aligned,
@@ -306,6 +331,24 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
         assert answers["threshold_zone"] == answers["threshold_raw"] and answers[
             "threshold_zone"
         ], "threshold strategies disagree or matched nothing"
+        # multi-range: batched DataFrame vs sequential per-panel jobs
+        rows_b = multi_batched().collect()
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            rows_b = multi_batched().collect()
+            best = min(best, time.monotonic() - t0)
+        walls["multi16_batched"] = round(best, 3)
+        rows_s = multi_sequential()  # warmup
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            rows_s = multi_sequential()
+            best = min(best, time.monotonic() - t0)
+        walls["multi16_sequential"] = round(best, 3)
+        assert sorted(map(tuple, rows_b)) == sorted(rows_s) and rows_s, (
+            "multi-range strategies disagree or matched nothing"
+        )
         assert answers["stitched"] == answers["m1_only"] == answers["raw_scan"], (
             "serving strategies disagree"
         )
