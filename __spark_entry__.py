@@ -2123,6 +2123,33 @@ _MULTI_RANGES = [
 ]
 
 
+#: hour-aligned gap-fill panels (base = hour floor of the corpus start)
+_GAPFILL_MULTI = [
+    (1_699_999_200 + 3_600, 1_699_999_200 + 10 * 3_600),
+    (1_699_999_200 + 5 * 3_600, 1_699_999_200 + 24 * 3_600),
+    (1_699_999_200 + 20 * 3_600, 1_699_999_200 + 22 * 3_600),
+]
+
+
+def _q_gapfill_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH gap-filled serving (rollup.range_gapfill_many /
+    jobs.range_gapfill_many_from_catalog): three overlapping hour-grid
+    panels from ONE scan of the serving tier — the (source, hour)
+    aggregate is computed once even where panels overlap, each panel
+    grids only its own sources, and the LOCF fill windows partition by
+    (panel, source). Per panel bitwise the single-range range_gapfill."""
+    from tersets_spark.rollup import cascade, range_gapfill_many
+
+    tiers = cascade(_sequences(spark, sf_dir))
+    out = range_gapfill_many(tiers, _GAPFILL_MULTI, 3600, "locf")
+    return out.select(
+        "range_id", "source", "bucket_ts",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("mean").cast("double").alias("mean"),
+        F.col("gap_filled").cast("int").alias("gap_filled"),
+    )
+
+
 def _q_range_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH range serving (rollup.range_aggregate_many /
     jobs.range_aggregate_many_from_catalog): five overlapping dashboard
@@ -2260,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_daily": _q_top_docs_daily,
         "stream_alerts_1m": _q_stream_alerts_1m,
         "range_multi_agg": _q_range_multi_agg,
+        "gapfill_multi": _q_gapfill_multi,
     }
 
 
@@ -3837,6 +3865,84 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, bucket_ts, peak, '>=' AS mode
             FROM sb WHERE peak >= {_ALERT_THRESHOLD}
+        """,
+        # batch gap-fill: each panel replays the grid + LOCF independently
+        "gapfill_multi": f"""
+            WITH pts AS ({pts})
+            SELECT CAST(0 AS BIGINT) AS range_id, source, bucket_ts,
+                   CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+                   LAST_VALUE(mean IGNORE NULLS) OVER (
+                       PARTITION BY source ORDER BY bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS mean,
+                   CAST(mean IS NULL AS INT) AS gap_filled
+            FROM (
+                SELECT g.source, g.bucket_ts, p.cnt, p.mean
+                FROM (
+                    SELECT source,
+                           unnest(generate_series(1700002800, 1700035200 - 3600, 3600))
+                               AS bucket_ts
+                    FROM (SELECT DISTINCT source FROM pts
+                          WHERE ts >= 1700002800 AND ts < 1700035200)
+                ) g
+                LEFT JOIN (
+                    SELECT source, (ts // 3600) * 3600 AS bucket_ts,
+                           CAST(COUNT(*) AS BIGINT) AS cnt,
+                           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+                    FROM pts WHERE ts >= 1700002800 AND ts < 1700035200
+                    GROUP BY 1, 2
+                ) p ON g.source = p.source AND g.bucket_ts = p.bucket_ts
+            )
+            UNION ALL
+            SELECT CAST(1 AS BIGINT) AS range_id, source, bucket_ts,
+                   CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+                   LAST_VALUE(mean IGNORE NULLS) OVER (
+                       PARTITION BY source ORDER BY bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS mean,
+                   CAST(mean IS NULL AS INT) AS gap_filled
+            FROM (
+                SELECT g.source, g.bucket_ts, p.cnt, p.mean
+                FROM (
+                    SELECT source,
+                           unnest(generate_series(1700017200, 1700085600 - 3600, 3600))
+                               AS bucket_ts
+                    FROM (SELECT DISTINCT source FROM pts
+                          WHERE ts >= 1700017200 AND ts < 1700085600)
+                ) g
+                LEFT JOIN (
+                    SELECT source, (ts // 3600) * 3600 AS bucket_ts,
+                           CAST(COUNT(*) AS BIGINT) AS cnt,
+                           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+                    FROM pts WHERE ts >= 1700017200 AND ts < 1700085600
+                    GROUP BY 1, 2
+                ) p ON g.source = p.source AND g.bucket_ts = p.bucket_ts
+            )
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS range_id, source, bucket_ts,
+                   CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+                   LAST_VALUE(mean IGNORE NULLS) OVER (
+                       PARTITION BY source ORDER BY bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS mean,
+                   CAST(mean IS NULL AS INT) AS gap_filled
+            FROM (
+                SELECT g.source, g.bucket_ts, p.cnt, p.mean
+                FROM (
+                    SELECT source,
+                           unnest(generate_series(1700071200, 1700078400 - 3600, 3600))
+                               AS bucket_ts
+                    FROM (SELECT DISTINCT source FROM pts
+                          WHERE ts >= 1700071200 AND ts < 1700078400)
+                ) g
+                LEFT JOIN (
+                    SELECT source, (ts // 3600) * 3600 AS bucket_ts,
+                           CAST(COUNT(*) AS BIGINT) AS cnt,
+                           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+                    FROM pts WHERE ts >= 1700071200 AND ts < 1700078400
+                    GROUP BY 1, 2
+                ) p ON g.source = p.source AND g.bucket_ts = p.bucket_ts
+            )
         """,
         # batch range serving: each panel replays as an independent
         # raw-point aggregate; equality proves the one-scan stitched

@@ -1439,6 +1439,33 @@ def range_aggregate_many_from_catalog(
     return range_aggregate_many(tier_dfs, ranges)
 
 
+def range_gapfill_many_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    ranges: list[tuple[int, int]],
+    step: int,
+    strategy: str = "locf",
+    as_of: int | None = None,
+) -> DataFrame:
+    """BATCH gap-filled serving from a committed catalog
+    (rollup.range_gapfill_many): N gridded panels sharing one ``step``,
+    ONE pinned scan of the serving tier, retention-guarded at the
+    earliest panel start."""
+    from .rollup import range_gapfill_many, serving_tier_for_step
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    name, _secs = serving_tier_for_step(step)
+    _check_retention_horizon(
+        catalog, name, min(int(s) for s, _e in ranges),
+        "range_gapfill_many_from_catalog",
+    )
+    tier = catalog.read_tier(spark, name, as_of=snap)
+    return range_gapfill_many({name: tier}, ranges, step, strategy)
+
+
 def read_tier_realtime(
     spark: SparkSession,
     out_dir: str,

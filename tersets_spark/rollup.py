@@ -155,6 +155,19 @@ def gap_fill(
         *keys, F.explode(F.sequence("_t0", "_t1", F.lit(step))).alias(ts_col)
     )
     joined = grid.join(df, on=[*keys, ts_col], how="left")
+    return _fill_grid(joined, keys, ts_col, value_cols, strategy)
+
+
+def _fill_grid(
+    joined: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    strategy: str,
+) -> DataFrame:
+    """Fill logic shared by :func:`gap_fill` and
+    :func:`range_gapfill_many`: ``joined`` is an already-built grid
+    left-joined to the data rows; windows partition by ``keys``."""
     marker = value_cols[0]
     out = joined.withColumn("gap_filled", F.col(marker).isNull())
     if strategy == "null":
@@ -833,6 +846,93 @@ def range_gapfill(
         "source", "bucket_ts",
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
         "mean", "gap_filled",
+    )
+
+
+def range_gapfill_many(
+    tier_dfs: dict[str, DataFrame],
+    ranges: list[tuple[int, int]],
+    step: int,
+    strategy: str = "locf",
+    tiers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """BATCH gap-filled serving: the :func:`range_gapfill` grid for MANY
+    ``[start, end)`` panels sharing one ``step``, with ONE scan of the
+    serving tier total. Per panel the rows are bitwise the single-range
+    path's.
+
+    Plan: one pushed scan (all panels' bucket ranges OR-combined), one
+    range-agnostic (source, step-bucket) aggregate computed ONCE even
+    where panels overlap, panel attribution via a codegen when-array
+    explode of the aggregate (only to find which sources appear in which
+    panel — single-range semantics grid only the sources with data in
+    the range), a per-(panel, source) exploded fixed grid, one left join
+    back to the shared aggregate, and the same :func:`_fill_grid`
+    windows partitioned by (range_id, source).
+
+    Output: (range_id, source, bucket_ts, cnt, mean, gap_filled).
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    for start, end in ranges:
+        if start % step or end % step:
+            raise ValueError(f"range [{start},{end}) is not {step}s-aligned")
+        if end <= start:
+            raise ValueError(f"empty range [{start},{end})")
+    name, _secs = serving_tier_for_step(step, tiers)
+    if name not in tier_dfs:
+        raise KeyError(f"range_gapfill_many: tier {name!r} not provided")
+    scan_pred = None
+    whens = []
+    for rid, (s, e) in enumerate(ranges):
+        p = (F.col("bucket_ts") >= int(s)) & (F.col("bucket_ts") < int(e))
+        scan_pred = p if scan_pred is None else (scan_pred | p)
+        whens.append(F.when(p, F.lit(rid)))
+    tier = tier_dfs[name].where(scan_pred)
+    agg = tier.groupBy(
+        "source",
+        (F.floor(F.col("bucket_ts") / step) * step).cast("long").alias(
+            "bucket_ts"
+        ),
+    ).agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        (F.sum("sum").cast("double") / F.sum("cnt")).alias("mean"),
+    )
+    rid_sources = (
+        agg.withColumn(
+            "range_id", F.explode(F.array_compact(F.array(*whens)))
+        )
+        .select("range_id", "source")
+        .distinct()
+    )
+    pairs = [x for rid, (s, e) in enumerate(ranges) for x in (rid, int(s))]
+    start_map = F.create_map(*[F.lit(x) for x in pairs])
+    pairs = [
+        x for rid, (s, e) in enumerate(ranges) for x in (rid, int(e) - step)
+    ]
+    last_map = F.create_map(*[F.lit(x) for x in pairs])
+    grid = rid_sources.select(
+        "range_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.element_at(start_map, F.col("range_id")).cast("long"),
+                F.element_at(last_map, F.col("range_id")).cast("long"),
+                F.lit(step),
+            )
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(agg, ["source", "bucket_ts"], "left")
+    filled = _fill_grid(
+        joined, ["range_id", "source"], "bucket_ts", ["mean"], strategy
+    )
+    return filled.select(
+        F.col("range_id").cast("long").alias("range_id"),
+        "source",
+        "bucket_ts",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        "mean",
+        "gap_filled",
     )
 
 

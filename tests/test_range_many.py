@@ -87,3 +87,61 @@ def test_catalog_twin(spark, tmp_path):
     want = range_aggregate_many(tiers, ranges).collect()
     assert _key(map(tuple, got)) == _key(map(tuple, want))
     assert {r["range_id"] for r in got} == {0, 1, 2}
+
+
+def test_gapfill_many_matches_single(spark, tiers):
+    from tersets_spark.rollup import range_gapfill, range_gapfill_many
+
+    b = 1_699_999_200  # hour-aligned floor of the sf0.001 span start
+    ranges = [(b + 3_600, b + 14 * 3_600), (b + 6 * 3_600, b + 22 * 3_600),
+              (b + 8 * 3_600, b + 10 * 3_600)]
+    for strategy in ("locf", "linear", "null"):
+        many = range_gapfill_many(tiers, ranges, 3600, strategy).collect()
+        by_rid = {}
+        for r in many:
+            by_rid.setdefault(r["range_id"], []).append(
+                (r["source"], r["bucket_ts"], r["cnt"], r["mean"],
+                 r["gap_filled"]))
+        for rid, (s, e) in enumerate(ranges):
+            single = range_gapfill(tiers, s, e, 3600, strategy).collect()
+            want = [(r["source"], r["bucket_ts"], r["cnt"], r["mean"],
+                     r["gap_filled"]) for r in single]
+            assert _key(by_rid.get(rid, [])) == _key(want), (strategy, rid)
+
+
+def test_gapfill_many_validation_and_plan(spark, tiers):
+    from tersets_spark.rollup import range_gapfill_many
+
+    with pytest.raises(ValueError):
+        range_gapfill_many(tiers, [], 3600)
+    with pytest.raises(ValueError):
+        range_gapfill_many(tiers, [(1_700_000_100, 1_700_003_600)], 3600)
+    with pytest.raises(ValueError):
+        range_gapfill_many(tiers, [(1_700_003_600, 1_700_003_600)], 3600)
+    b = 1_699_999_200
+    df = range_gapfill_many(
+        tiers, [(b + 3_600, b + 7_200), (b + 3_600, b + 14_400)], 3600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") <= 2  # rid tagging + grid
+
+
+def test_gapfill_many_catalog_twin(spark, tmp_path):
+    from tersets_spark.jobs import range_gapfill_many_from_catalog
+    from tersets_spark.rollup import range_gapfill_many
+
+    path = str(tmp_path / "seq.parquet")
+    pq.write_table(generate_sequences(200, seed=59), path)
+    out = str(tmp_path / "tiers")
+    os.makedirs(out)
+    run_cascade(spark, path, out, with_blocks=False)
+    seq = spark.read.parquet(path)
+    row = seq.agg(F.min("ts0"), F.max(F.col("ts0") + F.col("n_tok"))).collect()[0]
+    lo = (int(row[0]) // 3600 + 1) * 3600
+    hi = int(row[1]) // 3600 * 3600
+    ranges = [(lo, hi), (lo + 3600, hi - 3600)]
+    got = range_gapfill_many_from_catalog(spark, out, ranges, 3600)
+    cat = TierCatalog(out)
+    want = range_gapfill_many(
+        {"1h": cat.read_tier(spark, "1h")}, ranges, 3600)
+    assert _key(map(tuple, got.collect())) == _key(map(tuple, want.collect()))
+    assert got.count() > 0
