@@ -1778,6 +1778,41 @@ def _q_sketch_range_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentiles(merge_sketch(rows, ["source"]), ["source"], [50, 90, 99])
 
 
+#: minute-aligned panels for the BATCH sketch read
+_SKETCH_MULTI = [
+    (1_700_000_100, 1_700_086_380),
+    (1_700_029_980, 1_700_073_180),
+    (1_700_000_160, 1_700_000_760),
+]
+
+
+def _q_sketch_multi_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH range-scoped percentile serving
+    (jobs.percentiles_in_range_many over rollup.stitched_rows_many):
+    three overlapping minute-aligned panels' p50/90/99 from ONE scan per
+    psk sketch level — segment predicates OR-combined, rows tagged per
+    panel, exact sum-merge per (panel, source). Each panel is bitwise
+    the one-shot sketch over its raw points (the oracle)."""
+    from tersets_spark.jobs import _sketch_points, merge_to_bucket
+    from tersets_spark.rollup import stitched_rows_many
+    from tersets_spark.sketch import merge_sketch, percentiles, sketch
+
+    seq = _sequences(spark, sf_dir)
+    pts = _sketch_points(seq)
+    t1m = sketch(pts, ["source", "bucket_ts"], "v")
+    t1h = merge_to_bucket(t1m, 3600, merge_sketch)
+    t1d = merge_to_bucket(t1h, 86400, merge_sketch)
+    rows = stitched_rows_many(
+        {"1m": t1m, "1h": t1h, "1d": t1d}, _SKETCH_MULTI
+    )
+    ks = ["range_id", "source"]
+    out = percentiles(merge_sketch(rows, ks), ks, [50, 90, 99])
+    return out.select(
+        F.col("range_id").cast("long").alias("range_id"),
+        "source", "pct", "estimate",
+    )
+
+
 def _q_hll_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-scoped distinct serving: hll register tiers stitched over
     [start,end), max-merged into the range's registers; the exact-integer
@@ -2288,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_alerts_1m": _q_stream_alerts_1m,
         "range_multi_agg": _q_range_multi_agg,
         "gapfill_multi": _q_gapfill_multi,
+        "sketch_multi_percentiles": _q_sketch_multi_percentiles,
     }
 
 
@@ -3865,6 +3901,84 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, bucket_ts, peak, '>=' AS mode
             FROM sb WHERE peak >= {_ALERT_THRESHOLD}
+        """,
+        # batch sketch serving: per-panel one-shot sketch replay
+        "sketch_multi_percentiles": f"""
+            WITH pts AS ({pts})
+            SELECT CAST(0 AS BIGINT) AS range_id, source,
+                   CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM (
+                SELECT c.source, q.pct, MIN(c.bucket_id) AS bucket_id
+                FROM (
+                    SELECT source, bucket_id,
+                           SUM(cnt) OVER (PARTITION BY source
+                                          ORDER BY bucket_id) AS cum,
+                           SUM(cnt) OVER (PARTITION BY source) AS total
+                    FROM (
+                        SELECT source,
+                               CAST(length(bin(v)) * 32
+                                    + (v >> greatest(length(bin(v)) - 5, 0))
+                                    AS BIGINT) AS bucket_id,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM pts WHERE ts >= 1700000100 AND ts < 1700086380
+                        GROUP BY 1, 2
+                    )
+                ) c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2
+            )
+            UNION ALL
+            SELECT CAST(1 AS BIGINT) AS range_id, source,
+                   CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM (
+                SELECT c.source, q.pct, MIN(c.bucket_id) AS bucket_id
+                FROM (
+                    SELECT source, bucket_id,
+                           SUM(cnt) OVER (PARTITION BY source
+                                          ORDER BY bucket_id) AS cum,
+                           SUM(cnt) OVER (PARTITION BY source) AS total
+                    FROM (
+                        SELECT source,
+                               CAST(length(bin(v)) * 32
+                                    + (v >> greatest(length(bin(v)) - 5, 0))
+                                    AS BIGINT) AS bucket_id,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM pts WHERE ts >= 1700029980 AND ts < 1700073180
+                        GROUP BY 1, 2
+                    )
+                ) c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2
+            )
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS range_id, source,
+                   CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM (
+                SELECT c.source, q.pct, MIN(c.bucket_id) AS bucket_id
+                FROM (
+                    SELECT source, bucket_id,
+                           SUM(cnt) OVER (PARTITION BY source
+                                          ORDER BY bucket_id) AS cum,
+                           SUM(cnt) OVER (PARTITION BY source) AS total
+                    FROM (
+                        SELECT source,
+                               CAST(length(bin(v)) * 32
+                                    + (v >> greatest(length(bin(v)) - 5, 0))
+                                    AS BIGINT) AS bucket_id,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM pts WHERE ts >= 1700000160 AND ts < 1700000760
+                        GROUP BY 1, 2
+                    )
+                ) c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2
+            )
         """,
         # batch gap-fill: each panel replays the grid + LOCF independently
         "gapfill_multi": f"""

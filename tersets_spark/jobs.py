@@ -1571,6 +1571,41 @@ def percentiles_in_range(
     return percentiles(merge_sketch(rows, list(keys)), list(keys), list(pcts))
 
 
+def percentiles_in_range_many(
+    spark: SparkSession,
+    out_dir: str,
+    ranges: list[tuple[int, int]],
+    keys: tuple[str, ...] = ("source",),
+    pcts: tuple[int, ...] = (50, 90, 99),
+    as_of: int | None = None,
+) -> DataFrame:
+    """BATCH range-scoped percentile serving: one percentile set per
+    (range, keys) for MANY minute-aligned ranges, with ONE pinned scan
+    per committed ``psk_*`` sketch level (rollup.stitched_rows_many's
+    range_id tagging; overlapping ranges re-merge only the shared
+    bounded sketch rows). Per range bitwise :func:`percentiles_in_range`
+    — the segment partition makes the sum-merge exact, so batching
+    changes nothing. Output: (range_id, keys..., pct, estimate)."""
+    from .rollup import stitched_rows_many
+    from .sketch import merge_sketch, percentiles
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    tier_dfs = {
+        name: catalog.read_tier(spark, f"psk_{name}", as_of=snap)
+        for name in ("1m", "1h", "1d")
+    }
+    rows = stitched_rows_many(tier_dfs, ranges)
+    ks = ["range_id", *keys]
+    out = percentiles(merge_sketch(rows, ks), ks, list(pcts))
+    return out.select(
+        F.col("range_id").cast("long").alias("range_id"), *keys,
+        "pct", "estimate",
+    )
+
+
 def distinct_in_range(
     spark: SparkSession,
     out_dir: str,

@@ -454,6 +454,55 @@ def range_aggregate(
     )
 
 
+def stitched_rows_many(
+    tier_dfs: dict[str, DataFrame],
+    ranges: list[tuple[int, int]],
+    tiers: list[tuple[str, int]] | None = None,
+    select_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch :func:`stitched_rows`: the tier rows inside every range's
+    stitched segments, tagged with ``range_id``, with ONE scan per tier
+    TOTAL — all ranges' segment predicates OR-combine into each tier's
+    single pushed filter, and rows attribute to their containing ranges
+    via a codegen when-array + ``array_compact`` + ``explode``
+    (overlapping ranges duplicate only the shared rows, never the scan).
+
+    Serves the batch aggregate (:func:`range_aggregate_many`) and the
+    batch sketch reads (jobs.percentiles_in_range_many): any family
+    whose rows carry ``bucket_ts`` and whose combine is decomposable
+    over the segment partition. Minute-aligned ranges only (sub-minute
+    endpoints are the single-range ``raw_df`` path).
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    by_tier: dict[str, list[tuple[int, int, int]]] = {}
+    for rid, (start, end) in enumerate(ranges):
+        for name, s, e in stitch_segments(int(start), int(end), tiers):
+            by_tier.setdefault(name, []).append((rid, s, e))
+    parts: list[DataFrame] = []
+    for name, segs in by_tier.items():
+        if name not in tier_dfs:
+            raise KeyError(f"stitched_rows_many: tier {name!r} not provided")
+        scan_pred = None
+        whens = []
+        for rid, s, e in segs:
+            p = (F.col("bucket_ts") >= s) & (F.col("bucket_ts") < e)
+            scan_pred = p if scan_pred is None else (scan_pred | p)
+            whens.append(F.when(p, F.lit(rid)))
+        df = tier_dfs[name]
+        if select_cols is not None:
+            df = df.select(*select_cols)
+        parts.append(
+            df.where(scan_pred).withColumn(
+                "range_id", F.explode(F.array_compact(F.array(*whens)))
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
 def range_aggregate_many(
     tier_dfs: dict[str, DataFrame],
     ranges: list[tuple[int, int]],
@@ -482,35 +531,10 @@ def range_aggregate_many(
     Output: (range_id, start, end, source, cnt, sum, vmin, vmax, mean),
     range_id = index into ``ranges``.
     """
-    if not ranges:
-        raise ValueError("ranges must be non-empty")
-    by_tier: dict[str, list[tuple[int, int, int]]] = {}
-    for rid, (start, end) in enumerate(ranges):
-        for name, s, e in stitch_segments(int(start), int(end), tiers):
-            by_tier.setdefault(name, []).append((rid, s, e))
-    cols = ["source", "bucket_ts", "cnt", "sum", "vmin", "vmax"]
-    parts: list[DataFrame] = []
-    for name, segs in by_tier.items():
-        if name not in tier_dfs:
-            raise KeyError(f"range_aggregate_many: tier {name!r} not provided")
-        scan_pred = None
-        whens = []
-        for rid, s, e in segs:
-            p = (F.col("bucket_ts") >= s) & (F.col("bucket_ts") < e)
-            scan_pred = p if scan_pred is None else (scan_pred | p)
-            whens.append(F.when(p, F.lit(rid)))
-        tagged = (
-            tier_dfs[name]
-            .select(*cols)
-            .where(scan_pred)
-            .withColumn(
-                "range_id", F.explode(F.array_compact(F.array(*whens)))
-            )
-        )
-        parts.append(tagged)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    u = stitched_rows_many(
+        tier_dfs, ranges, tiers,
+        select_cols=["source", "bucket_ts", "cnt", "sum", "vmin", "vmax"],
+    )
     bounds = {rid: (int(s), int(e)) for rid, (s, e) in enumerate(ranges)}
     start_col = F.element_at(
         F.create_map(

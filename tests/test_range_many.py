@@ -145,3 +145,33 @@ def test_gapfill_many_catalog_twin(spark, tmp_path):
         {"1h": cat.read_tier(spark, "1h")}, ranges, 3600)
     assert _key(map(tuple, got.collect())) == _key(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_percentiles_many_matches_single(spark, tmp_path):
+    from tersets_spark.jobs import (
+        percentiles_in_range,
+        percentiles_in_range_many,
+    )
+
+    path = str(tmp_path / "seq.parquet")
+    pq.write_table(generate_sequences(150, seed=61), path)
+    out = str(tmp_path / "tiers")
+    os.makedirs(out)
+    run_cascade(spark, path, out, with_blocks=False, with_sketches=True)
+    seq = spark.read.parquet(path)
+    row = seq.agg(F.min("ts0"), F.max(F.col("ts0") + F.col("n_tok"))).collect()[0]
+    lo = (int(row[0]) // 60 + 1) * 60
+    hi = int(row[1]) // 60 * 60
+    mid = ((lo + hi) // 2) // 60 * 60
+    ranges = [(lo, hi), (mid, mid + 1800), (lo + 60, mid)]
+    many = percentiles_in_range_many(spark, out, ranges).collect()
+    by_rid = {}
+    for r in many:
+        by_rid.setdefault(r["range_id"], []).append(
+            (r["source"], r["pct"], r["estimate"]))
+    for rid, (s, e) in enumerate(ranges):
+        single = percentiles_in_range(spark, out, s, e).collect()
+        want = [(r["source"], r["pct"], r["estimate"]) for r in single]
+        assert _key(by_rid.get(rid, [])) == _key(want), rid
+    with pytest.raises(ValueError):
+        percentiles_in_range_many(spark, out, [])
