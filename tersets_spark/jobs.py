@@ -1642,6 +1642,37 @@ def distinct_in_range(
     return hll_summary(merge_registers(rows, list(keys)), list(keys))
 
 
+def distinct_in_range_many(
+    spark: SparkSession,
+    out_dir: str,
+    ranges: list[tuple[int, int]],
+    keys: tuple[str, ...] = ("source",),
+    as_of: int | None = None,
+) -> DataFrame:
+    """BATCH range-scoped distinct-count serving: one HLL summary per
+    (range, keys) for MANY minute-aligned ranges, ONE pinned scan per
+    committed ``hll_*`` register level (rollup.stitched_rows_many).
+    Max-merge is IDEMPOTENT, so overlapping panels re-merging shared
+    register rows is exact by construction — per range bitwise
+    :func:`distinct_in_range`. Output: (range_id, keys..., estimate,
+    ...hll_summary columns)."""
+    from .hll import hll_summary, merge_registers
+    from .rollup import stitched_rows_many
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    tier_dfs = {
+        name: catalog.read_tier(spark, f"hll_{name}", as_of=snap)
+        for name in ("1m", "1h", "1d")
+    }
+    rows = stitched_rows_many(tier_dfs, ranges)
+    ks = ["range_id", *keys]
+    out = hll_summary(merge_registers(rows, ks), ks)
+    return out.withColumn("range_id", F.col("range_id").cast("long"))
+
+
 def delete_documents(
     spark: SparkSession,
     out_dir: str,

@@ -175,3 +175,32 @@ def test_percentiles_many_matches_single(spark, tmp_path):
         assert _key(by_rid.get(rid, [])) == _key(want), rid
     with pytest.raises(ValueError):
         percentiles_in_range_many(spark, out, [])
+
+
+def test_distinct_many_matches_single(spark, tmp_path):
+    from tersets_spark.jobs import distinct_in_range, distinct_in_range_many
+
+    path = str(tmp_path / "seq.parquet")
+    pq.write_table(generate_sequences(150, seed=67), path)
+    out = str(tmp_path / "tiers")
+    os.makedirs(out)
+    run_cascade(spark, path, out, with_blocks=False, with_sketches=True)
+    seq = spark.read.parquet(path)
+    row = seq.agg(F.min("ts0"), F.max(F.col("ts0") + F.col("n_tok"))).collect()[0]
+    lo = (int(row[0]) // 60 + 1) * 60
+    hi = int(row[1]) // 60 * 60
+    mid = ((lo + hi) // 2) // 60 * 60
+    ranges = [(lo, hi), (mid, mid + 1800), (lo + 60, mid)]
+    many = distinct_in_range_many(spark, out, ranges)
+    cols = [c for c in many.columns if c != "range_id"]
+    by_rid = {}
+    for r in many.collect():
+        by_rid.setdefault(r["range_id"], []).append(
+            tuple(r[c] for c in cols))
+    for rid, (s, e) in enumerate(ranges):
+        single = distinct_in_range(spark, out, s, e)
+        assert list(single.columns) == cols, (single.columns, cols)
+        want = [tuple(r[c] for c in cols) for r in single.collect()]
+        assert _key(by_rid.get(rid, [])) == _key(want), rid
+    with pytest.raises(ValueError):
+        distinct_in_range_many(spark, out, [])
