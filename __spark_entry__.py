@@ -2240,6 +2240,20 @@ def _q_stream_alerts_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_stream_alerts(spark, os.path.join(work, "out"))
 
 
+def _q_top_movers_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K MOVERS (rollup.top_movers): per hour, the 5 sources whose
+    total changed most vs their own previous present hour (PromQL
+    topk(k, delta(...)) shape) — exact int64 deltas off the 1h tier,
+    rank by (|delta| DESC, source ASC); a source's first hour has no
+    baseline and a missing hour compares against the last present one
+    (change-since-last-seen, the sparse-series delta convention)."""
+    from tersets_spark.rollup import rollup_up, top_movers
+
+    seq = _sequences(spark, sf_dir)
+    h1 = rollup_up(rollup_raw(seq, TIERS["1m"]), TIERS["1h"])
+    return top_movers(h1, k=5, window_seconds=TIERS["1h"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -2324,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_multi_agg": _q_range_multi_agg,
         "gapfill_multi": _q_gapfill_multi,
         "sketch_multi_percentiles": _q_sketch_multi_percentiles,
+        "top_movers_1h": _q_top_movers_1h,
     }
 
 
@@ -3901,6 +3916,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, bucket_ts, peak, '>=' AS mode
             FROM sb WHERE peak >= {_ALERT_THRESHOLD}
+        """,
+        # top movers: exact deltas over present hours, |delta| rank replay
+        "top_movers_1h": f"""
+            WITH pts AS ({pts}),
+            totals AS (
+                SELECT source,
+                       CAST((ts // 3600) * 3600 AS BIGINT) AS window_ts,
+                       CAST(SUM(v) AS BIGINT) AS total
+                FROM pts GROUP BY 1, 2
+            ),
+            lagged AS (
+                SELECT source, window_ts, total,
+                       lag(total) OVER (PARTITION BY source
+                                        ORDER BY window_ts) AS prev_total
+                FROM totals
+                QUALIFY prev_total IS NOT NULL
+            )
+            SELECT window_ts,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_ts
+                       ORDER BY abs(total - prev_total) DESC, source ASC)
+                       AS BIGINT) AS rank,
+                   source, total, prev_total,
+                   CAST(total - prev_total AS BIGINT) AS delta
+            FROM lagged
+            QUALIFY rank <= 5
         """,
         # batch sketch serving: per-panel one-shot sketch replay
         "sketch_multi_percentiles": f"""

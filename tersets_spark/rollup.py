@@ -1371,3 +1371,56 @@ def top_series(
         .where(F.col("rank") <= int(k))
         .select("source", "window_ts", "rank", "doc_id", "total")
     )
+
+
+def top_movers(
+    tier_df: DataFrame,
+    k: int = 5,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """TOP-K MOVERS: per window, the sources whose total changed most
+    versus their own previous window — the "what just changed" triage
+    read (PromQL `topk(k, delta(...))` shape), answered from tier rows.
+
+    delta = total - prev_total over each source's consecutive present
+    windows (a source's first window has no baseline and is excluded;
+    a missing window makes the NEXT present window compare against the
+    last present one — deltas are change-since-last-seen, the PromQL
+    delta() convention for sparse series). Rank within each window by
+    (|delta| DESC, source ASC) — exact int64 arithmetic end to end.
+
+    Scale shape: one partial-aggregated groupBy to (source, window)
+    totals, one lag window per source (O(windows) rows), one rank
+    window per window (≤ |sources| rows). Pure JVM.
+
+    Output: (window_ts, rank, source, total, prev_total, delta).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = int(window_seconds)
+    win = (F.floor(F.col("bucket_ts") / w) * w).cast("long")
+    totals = tier_df.groupBy("source", win.alias("window_ts")).agg(
+        F.sum("sum").cast("long").alias("total")
+    )
+    lagw = Window.partitionBy("source").orderBy("window_ts")
+    with_prev = totals.select(
+        "source",
+        "window_ts",
+        "total",
+        F.lag("total").over(lagw).alias("prev_total"),
+    ).where(F.col("prev_total").isNotNull())
+    delta = (F.col("total") - F.col("prev_total")).alias("delta")
+    rank = F.row_number().over(
+        Window.partitionBy("window_ts").orderBy(
+            F.abs(F.col("total") - F.col("prev_total")).desc(),
+            F.col("source").asc(),
+        )
+    )
+    return (
+        with_prev.select(
+            "window_ts", "source", "total", "prev_total", delta
+        )
+        .withColumn("rank", rank.cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select("window_ts", "rank", "source", "total", "prev_total", "delta")
+    )

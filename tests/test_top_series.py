@@ -50,3 +50,48 @@ def test_sources_rank_independently(spark):
 def test_k_validation(spark):
     with pytest.raises(ValueError):
         top_series(_tier(spark, [("d", "A", 0, 1)]), k=0)
+
+
+def _tier_sum(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, bucket_ts long, sum long"
+    )
+
+
+def test_top_movers_basic(spark):
+    from tersets_spark.rollup import top_movers
+
+    rows = [("A", 0, 10), ("A", 600, 40),    # delta +30
+            ("B", 0, 100), ("B", 600, 95),   # delta -5
+            ("C", 0, 7)]                     # first window only -> excluded
+    out = top_movers(_tier_sum(spark, rows), k=2, window_seconds=600).collect()
+    got = [(r["rank"], r["source"], r["delta"], r["prev_total"])
+           for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, "A", 30, 10), (2, "B", -5, 100)]
+    assert all(r["window_ts"] == 600 for r in out)
+
+
+def test_top_movers_sparse_compares_last_seen(spark):
+    from tersets_spark.rollup import top_movers
+
+    # A misses window 600: window 1200 compares against window 0
+    rows = [("A", 0, 10), ("A", 1200, 25), ("B", 0, 1), ("B", 600, 2),
+            ("B", 1200, 3)]
+    out = {(r["window_ts"], r["source"]): (r["delta"], r["prev_total"])
+           for r in top_movers(_tier_sum(spark, rows), k=5,
+                               window_seconds=600).collect()}
+    assert out[(1200, "A")] == (15, 10)
+    assert out[(600, "B")] == (1, 1) and out[(1200, "B")] == (1, 2)
+
+
+def test_top_movers_tie_and_abs_rank(spark):
+    from tersets_spark.rollup import top_movers
+
+    rows = [("A", 0, 10), ("A", 600, 2),    # delta -8
+            ("B", 0, 10), ("B", 600, 18),   # delta +8 (tie on |delta|)
+            ("C", 0, 10), ("C", 600, 11)]   # delta +1
+    out = top_movers(_tier_sum(spark, rows), k=3, window_seconds=600).collect()
+    got = [r["source"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == ["A", "B", "C"]  # |8| ties break on source asc
+    with pytest.raises(ValueError):
+        top_movers(_tier_sum(spark, rows), k=0)
