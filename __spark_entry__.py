@@ -2240,6 +2240,18 @@ def _q_stream_alerts_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_stream_alerts(spark, os.path.join(work, "out"))
 
 
+def _q_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day SEASONAL profile (rollup.seasonal_profile): per
+    (source, hour-of-day) exact stats of the 1h tier's bucket totals —
+    the baseline an anomaly judgment compares against. Exact int64
+    sums/extremes; mean is the one division."""
+    from tersets_spark.rollup import rollup_up, seasonal_profile
+
+    seq = _sequences(spark, sf_dir)
+    h1 = rollup_up(rollup_raw(seq, TIERS["1m"]), TIERS["1h"])
+    return seasonal_profile(h1, period_seconds=86400, tier_seconds=3600)
+
+
 def _q_top_movers_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP-K MOVERS (rollup.top_movers): per hour, the 5 sources whose
     total changed most vs their own previous present hour (PromQL
@@ -2339,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_multi": _q_gapfill_multi,
         "sketch_multi_percentiles": _q_sketch_multi_percentiles,
         "top_movers_1h": _q_top_movers_1h,
+        "seasonal_hourly": _q_seasonal_hourly,
     }
 
 
@@ -3916,6 +3929,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, bucket_ts, peak, '>=' AS mode
             FROM sb WHERE peak >= {_ALERT_THRESHOLD}
+        """,
+        # seasonal baseline: phase = bucket mod period, exact stats replay
+        "seasonal_hourly": f"""
+            WITH pts AS ({pts}),
+            per AS (
+                SELECT source,
+                       CAST((ts // 3600) * 3600 AS BIGINT) AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS x
+                FROM pts GROUP BY 1, 2
+            )
+            SELECT source, CAST(bucket_ts % 86400 AS BIGINT) AS phase,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(x) AS BIGINT) AS total,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean,
+                   CAST(MIN(x) AS BIGINT) AS tmin,
+                   CAST(MAX(x) AS BIGINT) AS tmax
+            FROM per GROUP BY 1, 2
         """,
         # top movers: exact deltas over present hours, |delta| rank replay
         "top_movers_1h": f"""

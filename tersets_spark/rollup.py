@@ -1424,3 +1424,37 @@ def top_movers(
         .where(F.col("rank") <= int(k))
         .select("window_ts", "rank", "source", "total", "prev_total", "delta")
     )
+
+
+def seasonal_profile(
+    tier_df: DataFrame,
+    period_seconds: int = 86400,
+    tier_seconds: int = 3600,
+) -> DataFrame:
+    """SEASONAL baseline: per (source, phase-of-period) exact statistics
+    of a tier's bucket totals — the hour-of-day / day-of-week profile an
+    anomaly judgment compares against ("is 3am always this quiet?").
+
+    phase = bucket_ts mod period (e.g. hour-of-day for a 1h tier and a
+    1-day period). Exact int64 sums/extremes over each phase's bucket
+    totals; mean is the single sum/cnt division. One partial-aggregated
+    groupBy to (source, phase-bucket) totals, then one |sources|·phases
+    aggregate — pure JVM, two bounded shuffles.
+
+    Output: (source, phase, n_buckets, total, mean, tmin, tmax).
+    """
+    p = int(period_seconds)
+    t = int(tier_seconds)
+    if p % t != 0:
+        raise ValueError(f"period {p}s must be a multiple of tier {t}s")
+    per = tier_df.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("x")
+    )
+    phase = F.pmod(F.col("bucket_ts"), F.lit(p)).cast("long")
+    return per.groupBy("source", phase.alias("phase")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("x").cast("long").alias("total"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mean"),
+        F.min("x").cast("long").alias("tmin"),
+        F.max("x").cast("long").alias("tmax"),
+    )

@@ -95,3 +95,33 @@ def test_top_movers_tie_and_abs_rank(spark):
     assert got == ["A", "B", "C"]  # |8| ties break on source asc
     with pytest.raises(ValueError):
         top_movers(_tier_sum(spark, rows), k=0)
+
+
+def test_seasonal_profile(spark):
+    from tersets_spark.rollup import seasonal_profile
+
+    # two days of a 2-phase period (1200 s period, 600 s tier)
+    rows = [("A", 0, 10), ("A", 600, 1), ("A", 1200, 30), ("A", 1800, 3),
+            ("B", 0, 5)]
+    out = {(r["source"], r["phase"]): r
+           for r in seasonal_profile(_tier_sum(spark, rows),
+                                     1200, 600).collect()}
+    a0 = out[("A", 0)]
+    assert (a0["n_buckets"], a0["total"], a0["tmin"], a0["tmax"]) == (2, 40, 10, 30)
+    assert a0["mean"] == pytest.approx(20.0)
+    a1 = out[("A", 600)]
+    assert (a1["n_buckets"], a1["total"]) == (2, 4)
+    assert out[("B", 0)]["total"] == 5 and ("B", 600) not in out
+    with pytest.raises(ValueError):
+        seasonal_profile(_tier_sum(spark, rows), 1000, 600)
+
+
+def test_seasonal_profile_multi_doc_folds(spark):
+    from tersets_spark.rollup import seasonal_profile
+
+    # per-doc tier rows in the same bucket fold into one bucket total
+    df = spark.createDataFrame(
+        [("d1", "A", 0, 3), ("d2", "A", 0, 4)],
+        "doc_id string, source string, bucket_ts long, sum long")
+    r = seasonal_profile(df, 1200, 600).collect()[0]
+    assert (r["n_buckets"], r["total"], r["tmin"]) == (1, 7, 7)
