@@ -369,6 +369,17 @@ class TierCatalog:
         metadata storm. Compaction is per-partition and embarrassingly
         parallel across partitions."""
         current = self.current_run_lists(tier)
+        # layout flag of each partition's latest replace/append commit: a
+        # run committed by a range_partition compaction records
+        # range_partitioned=True, so a later maintain(compact_range=True)
+        # pass can SKIP partitions already in the requested layout instead
+        # of rewriting the whole catalog every pass (O(churn), not
+        # O(catalog)); any subsequent commit (append/ingest/retention)
+        # clears the flag and re-qualifies the partition
+        layout: dict[str, bool] = {}
+        for rec in self.metrics():
+            if rec["tier"] == tier and "path" in rec:
+                layout[rec["partition"]] = bool(rec.get("range_partitioned"))
         rewritten = 0
         for part in sorted(current):
             if partitions is not None and part not in partitions:
@@ -393,8 +404,8 @@ class TierCatalog:
             # appended partitions compact once they hold multiple runs OR
             # too many files — the rewrite folds every live run into ONE
             # replace commit (Iceberg rewrite_data_files over appends)
-            if (not range_partition
-                    and n_files <= max_files_per_partition and len(run_dirs) == 1):
+            if (n_files <= max_files_per_partition and len(run_dirs) == 1
+                    and (not range_partition or layout.get(part, False))):
                 continue
             df = spark.read.parquet(*run_dirs)
             key = "ts0" if "ts0" in df.columns else (
@@ -423,6 +434,9 @@ class TierCatalog:
                 wall_ms=round((time.monotonic() - t0) * 1000, 1),
                 bytes_out=_dir_bytes(dest),
                 compacted_from=n_files, compacted_to=max_files_per_partition,
+                range_partitioned=bool(
+                    range_partition and max_files_per_partition > 1 and key
+                ),
             )
             if not committed:
                 shutil.rmtree(dest, ignore_errors=True)

@@ -169,6 +169,20 @@ def m4_points(
         raise ValueError("m4_points: empty range")
     if k <= 0:
         raise ValueError("m4_points: k must be positive")
+    # Integer-value contract (token series are integers): casting a
+    # fractional gauge to long would silently TRUNCATE and change which
+    # points win min/max/first/last — fail fast instead of mis-selecting.
+    from pyspark.sql import types as T
+
+    vt = df.schema[val_col].dataType
+    if isinstance(vt, (T.FloatType, T.DoubleType)) or (
+        isinstance(vt, T.DecimalType) and vt.scale > 0
+    ):
+        raise TypeError(
+            f"m4_points: val_col {val_col!r} is fractional ({vt.simpleString()}); "
+            "M4 extrema here use exact integer math — pre-scale the series to "
+            "integers (e.g. fixed-point) before downsampling"
+        )
     span = end - start
     ts = F.col(ts_col).cast("long")
     v = F.col(val_col).cast("long")

@@ -763,8 +763,19 @@ def apply_retention(
         affected = sorted(expired)
         if file_level:
             # churn-bounded step 2: classify each affected source's current
-            # files by row-group time stats — drop / hard-link / rewrite
+            # files by row-group time stats — drop / hard-link / rewrite.
+            # ONE manifest read supplies both the file lists AND each
+            # source's conditional-commit guard (its last live run): a
+            # concurrent APPEND landing after this snapshot changes the
+            # guard, so our REPLACE commit below is abandoned instead of
+            # silently superseding (and losing) the appended rows — the
+            # same optimistic-concurrency idiom compact() and
+            # _fold_sketch_tier use.
             run_lists = catalog.current_run_lists(tier)
+            guards = {
+                src: (run_lists[src][-1] if run_lists.get(src) else None)
+                for src in affected
+            }
             plans: dict[str, tuple[list[str], list[str], int]] = {}
             all_straddle: list[str] = []
             for src in affected:
@@ -824,19 +835,29 @@ def apply_retention(
                     n_out += 1
                 if n_out == 0:  # every row of this source expired
                     os.rmdir(dest)
-                    catalog.delete_partition(
-                        tier, src, status="retention",
+                    committed = catalog.record_if_current(
+                        tier, src, guards[src], status="retention",
+                        path=None,
                         dropped_rows=expired[src], horizon_ts=horizon,
                     )
+                    if committed and catalog.auto_vacuum:
+                        catalog.vacuum(tier, partitions=[src])
                 else:
-                    catalog.record(
-                        tier, src, status="retention", path=rel_new,
+                    committed = catalog.record_if_current(
+                        tier, src, guards[src], status="retention",
+                        path=rel_new,
                         bytes_out=_catalog_dir_bytes(dest),
                         dropped_rows=expired[src], horizon_ts=horizon,
                         files_linked=len(keep), files_rewritten=len(straddle),
                         files_dropped=drop_n,
                     )
-                    if catalog.auto_vacuum:
+                    if not committed:
+                        # a concurrent commit (ingest append / stream
+                        # finalize) superseded our guard run — abandon the
+                        # rewrite; the next retention pass re-plans over
+                        # the winner's files
+                        shutil.rmtree(dest, ignore_errors=True)
+                    elif catalog.auto_vacuum:
                         catalog.vacuum(tier, partitions=[src])
             shutil.rmtree(tmp_dir, ignore_errors=True)
             dropped[tier] = sum(expired.values())
@@ -1399,15 +1420,19 @@ def corr_from_catalog(
     start: int | None = None,
     end: int | None = None,
     as_of: int | None = None,
+    sources: list[str] | None = None,
+    max_sources: int = 1_000,
 ) -> DataFrame:
     """Cross-source Pearson correlation over a COMMITTED tier
-    (rollup.source_correlation as a serving read)."""
+    (rollup.source_correlation as a serving read). ``sources=`` names
+    the cohort (pushed into the committed scan); otherwise the quadratic
+    pair grid is guarded by ``max_sources``."""
     from .rollup import source_correlation
 
     df = _read_tier_range(
         spark, out_dir, tier, start, end, as_of, "corr_from_catalog"
     )
-    return source_correlation(df)
+    return source_correlation(df, sources=sources, max_sources=max_sources)
 
 
 def range_aggregate_many_from_catalog(

@@ -341,7 +341,7 @@ def stitched_rows(
     for name, s, e in stitch_segments(start, end, stitch):
         by_tier.setdefault(name, []).append((s, e))
     if "raw" in by_tier and max_doc_seconds is None:
-        max_doc_seconds = int(raw_df.agg(F.max("n_tok")).head()[0] or 0)
+        max_doc_seconds = _resolve_max_doc_seconds(raw_df, None)
     parts: list[DataFrame] = []
     for name, ranges in by_tier.items():
         if name == "raw":
@@ -364,6 +364,61 @@ def stitched_rows(
     return u
 
 
+def _footer_stat_max(df: DataFrame, column: str) -> int | None:
+    """Max of ``column`` over the parquet FOOTER statistics of the files
+    ``df`` scans — a driver-side metadata read, NOT a Spark job. Returns
+    None when the DataFrame is not file-backed (in-memory test frames) or
+    any file lacks usable stats for the column.
+
+    Soundness for a prune bound: ``df.inputFiles()`` lists every file the
+    plan can read; filters only REMOVE rows, so the footer max is >= the
+    DataFrame's true max — an over-estimate only ever widens the pruned
+    window. The contract is that ``column`` reaches ``df`` unmodified
+    from the scanned files (true for n_tok on every raw-tier producer).
+    This is the plain-parquet analog of the per-file column stats an
+    Iceberg manifest carries: the corpus-wide ``max(n_tok)`` a serving
+    read needs is metadata, never worth a 100 TB scan job."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    best: int | None = None
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        schema_names = md.schema.names
+        if column not in schema_names:
+            return None
+        ci = schema_names.index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            v = int(st.max)
+            best = v if best is None or v > best else best
+    return best
+
+
+def _resolve_max_doc_seconds(raw_df: DataFrame, max_doc_seconds: int | None) -> int:
+    """Caller-supplied bound, else parquet footer statistics (zero jobs),
+    else ONE narrow-column aggregate — the last resort only fires for
+    non-file-backed inputs (tiny test frames), never on a committed
+    catalog read."""
+    if max_doc_seconds is not None:
+        return int(max_doc_seconds)
+    stat = _footer_stat_max(raw_df, "n_tok")
+    if stat is not None:
+        return stat
+    return int(raw_df.agg(F.max("n_tok")).head()[0] or 0)
+
+
 def _raw_edge_points(
     raw_df: DataFrame, s: int, e: int, max_doc_seconds: int | None = None
 ) -> DataFrame:
@@ -376,7 +431,8 @@ def _raw_edge_points(
     (the exact overlap test ``ts0 + n_tok > s`` is an expression, not a
     pushable predicate), so a ``ts0 > s - max_doc_seconds`` lower bound
     is always added — from the caller's contract bound if given, else
-    one narrow-column ``max(n_tok)`` aggregate over the raw tier. Both
+    the parquet footer statistics of the scanned files (driver-side
+    metadata, zero jobs; see :func:`_resolve_max_doc_seconds`). Both
     bounds then prune row groups on the committed parquet.
 
     Decode + slice happen INSIDE one mapInArrow kernel
@@ -386,7 +442,7 @@ def _raw_edge_points(
     from .kernels import edge_points_map_in_arrow
 
     if max_doc_seconds is None:
-        max_doc_seconds = int(raw_df.agg(F.max("n_tok")).head()[0] or 0)
+        max_doc_seconds = _resolve_max_doc_seconds(raw_df, None)
     cand = raw_df.where(
         (F.col("ts0") < e)
         & (F.col("ts0") > s - max_doc_seconds)
@@ -664,7 +720,7 @@ def doc_points(
             raise ValueError("doc_ids must be None (whole window) or non-empty")
         cand = cand.where(F.col("doc_id").isin(list(doc_ids)))
     if max_doc_seconds is None:
-        max_doc_seconds = int(cand.agg(F.max("n_tok")).head()[0] or 0)
+        max_doc_seconds = _resolve_max_doc_seconds(cand, None)
     cand = cand.where(
         (F.col("ts0") < end)
         & (F.col("ts0") > start - max_doc_seconds)
@@ -728,7 +784,7 @@ def threshold_points(
     end: int | None = None,
     mode: str = ">=",
     max_doc_seconds: int | None = None,
-    push_limit: int = 10_000,
+    push_limit: int | None = None,
 ) -> DataFrame:
     """VALUE-THRESHOLD scan ("every point where v >= X", the
     spike/outlier export): (doc_id, source, ts, v) points satisfying the
@@ -740,15 +796,17 @@ def threshold_points(
     tier to one (doc_id, w_lo, w_hi) row per document with a qualifying
     minute. When the candidate set is small — which a selective
     threshold makes it, and is the premise of using an index at all —
-    the candidates are collected (bounded by ``push_limit``) and pushed
-    into the raw scan as a STATIC ``doc_id IN (...)`` plus ts0 bounds
-    derived from the candidate windows: only a static predicate can
-    reach the raw tier's adaptive doc_id bloom filters and
-    time-clustered row-group stats (a dynamic broadcast join prunes
-    nothing at the scan), and the engine session raises
-    ``spark.sql.parquet.pushdown.inFilterThreshold`` so candidate-sized
-    IN lists actually convert to parquet predicates (Spark's default
-    stops at 10 values). At sf1.6/local the walls are footer- and
+    the candidates are collected (bounded by ``push_limit``, which
+    DEFAULTS to the session's
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` — the static path
+    only triggers when the IN list actually converts to a parquet
+    predicate) and pushed into the raw scan as a STATIC ``doc_id IN
+    (...)`` plus ts0 bounds derived from the candidate windows: only a
+    static predicate can reach the raw tier's adaptive doc_id bloom
+    filters and time-clustered row-group stats (a dynamic broadcast
+    join prunes nothing at the scan), and the engine session raises
+    ``inFilterThreshold`` to 1024 so candidate-sized IN lists push
+    (Spark's default stops at 10 values). At sf1.6/local the walls are footer- and
     worker-startup-bound either way (pushed ~5.0 s, join ~4.2 s, brute
     token scan ~1.9 s from page cache, same window) — the scale
     argument is 230 of 1,600,000 documents decoded and blob bytes vs
@@ -770,13 +828,25 @@ def threshold_points(
 
     if start is not None and end is not None and end <= start:
         raise ValueError("empty range")
+    if push_limit is None:
+        # The static IN(...) path only prunes when the predicate actually
+        # converts to a parquet filter, which Spark caps at
+        # inFilterThreshold values — so the default collect bound IS that
+        # session setting (one shared knob, raised in session.get_spark).
+        # A larger candidate set would pay the driver collect and a
+        # literal-heavy plan while the IN list silently stops pushing.
+        push_limit = int(
+            raw_df.sparkSession.conf.get(
+                "spark.sql.parquet.pushdown.inFilterThreshold", "10"
+            )
+        )
     cand = threshold_candidates(m1_df, threshold, start, end, mode)
     scan = raw_df
     if end is not None:
         scan = scan.where(F.col("ts0") < int(end))
     if start is not None:
         if max_doc_seconds is None:
-            max_doc_seconds = int(scan.agg(F.max("n_tok")).head()[0] or 0)
+            max_doc_seconds = _resolve_max_doc_seconds(scan, None)
         scan = scan.where(
             (F.col("ts0") > int(start) - max_doc_seconds)
             & (F.col("ts0") + F.col("n_tok") > int(start))
@@ -795,9 +865,7 @@ def threshold_points(
             lo = min(r["w_lo"] for r in rows)
             hi = max(r["w_hi"] for r in rows)
             if max_doc_seconds is None:
-                max_doc_seconds = int(
-                    raw_df.agg(F.max("n_tok")).head()[0] or 0
-                )
+                max_doc_seconds = _resolve_max_doc_seconds(raw_df, None)
             scan = scan.where(
                 F.col("doc_id").isin([r["doc_id"] for r in rows])
                 & (F.col("ts0") < hi)
@@ -1167,7 +1235,11 @@ def rolling_zscore(
 # ---------------------------------------------------------------------------
 
 
-def source_correlation(tier_df: DataFrame) -> DataFrame:
+def source_correlation(
+    tier_df: DataFrame,
+    sources: list[str] | None = None,
+    max_sources: int = 1_000,
+) -> DataFrame:
     """Pairwise Pearson correlation between per-source tier series — the
     "which sources move together" read (cross-series analytics over the
     continuous aggregates, never raw points).
@@ -1194,12 +1266,33 @@ def source_correlation(tier_df: DataFrame) -> DataFrame:
     bucket BEFORE pairing (map-side partial agg), so the self-join input
     is |sources| × buckets narrow rows and the join itself is a
     bucket_ts-keyed shuffle producing ≤ |sources|²/2 × buckets rows —
-    independent of corpus size. With thousands of sources, pre-filter
-    ``tier_df`` to the cohort of interest; the pair grid is inherently
-    quadratic in |sources|.
+    independent of corpus size but inherently QUADRATIC in |sources|.
+    Pass ``sources=`` to restrict the cohort (pushed into the tier scan
+    before the collapse); without one, a cheap |sources|-row count-
+    distinct guards the pair grid and FAILS FAST above ``max_sources``
+    (10³ sources is already a 5×10⁵-pair grid per bucket) rather than
+    silently launching a 10⁸-pair shuffle.
 
     Output: (s1, s2, n, num, d1, d2, corr) with s1 < s2.
     """
+    if sources is not None:
+        if len(sources) < 2:
+            raise ValueError("source_correlation: cohort needs >= 2 sources")
+        if len(sources) > max_sources:
+            raise ValueError(
+                f"source_correlation: cohort of {len(sources)} sources exceeds "
+                f"max_sources={max_sources} — the pair grid is quadratic"
+            )
+        tier_df = tier_df.where(F.col("source").isin(list(sources)))
+    else:
+        n_src = tier_df.select("source").distinct().count()
+        if n_src > max_sources:
+            raise ValueError(
+                f"source_correlation: {n_src} sources exceeds "
+                f"max_sources={max_sources}; pass sources=<cohort> (the pair "
+                f"grid is quadratic in |sources|) or raise max_sources "
+                f"explicitly"
+            )
     dec = "decimal(38,0)"
     per = tier_df.groupBy("source", "bucket_ts").agg(
         F.sum("sum").cast("long").alias("x")

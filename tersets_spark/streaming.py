@@ -966,7 +966,8 @@ def stream_threshold_alerts(
             (F.col("peak") >= thr) if mode == ">=" else (F.col("peak") <= thr)
         )
         alerts = peaks.where(pred).select(
-            "source", "bucket_ts", "peak", F.lit(mode).alias("mode")
+            "source", "bucket_ts", "peak", F.lit(mode).alias("mode"),
+            F.lit(thr).cast("long").alias("threshold"),
         )
         batch_dir = os.path.join(base, f"batch={batch_id}")
         alerts.write.mode("overwrite").parquet(batch_dir)
@@ -979,22 +980,65 @@ def stream_threshold_alerts(
     )
 
 
+def _alert_log_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("bucket_ts", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("threshold", T.LongType()),
+    ])
+
+
 def read_stream_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
     """Fold the streamed alert log to one row per alerted (source,
     bucket): ``peak`` = max of the logged batch-local peaks (min for a
     ``"<="`` log) — exactly the finished bucket's true extreme (see
     :func:`stream_threshold_alerts`). Output: (source, bucket_ts, peak,
-    mode)."""
+    mode).
+
+    The log is read with an EXPLICIT schema (a run whose every
+    micro-batch logged zero alerts leaves only empty ``batch=N`` dirs —
+    schema inference would fail); an all-empty or absent log returns an
+    empty DataFrame with the output schema. Each logged row carries the
+    run's ``threshold``, and a log mixing distinct thresholds (stale
+    ``batch=N`` dirs from a prior run against the same out_dir) is
+    rejected exactly like a mode mix — clear the alerts dir between runs
+    with different thresholds."""
+    import glob as _glob
+
     base = os.path.join(out_dir, "alerts")
-    df = spark.read.option("basePath", base).parquet(
+    batch_dirs = sorted(_glob.glob(os.path.join(base, "batch=*")))
+    schema = _alert_log_schema()
+    out_cols = ["source", "bucket_ts", "peak", "mode"]
+    has_files = any(
+        f.endswith(".parquet") and not f.startswith("_")
+        for d in batch_dirs
+        if os.path.isdir(d)
+        for f in os.listdir(d)
+    )
+    if not has_files:
+        return spark.createDataFrame([], schema).select(*out_cols)
+    df = spark.read.schema(schema).option("basePath", base).parquet(
         os.path.join(base, "batch=*")
     )
-    modes = [r["mode"] for r in df.select("mode").distinct().collect()]
+    heads = df.select("mode", "threshold").distinct().collect()
+    modes = sorted({r["mode"] for r in heads})
     if len(modes) > 1:
         raise ValueError(f"alert log mixes modes {modes}")
+    # rows written before thresholds were logged read back as null — only
+    # distinct NON-null thresholds constitute a mix
+    thresholds = sorted({r["threshold"] for r in heads if r["threshold"] is not None})
+    if len(thresholds) > 1:
+        raise ValueError(
+            f"alert log mixes thresholds {thresholds} — stale batch dirs "
+            f"from a prior run? clear {base} between runs"
+        )
     fold = F.max("peak") if modes == [">="] else F.min("peak")
     return (
         df.groupBy("source", "bucket_ts", "mode")
         .agg(fold.cast("long").alias("peak"))
-        .select("source", "bucket_ts", "peak", "mode")
+        .select(*out_cols)
     )
