@@ -442,6 +442,28 @@ _MEDIA_REAL_ORACLE = """
     FROM feats GROUP BY kind
 """
 
+# PNG decode replay: the gray-8 raster is the utf-8 text zero-padded to a
+# 16-wide grid and every scanline filter is invertible, so the decoded
+# sample stats are pure text math (padding zeros land in histogram bin 0
+# and add nothing to byte_sum).
+_MEDIA_PNG_ORACLE = """
+    WITH feats AS (
+        SELECT 'image' AS kind,
+               16 * GREATEST(1, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT))
+                   AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+               CAST(len(list_filter(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1))), c -> c // 16 = 7)) AS BIGINT) AS hist_bin7
+        FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           CAST(SUM(byte_sum) AS BIGINT) AS byte_sum,
+           CAST(SUM(hist_bin7) AS BIGINT) AS hist_bin7
+    FROM feats GROUP BY kind
+"""
+
 
 def _gate_workdir(prefix: str, max_age_sec: float = 6 * 3600.0) -> str:
     """mkdtemp for a streaming gate query, after sweeping STALE siblings.
@@ -1557,6 +1579,56 @@ def _q_media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decoding: genuine PNG containers (8-bit
+    gray, zlib-deflated, every scanline filter 0-4 exercised) synthesized
+    from documents, inflated + unfiltered by the pure-NumPy decoder inside
+    mapInPandas (allow_fake=False, multimodal.decode_png); decoded feature
+    stats hash-matched against the oracle's padded-text replay — PNG
+    filters are invertible, so decoded samples == zero-padded text bytes."""
+    from tersets_spark.multimodal import (
+        media_features,
+        synthesize_png_media_from_documents,
+    )
+
+    media = synthesize_png_media_from_documents(_docs(spark, sf_dir))
+    feats = media_features(media, allow_fake=False)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("byte_sum").alias("byte_sum"),
+        F.sum(F.element_at("hist16", 8)).alias("hist_bin7"),
+    )
+
+
+def _q_sketch_delete_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier REBUILD after per-document deletion
+    (jobs._rebuild_sketches_after_delete): a cascade with HDR+HLL sketch
+    tiers is committed, ~1/16 of documents (md5-gated) are deleted with
+    ``rebuild_sketches=True`` — only the (source, bucket) keys the deleted
+    docs touched are rebuilt from post-delete raw, coarser levels re-merged
+    from the repaired level below — and p50/p90/p99 served off the rebuilt
+    ``psk_1h`` tier must hash-match the one-shot sketch oracle over the
+    corpus MINUS those documents. Deletion reaches the sketches exactly."""
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import delete_documents, run_cascade
+    from tersets_spark.sketch import merge_sketch, percentiles
+
+    seq = _sequences(spark, sf_dir)
+    seq_path = ensure_sequences(sf_name_from_dir(sf_dir))
+    work = _gate_workdir("tersets_delrb_q_")
+    out = os.path.join(work, "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, seq_path, out, with_blocks=False, with_sketches=True)
+    del_ids = seq.where(
+        F.substring(F.md5(F.concat(F.lit("del-v1:"), F.col("doc_id"))), 1, 1) == "0"
+    ).select("doc_id")
+    delete_documents(spark, out, del_ids)
+    psk = TierCatalog(out).read_tier(spark, "psk_1h")
+    merged = merge_sketch(psk, ["source"])
+    return percentiles(merged, ["source"], [50, 90, 99])
+
+
 #: Stitched-serving gate ranges (minute-aligned, second resolution). Over
 #: the fixtures' one-day-plus time span they exercise every decomposition
 #: case: 1m + 1h left edges, a full 1d interior, an hour-dominated range
@@ -2352,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_multi_percentiles": _q_sketch_multi_percentiles,
         "top_movers_1h": _q_top_movers_1h,
         "seasonal_hourly": _q_seasonal_hourly,
+        "media_png_decode_stats": _q_media_png_decode_stats,
+        "sketch_delete_percentiles": _q_sketch_delete_percentiles,
     }
 
 
@@ -2998,6 +3072,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS estimate
             FROM hit
         """,
+        "sketch_delete_percentiles": f"""
+            WITH pts AS (
+                SELECT source, unnest(tokens) AS v FROM read_parquet('{seq}')
+                WHERE substr(md5('del-v1:' || doc_id), 1, 1) <> '0'
+            ),
+            sk AS (
+                SELECT source,
+                       CAST(length(bin(v)) * 32
+                            + (v >> greatest(length(bin(v)) - 5, 0)) AS BIGINT)
+                           AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT source, bucket_id,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY bucket_id) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS total
+                FROM sk
+            ),
+            q AS (SELECT unnest([50, 90, 99]) AS pct),
+            hit AS (
+                SELECT c.source, q.pct, MIN(c.bucket_id) AS bucket_id
+                FROM c CROSS JOIN q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2
+            )
+            SELECT source, CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM hit
+        """,
         "sketch_percentiles": f"""
             WITH pts AS (
                 SELECT source, unnest(tokens) AS v FROM read_parquet('{seq}')
@@ -3193,6 +3298,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_dist": _lang_id_oracle_sql(),
         "media_feature_stats": _MEDIA_ORACLE,
         "media_real_decode_stats": _MEDIA_REAL_ORACLE,
+        "media_png_decode_stats": _MEDIA_PNG_ORACLE,
         # connected components over the same pairs, via recursive CTE
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),

@@ -1631,6 +1631,145 @@ def percentiles_in_range_many(
     )
 
 
+def percentile_grid_rows(
+    tier_dfs: dict[str, DataFrame],
+    start: int,
+    end: int,
+    step: int,
+    keys: tuple[str, ...] = ("source",),
+    pcts: tuple[int, ...] = (50, 90, 99),
+    tiers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Step-aligned percentile GRID over ``[start, end)``: p50/p90/p99
+    per (keys..., step bucket) — the dashboard panel read ("p99 per hour
+    over the last day") — served from ONE pruned scan of the COARSEST
+    psk sketch level whose bucket divides ``step``
+    (rollup.serving_tier_for_step: a 1d grid reads psk_1d, 1440x fewer
+    rows than psk_1m). The bucket_ts range predicate pushes to the
+    time-clustered committed scan; re-bucketing to the grid is the exact
+    integer sum-merge, so every grid cell is bitwise a one-shot sketch
+    over that cell's raw points. Buckets with no data emit no row (a
+    dashboard gap, not a zero). Output: (keys..., bucket_ts, pct,
+    estimate)."""
+    from .rollup import serving_tier_for_step
+    from .sketch import merge_sketch, percentiles
+
+    if start % step or end % step:
+        raise ValueError(f"range [{start},{end}) is not {step}s-aligned")
+    if end <= start:
+        raise ValueError("empty range")
+    name, _secs = serving_tier_for_step(step, tiers)
+    if name not in tier_dfs:
+        raise KeyError(f"percentile_grid_rows: tier {name!r} not provided")
+    tier = tier_dfs[name].where(
+        (F.col("bucket_ts") >= int(start)) & (F.col("bucket_ts") < int(end))
+    )
+    rows = tier.withColumn(
+        "bucket_ts", (F.floor(F.col("bucket_ts") / step) * step).cast("long")
+    )
+    ks = [*keys, "bucket_ts"]
+    return percentiles(merge_sketch(rows, ks), ks, list(pcts))
+
+
+def percentile_grid_many_rows(
+    tier_dfs: dict[str, DataFrame],
+    ranges: list[tuple[int, int]],
+    step: int,
+    keys: tuple[str, ...] = ("source",),
+    pcts: tuple[int, ...] = (50, 90, 99),
+    tiers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """BATCH percentile grid: the :func:`percentile_grid_rows` panel for
+    MANY step-aligned ``[start, end)`` ranges, ONE pruned scan of the
+    serving psk level total (all panels' bucket ranges OR-combined into
+    the pushed predicate — the range_gapfill_many shape over sketch
+    rows). Panel attribution is a codegen when-array explode BEFORE the
+    grid re-bucket (panels are step-aligned, so a tier bucket lies in a
+    panel iff its grid bucket does); overlapping panels re-merge only
+    the shared bounded sketch rows. Per panel bitwise the single-grid
+    path. Output: (range_id, keys..., bucket_ts, pct, estimate)."""
+    from .rollup import serving_tier_for_step
+    from .sketch import merge_sketch, percentiles
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    for s, e in ranges:
+        if s % step or e % step:
+            raise ValueError(f"range [{s},{e}) is not {step}s-aligned")
+        if e <= s:
+            raise ValueError(f"empty range [{s},{e})")
+    name, _secs = serving_tier_for_step(step, tiers)
+    if name not in tier_dfs:
+        raise KeyError(f"percentile_grid_many_rows: tier {name!r} not provided")
+    scan_pred = None
+    whens = []
+    for rid, (s, e) in enumerate(ranges):
+        p = (F.col("bucket_ts") >= int(s)) & (F.col("bucket_ts") < int(e))
+        scan_pred = p if scan_pred is None else (scan_pred | p)
+        whens.append(F.when(p, F.lit(rid)))
+    rows = (
+        tier_dfs[name].where(scan_pred)
+        .withColumn("range_id", F.explode(F.array_compact(F.array(*whens))))
+        .withColumn(
+            "bucket_ts", (F.floor(F.col("bucket_ts") / step) * step).cast("long")
+        )
+    )
+    ks = ["range_id", *keys, "bucket_ts"]
+    out = percentiles(merge_sketch(rows, ks), ks, list(pcts))
+    return out.withColumn("range_id", F.col("range_id").cast("long"))
+
+
+def percentile_grid_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    step: int,
+    keys: tuple[str, ...] = ("source",),
+    pcts: tuple[int, ...] = (50, 90, 99),
+    as_of: int | None = None,
+) -> DataFrame:
+    """Catalog twin of :func:`percentile_grid_rows`: one pinned read of
+    the serving psk level, retention-guarded at ``start`` (an expired
+    grid cell is missing data, not an empty panel — fail fast)."""
+    from .rollup import serving_tier_for_step
+
+    name, _secs = serving_tier_for_step(step)
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(
+        catalog, f"psk_{name}", int(start), "percentile_grid_from_catalog"
+    )
+    tier = catalog.read_tier(spark, f"psk_{name}", as_of=snap)
+    return percentile_grid_rows({name: tier}, start, end, step, keys, pcts)
+
+
+def percentile_grid_many_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    ranges: list[tuple[int, int]],
+    step: int,
+    keys: tuple[str, ...] = ("source",),
+    pcts: tuple[int, ...] = (50, 90, 99),
+    as_of: int | None = None,
+) -> DataFrame:
+    """Catalog twin of :func:`percentile_grid_many_rows` (N dashboard
+    panels = ONE pruned scan of the serving psk level)."""
+    from .rollup import serving_tier_for_step
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    name, _secs = serving_tier_for_step(step)
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(
+        catalog, f"psk_{name}", min(int(s) for s, _ in ranges),
+        "percentile_grid_many_from_catalog",
+    )
+    tier = catalog.read_tier(spark, f"psk_{name}", as_of=snap)
+    return percentile_grid_many_rows({name: tier}, ranges, step, keys, pcts)
+
+
 def distinct_in_range(
     spark: SparkSession,
     out_dir: str,
@@ -1703,6 +1842,7 @@ def delete_documents(
     out_dir: str,
     doc_ids: DataFrame | list,
     superseded_grace_sec: float = 600.0,
+    rebuild_sketches: bool = True,
 ) -> dict[str, int]:
     """Per-document deletion across the core tiers (raw/1m/1h/1d) — the
     right-to-be-forgotten operation a training-data store needs: every
@@ -1715,10 +1855,15 @@ def delete_documents(
     Exactness: every core tier is keyed per document, so deletion is a
     row filter — the post-delete catalog is bitwise the cascade over the
     input minus those documents. Sketch tiers (psk/hll/blm/cms) aggregate
-    ACROSS documents and cannot be point-deleted; if any are committed
-    they are left untouched and reported under ``"sketch_tiers_skipped"``
-    (rebuild them from the post-delete raw tier when the use case
-    requires deletion to reach the sketches).
+    ACROSS documents and cannot be point-deleted; with
+    ``rebuild_sketches=True`` (default) they are REPAIRED churn-bounded:
+    only the (source, bucket) keys the deleted docs touched are rebuilt
+    from the post-delete raw tier (1m from decoded candidate blobs, each
+    coarser level re-merged from the just-repaired level below — the
+    validate_ingest idiom), committed as superseding per-source runs
+    with ``touched_buckets`` lineage. With ``rebuild_sketches=False``
+    committed sketch tiers are left untouched and reported under
+    ``"sketch_tiers_skipped"``.
 
     Plan: ``doc_ids`` (a one-column DataFrame or a list) is broadcast
     into an anti-join per affected partition — deletion requests are
@@ -1743,6 +1888,27 @@ def delete_documents(
         {rec["tier"] for rec in catalog.metrics() if rec.get("path")}
         - {"raw+1m"}
     )
+    sketch_present = [
+        t for t in present if t.split("_", 1)[0] in ("psk", "hll", "blm", "cms")
+    ]
+    span_rows: list = []
+    if sketch_present and rebuild_sketches and "raw" in present:
+        # The deleted docs' 1m coverage [lo, hi) must be captured BEFORE
+        # the raw rewrite (their rows are gone after; the superseded run
+        # dirs may be vacuumed out from under a lazy plan). Three narrow
+        # columns per deleted doc — bounded by the deletion request.
+        span_rows = (
+            catalog.read_tier(spark, "raw")
+            .join(ids, "doc_id", "left_semi")
+            .select(
+                "source",
+                (F.floor(F.col("ts0") / 60) * 60).cast("long").alias("lo"),
+                ((F.floor((F.col("ts0") + F.col("n_tok") - 1) / 60) + 1) * 60)
+                .cast("long")
+                .alias("hi"),
+            )
+            .collect()
+        )
     for tier in present:
         if tier.split("_", 1)[0] in ("psk", "hll", "blm", "cms"):
             skipped.append(tier)
@@ -1784,9 +1950,183 @@ def delete_documents(
                 )
         shutil.rmtree(tmp_dir, ignore_errors=True)
         deleted[tier] = sum(hits.values())
-    if skipped:
+    if skipped and rebuild_sketches and span_rows:
+        rebuilt = _rebuild_sketches_after_delete(
+            spark, catalog, span_rows, skipped
+        )
+        deleted.update(rebuilt)
+    elif skipped:
         deleted["sketch_tiers_skipped"] = len(skipped)
     return deleted
+
+
+def _rebuild_sketches_after_delete(
+    spark: SparkSession,
+    catalog: TierCatalog,
+    span_rows: list,
+    sketch_tiers: list[str],
+) -> dict[str, int]:
+    """Churn-bounded sketch-tier repair after :func:`delete_documents`:
+    rebuild ONLY the (source, bucket) keys the deleted docs touched, from
+    the post-delete catalog, and commit superseding per-source runs.
+
+    * Touched keys: each deleted doc covered 1m buckets
+      ``[floor(ts0/60)*60, floor((ts0+n_tok-1)/60)*60]`` — exploded in
+      Spark (bounded by deleted token-minutes), coarsened per level.
+    * ``fam_1m`` rows rebuild from the post-delete RAW tier: candidate
+      docs = raw docs overlapping any deleted span (broadcast overlap
+      semi-join; ts0 scan bounds pushed), decoded ONCE, their points
+      restricted to touched minutes, then the family's ordinary builder.
+      Untouched minutes never contribute points from a deleted doc, so
+      keeping their rows verbatim is exact.
+    * ``fam_1h``/``fam_1d`` rows re-merge from the JUST-REPAIRED level
+      below, restricted to the touched coarse windows (the
+      validate_ingest idiom) — never from raw.
+
+    Commits carry ``status="delete_rebuild"`` with ``touched_buckets``
+    lineage; only sources with touched keys are rewritten. Cost ∝
+    touched buckets, never tier size. Returns per-tier rewritten-row
+    counts under ``"<tier>_rebuilt"`` keys.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from .bloom import bloom_words, merge_words
+    from .cms import cms_counters, merge_counters
+    from .hll import hll_registers, merge_registers
+    from .kernels import decompress_tokens_udf
+    from .rollup import _resolve_max_doc_seconds
+    from .sketch import merge_sketch, sketch as hdr_sketch
+
+    out_dir = catalog.base_dir
+    spans = spark.createDataFrame(
+        [(r["source"], r["lo"], r["hi"]) for r in span_rows],
+        "source string, lo long, hi long",
+    )
+    touched_1m = spans.select(
+        "source",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi") - 60, F.lit(60))
+        ).alias("bucket_ts"),
+    ).distinct()
+
+    raw = catalog.read_tier(spark, "raw")
+    lo_min = min(r["lo"] for r in span_rows)
+    hi_max = max(r["hi"] for r in span_rows)
+    scan = raw.where(
+        (F.col("ts0") < hi_max)
+        & (F.col("ts0") > lo_min - _resolve_max_doc_seconds(raw, None))
+    )
+    s = spans.alias("s")
+    cand = scan.alias("r").join(
+        F.broadcast(s),
+        (F.col("r.source") == F.col("s.source"))
+        & (F.col("r.ts0") < F.col("s.hi"))
+        & (F.col("r.ts0") + F.col("r.n_tok") > F.col("s.lo")),
+        "left_semi",
+    )
+    pts = (
+        cand.select(
+            "source", "ts0", decompress_tokens_udf(F.col("blob")).alias("tokens")
+        )
+        .select("source", "ts0", F.posexplode("tokens").alias("pos", "v"))
+        .select(
+            "source",
+            (F.floor((F.col("ts0") + F.col("pos")) / 60) * 60)
+            .cast("long")
+            .alias("bucket_ts"),
+            "v",
+        )
+        .join(F.broadcast(touched_1m), ["source", "bucket_ts"], "left_semi")
+    )
+
+    builders = {
+        "psk": lambda p: hdr_sketch(p, ["source", "bucket_ts"], "v"),
+        "hll": lambda p: hll_registers(p, ["source", "bucket_ts"], "v", dict_hash=True),
+        "blm": lambda p: bloom_words(p, ["source", "bucket_ts"], "v", dict_hash=True),
+        "cms": lambda p: cms_counters(p, ["source", "bucket_ts"], "v", dict_hash=True),
+    }
+    merges = {"psk": merge_sketch, "hll": merge_registers,
+              "blm": merge_words, "cms": merge_counters}
+    by_family: dict[str, list[str]] = {}
+    for t in sketch_tiers:
+        fam, _, level = t.partition("_")
+        by_family.setdefault(fam, []).append(level)
+    level_order = {"1m": 0, "1h": 1, "1d": 2}
+    out: dict[str, int] = {}
+    for fam in sorted(by_family):
+        levels = sorted(by_family[fam], key=level_order.get)
+        if levels[0] != "1m":
+            raise ValueError(
+                f"sketch rebuild needs {fam}_1m committed to repair "
+                f"{fam}_{levels[0]} (coarser levels re-merge from below)"
+            )
+        for level in levels:
+            tier = f"{fam}_{level}"
+            secs = _SKETCH_TIER_SECS[level]
+            touched = (
+                touched_1m
+                if level == "1m"
+                else touched_1m.select(
+                    "source",
+                    (F.floor(F.col("bucket_ts") / secs) * secs)
+                    .cast("long")
+                    .alias("bucket_ts"),
+                ).distinct()
+            )
+            if level == "1m":
+                rebuilt = builders[fam](pts)
+            else:
+                below_level = levels[levels.index(level) - 1]
+                below = catalog.read_tier(spark, f"{fam}_{below_level}")
+                t_alias = touched.alias("t")
+                window_rows = below.alias("b").join(
+                    F.broadcast(t_alias),
+                    (F.col("b.source") == F.col("t.source"))
+                    & (
+                        (F.floor(F.col("b.bucket_ts") / secs) * secs).cast("long")
+                        == F.col("t.bucket_ts")
+                    ),
+                    "left_semi",
+                )
+                rebuilt = merge_to_bucket(window_rows, secs, merges[fam])
+            old = catalog.read_tier(spark, tier)
+            touched_counts = {
+                r["source"]: r["n"]
+                for r in touched.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            affected = sorted(touched_counts)
+            new_rows = (
+                old.filter(F.col("source").isin(affected))
+                .join(F.broadcast(touched), ["source", "bucket_ts"], "left_anti")
+                .unionByName(rebuilt.filter(F.col("source").isin(affected)))
+            )
+            tmp_dir = os.path.join(
+                out_dir, f"_delrb_{tier}_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+            )
+            (
+                tier_writer(new_rows, "source").mode("overwrite")
+                .partitionBy("source").parquet(tmp_dir)
+            )
+            n_rows = 0
+            for src in affected:
+                tmp_part = os.path.join(tmp_dir, f"source={src}")
+                if os.path.exists(tmp_part):
+                    n_rows += pa_ds.dataset(tmp_part, format="parquet").count_rows()
+                    catalog.commit_moved_partition(
+                        tier, src, tmp_part, status="delete_rebuild",
+                        touched_buckets=touched_counts[src],
+                    )
+                else:  # every row of this source sat in touched, now-empty keys
+                    catalog.delete_partition(
+                        tier, src, status="delete_rebuild",
+                        touched_buckets=touched_counts[src],
+                    )
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            out[f"{tier}_rebuilt"] = n_rows
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -5,14 +5,15 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so payload bytes stream through worker memory batch-by-batch
 and never materialize on the driver.
 
-Decoders: WAV (RIFF/PCM, 8- and 16-bit) and PPM (binary P6) are REAL,
-pure-NumPy parsers — no external library needed for uncompressed formats —
-with matching encoders for fixture synthesis. Compressed formats (PNG/JPEG/
-MP3/MP4...) would need PIL/libav, absent in this container, so for payloads
-that are not a recognized uncompressed container :func:`decode_payload`
-raises ``NotImplementedError`` unless the deterministic fake decoder is
-requested. Everything Spark-side — schema, partitioning, UDF signature,
-batch shape — is real and tested either way.
+Decoders: WAV (RIFF/PCM, 8- and 16-bit), PPM (binary P6) and PNG (8-bit
+gray/RGB/RGBA, all five scanline filters — stdlib zlib inflate + NumPy
+unfiltering) are REAL parsers, no external imaging library, with matching
+encoders for fixture synthesis. Remaining compressed formats (JPEG/MP3/
+MP4...) genuinely need PIL/libav, absent in this container, so for payloads
+that are not a recognized container :func:`decode_payload` raises
+``NotImplementedError`` unless the deterministic fake decoder is requested.
+Everything Spark-side — schema, partitioning, UDF signature, batch shape —
+is real and tested either way.
 
 Scale notes (100 TB): payloads dominate the scan; ``media_features`` selects
 only (media_id, kind, payload), so Parquet column pruning drops any sibling
@@ -183,6 +184,180 @@ def encode_ppm(rgb: np.ndarray, width: int, height: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + rgb.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (bit depth 8)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decoder for the compressed-image path: stdlib ``zlib``
+    inflate + NumPy per-scanline UNFILTERING, no external imaging library.
+    Returns the reconstructed pixel bytes as a flat uint8 array
+    (interleaved channels, like :func:`decode_ppm`).
+
+    Supported: 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+    non-interlaced — the shapes our fixtures and most ML-pipeline PNGs
+    use. All FIVE scanline filters decode (None/Sub/Up/Average/Paeth):
+    Sub is a per-byte-lane modular prefix sum (vectorized ``cumsum`` with
+    a uint8 accumulator), Up a wrapping vector add of the previous
+    reconstructed row; Average/Paeth carry an in-row dependency and run
+    as per-byte loops (fixture rows are short; a production decoder would
+    JIT these). Raises ValueError on malformed input (bad signature,
+    truncated chunk, inflate error, short raster) and
+    NotImplementedError for interlace/palette/16-bit — corrupt or
+    unsupported media fails loudly, never silently fakes."""
+    import zlib
+
+    b = payload or b""
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 8 + size + 4  # skip CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {bit_depth} / color type {color_type} unsupported "
+            "(8-bit gray/RGB/RGBA only)"
+        )
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG unsupported")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad PNG dimensions")
+    try:
+        data = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    if len(data) != height * (1 + stride):
+        raise ValueError("PNG raster length != height * (1 + width*channels)")
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(height, 1 + stride)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = int(raw[y, 0])
+        row = raw[y, 1:]
+        if f == 0:  # None
+            out[y] = row
+        elif f == 1:  # Sub: modular prefix sum per byte lane
+            rec = row.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(row[lane::bpp], dtype=np.uint8)
+            out[y] = rec
+        elif f == 2:  # Up
+            prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+            out[y] = row + prev
+        elif f == 3:  # Average
+            prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+            rec = out[y]
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+            rec = out[y]
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(row[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out.ravel()
+
+
+def encode_png(
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    color_type: int = 0,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Minimal PNG encoder for fixture synthesis: 8-bit gray/RGB/RGBA,
+    non-interlaced, one zlib stream. ``filters`` picks the per-scanline
+    filter type (default all 0) — forward-filtering all five types lets
+    tests prove the decoder inverts each one."""
+    import zlib
+
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"encode_png: unsupported color type {color_type}")
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.size != height * stride:
+        raise ValueError("encode_png: raster size != height*width*channels")
+    px = px.reshape(height, stride)
+    filters = [0] * height if filters is None else list(filters)
+    if len(filters) != height:
+        raise ValueError("encode_png: one filter per scanline")
+    lines = bytearray()
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(filters[y])
+        row = px[y]
+        prev = px[y - 1] if y else zero
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row.copy()
+            enc[bpp:] = row[bpp:] - row[:-bpp]
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row.copy()
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                enc[i] = (int(row[i]) - ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:
+            enc = row.copy()
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                enc[i] = (int(row[i]) - _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"encode_png: bad filter {f}")
+        lines.append(f)
+        lines += enc.tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        int(width).to_bytes(4, "big")
+        + int(height).to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_payload(payload: bytes, kind: str, *, allow_fake: bool = False) -> np.ndarray:
     """Decode a media payload into a uint8 sample array.
 
@@ -206,9 +381,11 @@ def decode_payload(payload: bytes, kind: str, *, allow_fake: bool = False) -> np
             return decode_wav(b)
         if b[:2] == b"P6":
             return decode_ppm(b)
+        if b[: len(_PNG_SIG)] == _PNG_SIG:
+            return decode_png(b)
         raise NotImplementedError(
             f"no decoder for this {kind} payload in this environment "
-            "(real decoders: RIFF/PCM WAV, binary PPM); "
+            "(real decoders: RIFF/PCM WAV, binary PPM, PNG); "
             "pass allow_fake=True to use the deterministic stand-in"
         )
     return np.frombuffer(b, dtype=np.uint8)
@@ -275,6 +452,43 @@ def synthesize_real_media_from_documents(docs: DataFrame) -> DataFrame:
                 ids.append(int(doc_id))
             yield pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL compressed PNG containers
+    derived deterministically from the documents table: 8-bit GRAYSCALE,
+    16 px wide, height = ceil(len/16), raster = utf-8 text bytes
+    zero-padded to the 16*h grid — and each scanline forward-filtered
+    with filter type ``row % 5``, so a full decode exercises every PNG
+    filter (None/Sub/Up/Average/Paeth) on every document.
+
+    The decoded samples equal the padded text bytes exactly (filters are
+    invertible), so the SQL oracle replays decoded feature stats from the
+    text alone: n_bytes = 16*ceil(len/16), byte_sum = Σ text bytes
+    (padding zeros add nothing), histogram bins likewise."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                w = 16
+                h = max(1, -(-len(data) // w))
+                raster = np.zeros(w * h, dtype=np.uint8)
+                raster[: len(data)] = data
+                payloads.append(
+                    encode_png(raster, w, h, color_type=0,
+                               filters=[y % 5 for y in range(h)])
+                )
+                ids.append(int(doc_id))
+                metas.append({"width": w, "height": h, "sample_rate": 0,
+                              "n_frames": 1})
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids),
+                 "payload": payloads, "meta": metas}
             )
 
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)

@@ -33,7 +33,7 @@ def test_delete_documents_exact_and_idempotent(seq, spark, tmp_path):
     n_del = del_ids.count()
     assert n_del > 0
 
-    report = delete_documents(spark, out, del_ids)
+    report = delete_documents(spark, out, del_ids, rebuild_sketches=False)
     assert report["raw"] == n_del
     assert report["1m"] > 0 and report["1h"] > 0 and report["1d"] > 0
     assert report["sketch_tiers_skipped"] == 6  # psk_* + hll_* untouched
@@ -54,7 +54,7 @@ def test_delete_documents_exact_and_idempotent(seq, spark, tmp_path):
     assert cat.read_tier(spark, "psk_1h").count() > 0
 
     # idempotent: deleting the same ids again touches nothing
-    again = delete_documents(spark, out, del_ids)
+    again = delete_documents(spark, out, del_ids, rebuild_sketches=False)
     assert all(v == 0 for k, v in again.items() if k != "sketch_tiers_skipped")
 
     # lineage: delete commits carry per-source deleted-row counts

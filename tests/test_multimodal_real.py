@@ -142,3 +142,133 @@ def test_spark_real_decode_pipeline(spark):
     assert rows[2].kind == "audio" and rows[2].n_bytes == 0 and rows[2].byte_sum == 0
     assert rows[3].kind == "image" and rows[3].n_bytes == 48
     assert rows[3].byte_sum == sum(b"p6 is not a ppm")
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib inflate + NumPy unfiltering)
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(raster: bytes, width: int, height: int, color_type: int = 0,
+               filters=None) -> bytes:
+    """Hand-assembled PNG independent of encode_png (filter 0 only)."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * ch
+    assert filters is None, "hand assembler writes filter 0 scanlines"
+    lines = b"".join(
+        b"\x00" + raster[y * stride:(y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes(
+        [8, color_type, 0, 0, 0]
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+
+
+def test_png_known_answer_hand_assembled():
+    from tersets_spark.multimodal import decode_png
+
+    raster = bytes(range(48))  # 16x3 gray
+    got = decode_png(_png_bytes(raster, 16, 3))
+    assert np.array_equal(got, np.frombuffer(raster, dtype=np.uint8))
+    # RGB 2x2
+    rgb = bytes(range(12))
+    assert np.array_equal(decode_png(_png_bytes(rgb, 2, 2, color_type=2)),
+                          np.frombuffer(rgb, dtype=np.uint8))
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (6, 4)])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_every_filter_roundtrips(color_type, ch, filt):
+    from tersets_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(100 * color_type + filt)
+    w, h = 7, 11
+    px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8)
+    b = encode_png(px, w, h, color_type=color_type, filters=[filt] * h)
+    assert np.array_equal(decode_png(b), px)
+
+
+def test_png_mixed_filters_and_multi_idat():
+    from tersets_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=16 * 9 * 3, dtype=np.uint8)
+    b = encode_png(px, 16, 9, color_type=2, filters=[y % 5 for y in range(9)])
+    assert np.array_equal(decode_png(b), px)
+    # split the IDAT stream into two chunks: decoders must concatenate
+    import zlib
+
+    sig_ihdr = b[: 8 + 12 + 13]
+    idat_len = int.from_bytes(b[8 + 25: 8 + 29], "big")
+    idat_body = b[8 + 33: 8 + 33 + idat_len]
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    half = len(idat_body) // 2
+    b2 = (sig_ihdr + chunk(b"IDAT", idat_body[:half])
+          + chunk(b"IDAT", idat_body[half:]) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(b2), px)
+
+
+def test_png_rejects_malformed():
+    from tersets_spark.multimodal import decode_png, encode_png
+
+    good = encode_png(np.arange(48, dtype=np.uint8), 16, 3)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNH" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:46])  # cut inside the IDAT chunk body
+    with pytest.raises(ValueError, match="inflate|raster length"):
+        bad = bytearray(good)
+        bad[45] ^= 0xFF  # corrupt the deflate stream (IDAT body starts at 41)
+        decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        bad = bytearray(good)
+        bad[8 + 8 + 12] = 1  # IHDR interlace byte
+        decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError, match="color type"):
+        bad = bytearray(good)
+        bad[8 + 8 + 9] = 3  # palette
+        decode_png(bytes(bad))
+
+
+def test_png_decode_payload_routing_and_fake_path():
+    from tersets_spark.multimodal import encode_png
+
+    px = np.arange(32, dtype=np.uint8)
+    b = encode_png(px, 16, 2)
+    assert np.array_equal(decode_payload(b, "image"), px)
+    # fake path returns the container bytes verbatim, never mis-sniffs
+    assert np.array_equal(decode_payload(b, "image", allow_fake=True),
+                          np.frombuffer(b, dtype=np.uint8))
+
+
+def test_png_spark_pipeline(spark):
+    from tersets_spark.multimodal import (
+        media_features,
+        synthesize_png_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello png world"), (2, "x" * 40), (3, "")],
+        "doc_id long, text string",
+    )
+    feats = {r["media_id"]: r for r in
+             media_features(synthesize_png_media_from_documents(docs),
+                            allow_fake=False).collect()}
+    assert feats[1]["n_bytes"] == 16  # ceil(15/16)=1 row
+    assert feats[1]["byte_sum"] == sum(b"hello png world")
+    assert feats[2]["n_bytes"] == 48  # ceil(40/16)=3 rows
+    assert feats[2]["byte_sum"] == 40 * ord("x")
+    assert feats[3]["n_bytes"] == 16  # empty text -> 1 zero row
+    assert feats[3]["byte_sum"] == 0
