@@ -465,6 +465,10 @@ _MEDIA_PNG_ORACLE = """
 """
 
 
+def _grid_multi_values() -> str:
+    return ", ".join(f"({rid}, {s}, {e})" for rid, (s, e) in enumerate(_GRID_MULTI))
+
+
 def _gate_workdir(prefix: str, max_age_sec: float = 6 * 3600.0) -> str:
     """mkdtemp for a streaming gate query, after sweeping STALE siblings.
 
@@ -1857,6 +1861,58 @@ _SKETCH_MULTI = [
     (1_700_000_160, 1_700_000_760),
 ]
 
+#: 7200s-aligned grid window + overlapping panels for the percentile GRID
+#: reads (step 7200 re-buckets the 1h serving level 2:1, so the grid merge
+#: is exercised, not just passed through)
+_GRID_STEP = 7200
+_GRID_RANGE = (1_699_999_200, 1_700_100_000)
+_GRID_MULTI = [
+    (1_699_999_200, 1_700_100_000),
+    (1_700_013_600, 1_700_064_000),
+    (1_700_056_800, 1_700_085_600),
+]
+
+
+def _psk_tiers_mem(spark: SparkSession, sf_dir: str) -> dict:
+    """In-memory psk tier family from the sequences fixture (the
+    contract-gate stand-in for a committed catalog's psk_* levels)."""
+    from tersets_spark.jobs import _sketch_points, merge_to_bucket
+    from tersets_spark.sketch import merge_sketch, sketch
+
+    pts = _sketch_points(_sequences(spark, sf_dir))
+    t1m = sketch(pts, ["source", "bucket_ts"], "v")
+    t1h = merge_to_bucket(t1m, 3600, merge_sketch)
+    t1d = merge_to_bucket(t1h, 86400, merge_sketch)
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def _q_sketch_grid_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-aligned percentile GRID (jobs.percentile_grid_rows): p50/90/99
+    per (source, 2h bucket) over a 7200s-aligned window, served from ONE
+    scan of the coarsest dividing psk level (1h; the 2h re-bucket is the
+    exact integer sum-merge). The oracle computes each grid cell's sketch
+    one-shot from the raw points — equality proves every cell of the
+    dashboard panel is bitwise the full recompute."""
+    from tersets_spark.jobs import percentile_grid_rows
+
+    s, e = _GRID_RANGE
+    return percentile_grid_rows(
+        _psk_tiers_mem(spark, sf_dir), s, e, _GRID_STEP
+    )
+
+
+def _q_sketch_grid_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH percentile grid (jobs.percentile_grid_many_rows): three
+    overlapping 7200s-aligned panels served from ONE OR-combined scan of
+    the 1h psk level, panel attribution via a codegen when-array explode.
+    Per panel bitwise the single-grid path; the oracle replays each
+    (panel, source, bucket) cell's sketch one-shot."""
+    from tersets_spark.jobs import percentile_grid_many_rows
+
+    return percentile_grid_many_rows(
+        _psk_tiers_mem(spark, sf_dir), _GRID_MULTI, _GRID_STEP
+    )
+
 
 def _q_sketch_multi_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH range-scoped percentile serving
@@ -2426,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_hourly": _q_seasonal_hourly,
         "media_png_decode_stats": _q_media_png_decode_stats,
         "sketch_delete_percentiles": _q_sketch_delete_percentiles,
+        "sketch_grid_percentiles": _q_sketch_grid_percentiles,
+        "sketch_grid_multi": _q_sketch_grid_multi,
     }
 
 
@@ -3068,6 +3126,93 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT source, CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM hit
+        """,
+        # percentile GRID replay: each (source, 2h bucket) cell's sketch
+        # computed one-shot from the raw points in that cell
+        "sketch_grid_percentiles": f"""
+            WITH pts AS (
+                SELECT source,
+                       ts0 + unnest(generate_series(0, n_tok - 1)) AS ts,
+                       unnest(tokens) AS v
+                FROM read_parquet('{seq}')
+            ),
+            g AS (
+                SELECT source, (ts // {_GRID_STEP}) * {_GRID_STEP} AS bucket_ts, v
+                FROM pts WHERE ts >= {_GRID_RANGE[0]} AND ts < {_GRID_RANGE[1]}
+            ),
+            sk AS (
+                SELECT source, bucket_ts,
+                       CAST(length(bin(v)) * 32
+                            + (v >> greatest(length(bin(v)) - 5, 0)) AS BIGINT)
+                           AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM g GROUP BY 1, 2, 3
+            ),
+            c AS (
+                SELECT source, bucket_ts, bucket_id,
+                       SUM(cnt) OVER (PARTITION BY source, bucket_ts ORDER BY bucket_id) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source, bucket_ts) AS total
+                FROM sk
+            ),
+            q AS (SELECT unnest([50, 90, 99]) AS pct),
+            hit AS (
+                SELECT c.source, c.bucket_ts, q.pct, MIN(c.bucket_id) AS bucket_id
+                FROM c CROSS JOIN q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2, 3
+            )
+            SELECT source, CAST(bucket_ts AS BIGINT) AS bucket_ts,
+                   CAST(pct AS INT) AS pct,
+                   CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS estimate
+            FROM hit
+        """,
+        # BATCH grid replay: per-panel one-shot cells (panels may overlap)
+        "sketch_grid_multi": f"""
+            WITH pts AS (
+                SELECT source,
+                       ts0 + unnest(generate_series(0, n_tok - 1)) AS ts,
+                       unnest(tokens) AS v
+                FROM read_parquet('{seq}')
+            ),
+            r AS (
+                SELECT * FROM (VALUES {_grid_multi_values()})
+                    AS t(range_id, s, e)
+            ),
+            g AS (
+                SELECT r.range_id, p.source,
+                       (p.ts // {_GRID_STEP}) * {_GRID_STEP} AS bucket_ts, p.v
+                FROM pts p JOIN r ON p.ts >= r.s AND p.ts < r.e
+            ),
+            sk AS (
+                SELECT range_id, source, bucket_ts,
+                       CAST(length(bin(v)) * 32
+                            + (v >> greatest(length(bin(v)) - 5, 0)) AS BIGINT)
+                           AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM g GROUP BY 1, 2, 3, 4
+            ),
+            c AS (
+                SELECT range_id, source, bucket_ts, bucket_id,
+                       SUM(cnt) OVER (PARTITION BY range_id, source, bucket_ts
+                                      ORDER BY bucket_id) AS cum,
+                       SUM(cnt) OVER (PARTITION BY range_id, source, bucket_ts) AS total
+                FROM sk
+            ),
+            q AS (SELECT unnest([50, 90, 99]) AS pct),
+            hit AS (
+                SELECT c.range_id, c.source, c.bucket_ts, q.pct,
+                       MIN(c.bucket_id) AS bucket_id
+                FROM c CROSS JOIN q
+                WHERE c.cum * 100 >= q.pct * c.total
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT CAST(range_id AS BIGINT) AS range_id, source,
+                   CAST(bucket_ts AS BIGINT) AS bucket_ts,
+                   CAST(pct AS INT) AS pct,
                    CAST((bucket_id & 31) << greatest((bucket_id >> 5) - 5, 0)
                         AS BIGINT) AS estimate
             FROM hit

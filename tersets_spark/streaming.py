@@ -899,6 +899,52 @@ def finalize_streamed_tier_incremental(
     return stats
 
 
+def read_tier_realtime_streamed(
+    spark: SparkSession,
+    stream_out_dir: str,
+    catalog: TierCatalog,
+    tier: str,
+) -> DataFrame:
+    """STREAMED-TAIL realtime serving: the committed catalog tier UNION
+    the still-OPEN streamed partials — a consumer between watermark
+    finalizes sees exactly the batch cascade over everything ingested so
+    far, the streaming twin of :func:`jobs.read_tier_realtime`.
+
+    The boundary is the tier's last committed watermark (from the
+    manifest lineage :func:`finalize_streamed_tier_incremental` writes):
+    buckets CLOSED at that watermark (end <= watermark) live in the
+    catalog; buckets still open live in the partials, combined exactly
+    (anchor-aware first/last via ``read_streamed_tier(finalize=True)``)
+    — the two sets are disjoint by the finalize contract, so the union
+    never double-counts. Crash-window safe: leftovers of already-
+    committed buckets that a crashed compaction left in the partials sit
+    BELOW the boundary and are excluded by the same predicate that makes
+    the next finalize skip them. With no finalize yet (no watermark
+    lineage) the whole answer comes from the partials; with everything
+    finalized the open set is empty and this is a plain catalog read.
+
+    Scale: the open window is bounded by the watermark lag (hours of
+    buckets, not history); the committed read is the ordinary pruned
+    manifest-resolved scan.
+    """
+    suffix = tier.rsplit("_", 1)[-1]
+    if suffix not in TIERS:
+        raise ValueError(f"cannot derive bucket span from tier {tier!r}")
+    span = TIERS[suffix]
+    prev = 0
+    for rec in catalog.metrics():
+        if rec.get("tier") == tier and rec.get("watermark_ts") is not None:
+            prev = max(prev, int(rec["watermark_ts"]))
+    open_rows = read_streamed_tier(
+        spark, stream_out_dir, tier, finalize=True
+    ).where(F.col("bucket_ts") > prev - span)
+    try:
+        committed = catalog.read_tier(spark, tier)
+    except FileNotFoundError:  # nothing finalized yet: all-open answer
+        return open_rows
+    return committed.select(*open_rows.columns).unionByName(open_rows)
+
+
 # ---------------------------------------------------------------------------
 # streamed threshold alerting
 # ---------------------------------------------------------------------------

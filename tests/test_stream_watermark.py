@@ -288,3 +288,38 @@ def test_compaction_crash_before_tombstone_is_invisible(spark, streamed):
             .select(*COLS).collect())
     )
     assert final == before
+
+
+def test_streamed_tail_realtime_serving(spark, streamed, tmp_path):
+    """read_tier_realtime_streamed: committed ∪ open partials must bitwise
+    match the batch cascade at EVERY watermark stage — before any finalize
+    (all-open), mid-stream (cross-batch bucket splits on both sides of the
+    boundary), across the crash window (committed leftovers still in the
+    partials), and after full finalize (all-committed)."""
+    from tersets_spark.streaming import read_tier_realtime_streamed
+
+    cat_dir = str(tmp_path / "cat")
+    os.makedirs(cat_dir)
+    catalog = TierCatalog(cat_dir)
+    want = sorted(map(tuple, _batch_1h(spark).select(*COLS).collect()))
+
+    def served():
+        df = read_tier_realtime_streamed(spark, streamed, catalog, "1h")
+        return sorted(map(tuple, df.select(*COLS).collect()))
+
+    assert served() == want  # nothing finalized: all-open answer
+
+    # crash window: commit WM1 but skip compaction — leftovers of the
+    # committed buckets remain in the partials and must not double-count
+    finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM1,
+                                       compact=False)
+    assert served() == want
+
+    # compaction catches up; mid-stream serving still exact
+    compact_streamed_partials(spark, streamed, "1h",
+                              drop_below_ts=WM1 - 3600 + 1)
+    assert served() == want
+
+    # full finalize: open set empty, plain catalog read
+    finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM2)
+    assert served() == want
