@@ -607,9 +607,106 @@ def run_level(p: int, seq_path: str, total_tokens: int, n_runs: int) -> dict:
     }
 
 
+def _spark_class() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-class")
+
+
+def run_cluster_level(p: int, seq_path: str, total_tokens: int, n_runs: int,
+                      base_port: int = 7077) -> dict:
+    """Warmup + measured cascade runs on a LOCALHOST STANDALONE cluster
+    with ``p`` single-core executors — the closest sandbox analog to the
+    north rule's N-executor spark-submit cluster: a real master daemon,
+    ``p`` real worker daemons each hosting ONE single-core executor JVM,
+    serialized netty shuffles between executor processes, and the package
+    shipped via addPyFile (the --py-files path). Each worker is pinned
+    with ``taskset`` to its own core so the measured budget is exactly
+    ``p`` cores; master and driver run unpinned, as their own hosts would
+    on a real cluster (the driver is not part of the executor budget)."""
+    import subprocess
+
+    from tersets_spark.session import get_spark
+
+    sc_bin = _spark_class()
+    env = {**os.environ, "SPARK_NO_DAEMONIZE": "1"}
+    procs: list[subprocess.Popen] = []
+    logs = tempfile.mkdtemp(prefix="tersets_standalone_")
+    master_url = f"spark://127.0.0.1:{base_port}"
+    try:
+        procs.append(subprocess.Popen(
+            [sc_bin, "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", str(base_port),
+             "--webui-port", str(base_port + 1000)],
+            env=env, stdout=open(os.path.join(logs, "master.log"), "w"),
+            stderr=subprocess.STDOUT,
+        ))
+        time.sleep(8)
+        for i in range(p):
+            procs.append(subprocess.Popen(
+                ["taskset", "-c", str(i), sc_bin,
+                 "org.apache.spark.deploy.worker.Worker", master_url,
+                 "--cores", "1", "--memory", "6g",
+                 "--webui-port", str(base_port + 1100 + i)],
+                env=env,
+                stdout=open(os.path.join(logs, f"worker{i}.log"), "w"),
+                stderr=subprocess.STDOUT,
+            ))
+        spark = get_spark(
+            master=master_url, app_name=f"bench-standalone-{p}",
+            shuffle_partitions=max(p * 2, 4),
+            extra_conf={
+                "spark.executor.memory": "5g",
+                "spark.executor.cores": "1",
+                "spark.cores.max": str(p),
+            },
+        )
+        try:
+            # wait until all p executors registered (plus the driver entry)
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+                if n_exec >= p:
+                    break
+                time.sleep(1)
+            else:
+                raise RuntimeError(f"only {n_exec}/{p} executors registered")
+            warm = run_cascade_once(spark, seq_path, total_tokens)
+            log(f"standalone[{p}] warmup (discarded): {warm}")
+            runs = []
+            for i in range(n_runs):
+                r = run_cascade_once(spark, seq_path, total_tokens)
+                log(f"standalone[{p}] run {i + 1}/{n_runs}: {r}")
+                runs.append(r)
+        finally:
+            spark.stop()
+        return {
+            "best_total_sec": min(r["total_sec"] for r in runs),
+            "best_tokens_per_sec": max(r["tokens_per_sec"] for r in runs),
+            "median_total_sec": statistics.median(r["total_sec"] for r in runs),
+            "median_tokens_per_sec": statistics.median(
+                r["tokens_per_sec"] for r in runs
+            ),
+            "executors": p,
+            "runs": runs,
+        }
+    finally:
+        for proc in reversed(procs):
+            proc.terminate()
+        for proc in procs:
+            try:
+                proc.wait(timeout=20)
+            except Exception:
+                proc.kill()
+        shutil.rmtree(logs, ignore_errors=True)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true", help="local[N] vs local[4N] protocol")
+    parser.add_argument("--cluster-scaling", action="store_true",
+                        help="N vs 4N single-core executors on a localhost "
+                             "standalone cluster (real executor processes)")
     parser.add_argument("--serving", action="store_true",
                         help="range-serving strategies: stitched vs 1m-only vs raw scan")
     parser.add_argument("--ingest", action="store_true",
@@ -621,7 +718,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_name = sf_name_from_dir(sf_dir)
-    if args.scaling or args.level:
+    if args.scaling or args.cluster_scaling or args.level:
         # Scaling runs use a larger deterministic table so parallel work
         # dominates fixed per-run costs (see BENCH/BASELINE.md protocol).
         sf_name = os.environ.get("SPARK_GRAFT_SCALING_SF", "sf0.4")
@@ -676,6 +773,37 @@ def main() -> None:
             "protocol": "warmup + best-of-%d" % args.runs,
             "host_stream_melem_s": host_stream_probe(),
             "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
+        }))
+        return
+
+    if args.cluster_scaling:
+        # N vs 4N SINGLE-CORE EXECUTORS on a localhost standalone cluster:
+        # real master/worker daemons, one executor JVM per worker, netty
+        # shuffle between processes, package shipped via addPyFile — the
+        # closest sandbox analog to the north rule's two cluster sizes.
+        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "1,4")
+        lo, hi = (int(x) for x in pair.split(","))
+        assert hi == 4 * lo, "scaling pair must be N,4N"
+        results = {}
+        for p in (lo, hi):
+            results[p] = run_cluster_level(p, seq_path, total_tokens, args.runs)
+        tp_lo = results[lo]["best_tokens_per_sec"]
+        tp_hi = results[hi]["best_tokens_per_sec"]
+        eff = tp_hi / (4 * tp_lo)
+        _write_cluster_baseline_md(sf_name, total_tokens, results, eff, lo, hi)
+        print(json.dumps({
+            "metric": "cascade_cluster_scaling",
+            "host_stream_melem_s": host_stream_probe(),
+            "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
+            "value": results[hi]["best_total_sec"],
+            "unit": "sec",
+            "queries": {f"executors{lo}": results[lo]["best_total_sec"],
+                        f"executors{hi}": results[hi]["best_total_sec"]},
+            "sf": sf,
+            "tokens": total_tokens,
+            f"tokens_per_sec_exec{lo}": tp_lo,
+            f"tokens_per_sec_exec{hi}": tp_hi,
+            "scaling_efficiency": round(eff, 3),
         }))
         return
 
@@ -762,6 +890,61 @@ def main() -> None:
         "host_stream_melem_s": probe,
         "host_quiet_ref_melem_s": _QUIET_STREAM_MELEM_S,
     }))
+
+
+def _write_cluster_baseline_md(
+    sf_name: str, tokens: int, results: dict, eff: float, lo: int, hi: int
+) -> None:
+    """Append (or replace) the standalone-cluster section of
+    BENCH/BASELINE.md — the multi-process executor evidence beside the
+    pinned-core local[N] protocol."""
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    path = os.path.join(bench_dir, "BASELINE.md")
+    marker = "## Standalone-cluster scaling (real executor processes)"
+    lines = [
+        marker,
+        "",
+        f"Same cascade job on a LOCALHOST STANDALONE cluster ({sf_name}, "
+        f"{tokens:,} tokens): one master daemon + N single-core worker "
+        "daemons (`spark://` submit, package shipped via addPyFile — the "
+        "--py-files path), each worker `taskset`-pinned to its own core. "
+        "Unlike local[N] (one JVM, in-memory shuffle), every executor is "
+        "its own JVM with netty-serialized shuffle blocks between "
+        "processes — the closest sandbox analog to the north rule's N vs "
+        "4N executor clusters.",
+        "",
+        "| executors | best total (s) | best tokens/sec | median total (s) |",
+        "|---|---|---|---|",
+    ]
+    for p, r in results.items():
+        lines.append(
+            f"| {p} x 1-core | {r['best_total_sec']:.2f} | "
+            f"{r['best_tokens_per_sec']:,.0f} | {r['median_total_sec']:.2f} |"
+        )
+    lines += [
+        "",
+        f"**Standalone scaling efficiency** = best_tp({hi} exec) / (4 x "
+        f"best_tp({lo} exec)) = **{eff:.3f}** (gate: >= 0.8, north_rule).",
+        "",
+        "Protocol: one discarded warmup then >= 3 measured runs per level; "
+        "master + driver unpinned (on a real cluster they are not part of "
+        "the executor budget); identical binaries + input at both sizes.",
+        "",
+    ]
+    section = "\n".join(lines)
+    try:
+        with open(path) as f:
+            existing = f.read()
+    except FileNotFoundError:
+        existing = ""
+    if marker in existing:
+        head = existing[: existing.index(marker)].rstrip() + "\n\n"
+        existing = head  # replace everything from the marker on
+    elif existing:
+        existing = existing.rstrip() + "\n\n"
+    with open(path, "w") as f:
+        f.write(existing + section + "\n")
 
 
 def _write_baseline_md(
@@ -856,8 +1039,19 @@ def _write_baseline_md(
         json.dumps({str(k): v for k, v in results.items()}, indent=2),
         "```",
     ]
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # preserve the standalone-cluster section a --cluster-scaling run wrote
+    path = os.path.join(bench_dir, "BASELINE.md")
+    marker = "## Standalone-cluster scaling (real executor processes)"
+    tail = ""
+    try:
+        with open(path) as f:
+            existing = f.read()
+        if marker in existing:
+            tail = "\n\n" + existing[existing.index(marker):].rstrip() + "\n"
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
