@@ -179,3 +179,49 @@ def test_threshold_retention_guard(spark, seq_path, tmp_path):
     # above-horizon start serves
     got = threshold_from_catalog(spark, out, 0, start=horizon + 60, end=hi)
     assert got.count() > 0
+
+
+def test_footer_stat_resolver_runs_zero_jobs(spark, seq, seq_path):
+    """max_doc_seconds resolves from parquet FOOTER statistics — a
+    driver-side metadata read, not a Spark job (the r4 plan ran a full
+    max(n_tok) scan per serving call when the bound was unset)."""
+    from tersets_spark.rollup import _footer_stat_max, _resolve_max_doc_seconds
+
+    sc = spark.sparkContext
+    sc.setJobGroup("footer_stat_probe", "must stay empty")
+    try:
+        got = _resolve_max_doc_seconds(seq, None)
+        stat = _footer_stat_max(seq, "n_tok")
+    finally:
+        sc.setJobGroup("footer_stat_probe_done", "reset")
+    assert list(sc.statusTracker().getJobIdsForGroup("footer_stat_probe")) == []
+    true_max = int(pd.read_parquet(seq_path, columns=["n_tok"])["n_tok"].max())
+    assert got == stat == true_max
+    # a FILTERED frame still resolves soundly (footer max >= frame max)
+    filtered = seq.where(F.col("n_tok") < true_max)
+    assert _resolve_max_doc_seconds(filtered, None) >= int(
+        filtered.agg(F.max("n_tok")).head()[0]
+    )
+    # caller-supplied bound always wins
+    assert _resolve_max_doc_seconds(seq, 123) == 123
+    # non-file-backed frames fall back (tiny test inputs only)
+    mem = spark.createDataFrame([(5,), (9,)], "n_tok int")
+    assert _footer_stat_max(mem, "n_tok") is None
+    assert _resolve_max_doc_seconds(mem, None) == 9
+
+
+def test_push_limit_defaults_to_session_in_filter_threshold(spark, raw_m1):
+    """The static doc_id IN(...) path only triggers when the predicate
+    actually converts to a parquet filter: the default collect bound IS
+    the session's inFilterThreshold (one shared knob)."""
+    raw, m1 = raw_m1
+    thr_conf = int(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold"))
+    n_cand = threshold_candidates(m1, 1).count()  # every doc qualifies
+    assert n_cand > thr_conf, "fixture must exceed the session threshold"
+    # with the default push_limit (None -> session conf), the candidate set
+    # above the threshold takes the broadcast-join path — and still matches
+    # the explicitly-pushed twin computed with a raised limit
+    a = sorted(map(tuple, threshold_points(raw, m1, 1).collect()))
+    b = sorted(map(tuple,
+                   threshold_points(raw, m1, 1, push_limit=n_cand + 1).collect()))
+    assert a == b and a
