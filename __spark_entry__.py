@@ -465,6 +465,31 @@ _MEDIA_PNG_ORACLE = """
 """
 
 
+# JPEG decode replay: each utf-8 text byte becomes one constant 8x8 block
+# (all-ones quant table), and constant blocks survive the full
+# Huffman->dequant->IDCT path bit-exactly (the DCT of a constant block is a
+# lone integer DC coefficient), so decoded samples are each text byte
+# repeated 64x — decoded stats are text math scaled by 64 (empty text gets
+# a single zero block).
+_MEDIA_JPEG_ORACLE = """
+    WITH feats AS (
+        SELECT 'image' AS kind,
+               64 * GREATEST(1, CAST(octet_length(encode(text)) AS BIGINT))
+                   AS n_bytes,
+               64 * CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+               64 * CAST(len(list_filter(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1))), c -> c // 16 = 7)) AS BIGINT) AS hist_bin7
+        FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           CAST(SUM(byte_sum) AS BIGINT) AS byte_sum,
+           CAST(SUM(hist_bin7) AS BIGINT) AS hist_bin7
+    FROM feats GROUP BY kind
+"""
+
+
 def _grid_multi_values() -> str:
     return ", ".join(f"({rid}, {s}, {e})" for rid, (s, e) in enumerate(_GRID_MULTI))
 
@@ -1605,6 +1630,29 @@ def _q_media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format decoding: genuine baseline JPEG containers
+    (Huffman entropy coding + DCT, all-ones quant table) synthesized from
+    documents as one constant 8x8 block per text byte, decoded by the
+    pure-NumPy baseline decoder inside mapInPandas (allow_fake=False,
+    tersets_spark.jpeg.decode_jpeg); constant blocks survive the full
+    Huffman -> dequant -> IDCT path bit-exactly, so decoded feature stats
+    hash-match the oracle's 64x text replay."""
+    from tersets_spark.multimodal import (
+        media_features,
+        synthesize_jpeg_media_from_documents,
+    )
+
+    media = synthesize_jpeg_media_from_documents(_docs(spark, sf_dir))
+    feats = media_features(media, allow_fake=False)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("byte_sum").alias("byte_sum"),
+        F.sum(F.element_at("hist16", 8)).alias("hist_bin7"),
+    )
+
+
 def _q_sketch_delete_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier REBUILD after per-document deletion
     (jobs._rebuild_sketches_after_delete): a cascade with HDR+HLL sketch
@@ -2456,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_percentiles": _q_sketch_percentiles,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "media_real_decode_stats": _q_media_real_decode_stats,
+        "media_jpeg_decode_stats": _q_media_jpeg_decode_stats,
         "media_feature_stats": _q_media_feature_stats,
         "seq_dedup_exact": _q_seq_dedup_exact,
         "seq_repetition_stats": _q_seq_repetition_stats,
@@ -3451,6 +3500,7 @@ def oracle_sql() -> dict[str, str]:
         "media_feature_stats": _MEDIA_ORACLE,
         "media_real_decode_stats": _MEDIA_REAL_ORACLE,
         "media_png_decode_stats": _MEDIA_PNG_ORACLE,
+        "media_jpeg_decode_stats": _MEDIA_JPEG_ORACLE,
         # connected components over the same pairs, via recursive CTE
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),

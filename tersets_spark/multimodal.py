@@ -5,12 +5,14 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so payload bytes stream through worker memory batch-by-batch
 and never materialize on the driver.
 
-Decoders: WAV (RIFF/PCM, 8- and 16-bit), PPM (binary P6) and PNG (8-bit
+Decoders: WAV (RIFF/PCM, 8- and 16-bit), PPM (binary P6), PNG (8-bit
 gray/RGB/RGBA, all five scanline filters — stdlib zlib inflate + NumPy
-unfiltering) are REAL parsers, no external imaging library, with matching
-encoders for fixture synthesis. Remaining compressed formats (JPEG/MP3/
-MP4...) genuinely need PIL/libav, absent in this container, so for payloads
-that are not a recognized container :func:`decode_payload` raises
+unfiltering) and baseline JPEG (full Huffman entropy decode, dequant,
+IDCT, restart markers, 4:4:4/4:2:0 chroma — :mod:`tersets_spark.jpeg`)
+are REAL parsers, no external imaging library, with matching encoders for
+fixture synthesis. Remaining compressed formats (MP3/MP4/H.264...)
+genuinely need libav, absent in this container, so for payloads that are
+not a recognized container :func:`decode_payload` raises
 ``NotImplementedError`` unless the deterministic fake decoder is requested.
 Everything Spark-side — schema, partitioning, UDF signature, batch shape —
 is real and tested either way.
@@ -383,9 +385,13 @@ def decode_payload(payload: bytes, kind: str, *, allow_fake: bool = False) -> np
             return decode_ppm(b)
         if b[: len(_PNG_SIG)] == _PNG_SIG:
             return decode_png(b)
+        if b[:3] == b"\xff\xd8\xff":
+            from tersets_spark.jpeg import decode_jpeg
+
+            return decode_jpeg(b)
         raise NotImplementedError(
             f"no decoder for this {kind} payload in this environment "
-            "(real decoders: RIFF/PCM WAV, binary PPM, PNG); "
+            "(real decoders: RIFF/PCM WAV, binary PPM, PNG, baseline JPEG); "
             "pass allow_fake=True to use the deterministic stand-in"
         )
     return np.frombuffer(b, dtype=np.uint8)
@@ -486,6 +492,40 @@ def synthesize_png_media_from_documents(docs: DataFrame) -> DataFrame:
                 ids.append(int(doc_id))
                 metas.append({"width": w, "height": h, "sample_rate": 0,
                               "n_frames": 1})
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids),
+                 "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEG containers derived
+    deterministically from the documents table: 8-bit grayscale, 8 px wide,
+    one constant 8x8 block per utf-8 text byte (stacked vertically; empty
+    text gets one zero block), quantization table all-ones.
+
+    The DCT of a constant block is a lone integer DC coefficient, entropy
+    coding is lossless and the IDCT of a DC-only block is exactly flat, so
+    the FULL decode path (Huffman -> dequant -> IDCT -> level shift)
+    reproduces each text byte exactly, 64 copies per block — and the SQL
+    oracle replays decoded feature stats from the text alone:
+    n_bytes = 64*max(1,len), byte_sum = 64*Σ bytes, histogram bins x64."""
+    from tersets_spark.jpeg import encode_jpeg_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                if data.size == 0:
+                    data = np.zeros(1, dtype=np.uint8)
+                img = np.repeat(np.repeat(data.reshape(-1, 1), 8, axis=0), 8, axis=1)
+                payloads.append(encode_jpeg_gray(img))
+                ids.append(int(doc_id))
+                metas.append({"width": 8, "height": 8 * len(data),
+                              "sample_rate": 0, "n_frames": 1})
             yield pd.DataFrame(
                 {"media_id": ids, "kind": ["image"] * len(ids),
                  "payload": payloads, "meta": metas}
