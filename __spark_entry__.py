@@ -2203,6 +2203,29 @@ def _q_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_instant_irate_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL instant-vector read (rollup.instant_read): each source's
+    most recent 1m bucket within a 6h staleness window ending at the
+    corpus's last bucket, plus idelta/irate from the final bucket pair
+    (reset-corrected like counter_rate). One pushed range scan + one
+    window ranked by the series key; the oracle replays the rank-1/rank-2
+    pivot in SQL — exact longs, bit-stable long/long->double division."""
+    from tersets_spark.rollup import instant_read
+
+    seq = _sequences(spark, sf_dir)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    series = m1.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("v")
+    )
+    at = int(series.agg(F.max("bucket_ts")).first()[0])
+    return instant_read(
+        series, at, 21600, value_col="v", keys=("source",)
+    ).select(
+        "source", "sample_ts", "value", "staleness", "prev_ts", "idelta",
+        "irate",
+    )
+
+
 def _q_overview_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 pixel-exact overview (downsample.m4_points, Jugel et al. VLDB'14):
     the per-source 1m total-tokens series squeezed into 48 pixel buckets,
@@ -2505,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "media_real_decode_stats": _q_media_real_decode_stats,
         "media_jpeg_decode_stats": _q_media_jpeg_decode_stats,
+        "instant_irate_1m": _q_instant_irate_1m,
         "media_feature_stats": _q_media_feature_stats,
         "seq_dedup_exact": _q_seq_dedup_exact,
         "seq_repetition_stats": _q_seq_repetition_stats,
@@ -3973,6 +3997,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS docs,
                    CAST(SUM(c.n_tok) AS BIGINT) AS tokens
             FROM c, t GROUP BY 1
+        """,
+        # instant vector: rank-1/rank-2 pivot inside a 6h staleness window
+        # ending at the corpus's last 1m bucket; irate reset-corrected
+        "instant_irate_1m": f"""
+            WITH pts AS ({pts}),
+            r AS (
+                SELECT source, CAST((ts // 60) * 60 AS BIGINT) AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS v
+                FROM pts GROUP BY 1, 2
+            ),
+            mx AS (SELECT MAX(bucket_ts) AS at FROM r),
+            rk AS (
+                SELECT r.*, mx.at,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY bucket_ts DESC) AS rn
+                FROM r, mx
+                WHERE r.bucket_ts > mx.at - 21600 AND r.bucket_ts <= mx.at
+            ),
+            pv AS (
+                SELECT source,
+                       MAX(at) AS at,
+                       MAX(CASE WHEN rn = 1 THEN bucket_ts END) AS sample_ts,
+                       MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+                       MAX(CASE WHEN rn = 2 THEN bucket_ts END) AS prev_ts,
+                       MAX(CASE WHEN rn = 2 THEN v END) AS v2
+                FROM rk WHERE rn <= 2 GROUP BY source
+            )
+            SELECT source,
+                   CAST(sample_ts AS BIGINT) AS sample_ts,
+                   CAST(v1 AS BIGINT) AS value,
+                   CAST(at - sample_ts AS BIGINT) AS staleness,
+                   CAST(prev_ts AS BIGINT) AS prev_ts,
+                   CAST(v1 - v2 AS BIGINT) AS idelta,
+                   CAST(CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END AS DOUBLE)
+                       / CAST(sample_ts - prev_ts AS DOUBLE) AS irate
+            FROM pv
         """,
         # counter rate: lag window over the 1h tier, reset correction as
         # a CASE — exact longs, bit-stable long/long -> double division

@@ -1283,6 +1283,32 @@ def rate_from_catalog(
     return counter_rate(t, value_col=value_col)
 
 
+def instant_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    at_ts: int,
+    lookback: int,
+    tier: str = "1m",
+    as_of: int | None = None,
+    value_col: str = "last",
+) -> DataFrame:
+    """Instant-vector serving (rollup.instant_read over a catalog read):
+    each (doc_id, source) series' most recent committed ``tier`` bucket in
+    the PromQL staleness window ``(at_ts - lookback, at_ts]`` plus
+    irate/idelta from the final bucket pair — one snapshot, the bucket_ts
+    range pushed into the time-clustered scan so the read is bounded by
+    the lookback window, never by history."""
+    from .rollup import instant_read
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(
+        catalog, tier, at_ts - lookback, "instant_from_catalog"
+    )
+    t = catalog.read_tier(spark, tier, as_of=snap)
+    return instant_read(t, at_ts, lookback, value_col=value_col)
+
+
 def read_doc_range(
     spark: SparkSession,
     out_dir: str,

@@ -1089,6 +1089,67 @@ def counter_rate(
     )
 
 
+def instant_read(
+    tier_df: DataFrame,
+    at_ts: int,
+    lookback: int,
+    value_col: str = "last",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "bucket_ts",
+    reset_correction: bool = True,
+) -> DataFrame:
+    """PromQL instant-vector read: each series' most recent sample at or
+    before ``at_ts``, within the staleness ``lookback`` window
+    ``(at_ts - lookback, at_ts]`` — plus ``irate``/``idelta`` from the last
+    TWO in-window buckets (PromQL ``irate()``/``idelta()``: the
+    instantaneous rate uses only the final pair of points, with the same
+    counter reset correction as :func:`counter_rate`).
+
+    Output per series: ``sample_ts`` (latest bucket), ``value``,
+    ``staleness`` = at_ts - sample_ts, and ``prev_ts`` / ``idelta`` /
+    ``irate`` (NULL when the window holds a single bucket — PromQL needs
+    two points for irate). Series with no bucket in the window are absent,
+    exactly PromQL staleness semantics.
+
+    Scale: the ``ts_col`` range predicate is pushed into the
+    time-clustered tier scan (the scan is bounded by lookback, not
+    history), then ONE window keyed by the tier's own layout key ranks the
+    ≤ lookback/step in-window buckets per series and a conditional
+    aggregate pivots rank 1/2 into one row — no self-join, no second scan.
+    """
+    v = F.col(value_col).cast("long")
+    scan = tier_df.where(
+        (F.col(ts_col) > at_ts - lookback) & (F.col(ts_col) <= at_ts)
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col))
+    ranked = (
+        scan.select(*keys, F.col(ts_col), v.alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+    )
+    top = ranked.groupBy(*keys).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col(ts_col))).alias("sample_ts"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_v"))).alias("value"),
+        F.max(F.when(F.col("_rn") == 2, F.col(ts_col))).alias("prev_ts"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_v"))).alias("prev_v"),
+    )
+    value, prev_v = F.col("value"), F.col("prev_v")
+    if reset_correction:
+        increase = F.when(value >= prev_v, value - prev_v).otherwise(value)
+    else:
+        increase = value - prev_v
+    elapsed = (F.col("sample_ts") - F.col("prev_ts")).cast("long")
+    return top.select(
+        *keys,
+        "sample_ts",
+        "value",
+        (F.lit(at_ts) - F.col("sample_ts")).cast("long").alias("staleness"),
+        "prev_ts",
+        (value - prev_v).cast("long").alias("idelta"),
+        (increase.cast("double") / elapsed.cast("double")).alias("irate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # time-weighted average (TimescaleDB time_weight('LOCF') analog)
 # ---------------------------------------------------------------------------
