@@ -2226,6 +2226,29 @@ def _q_instant_irate_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ewma_holt_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (rollup.exp_smooth): EWMA + Holt
+    double-exponential level/trend/one-step forecast over each source's
+    hourly total-token series, folded JVM-side with F.aggregate (a
+    smoothing recursion is sequential per series; the fold keeps
+    cross-series parallelism and O(1) state). The oracle replays both
+    folds with DuckDB list_reduce — same seed (first bucket), same
+    left-to-right IEEE double arithmetic, bit-identical results. The
+    Holt pair rides a 3-field struct whose 'prev' field carries the old
+    level through DuckDB's sequential field evaluation."""
+    from tersets_spark.rollup import exp_smooth
+
+    seq = _sequences(spark, sf_dir)
+    h1 = rollup_up(rollup_raw(seq, TIERS["1m"]), TIERS["1h"])
+    series = h1.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("v")
+    )
+    return exp_smooth(series, keys=("source",), value_col="v").select(
+        "source", "n_buckets", "v_last", "ewma", "holt_level", "holt_trend",
+        "holt_forecast",
+    )
+
+
 def _q_overview_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 pixel-exact overview (downsample.m4_points, Jugel et al. VLDB'14):
     the per-source 1m total-tokens series squeezed into 48 pixel buckets,
@@ -2529,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode_stats": _q_media_real_decode_stats,
         "media_jpeg_decode_stats": _q_media_jpeg_decode_stats,
         "instant_irate_1m": _q_instant_irate_1m,
+        "ewma_holt_1h": _q_ewma_holt_1h,
         "media_feature_stats": _q_media_feature_stats,
         "seq_dedup_exact": _q_seq_dedup_exact,
         "seq_repetition_stats": _q_seq_repetition_stats,
@@ -4033,6 +4057,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END AS DOUBLE)
                        / CAST(sample_ts - prev_ts AS DOUBLE) AS irate
             FROM pv
+        """,
+        # exponential smoothing: EWMA as a scalar list_reduce fold (seeded
+        # by the first element, left-to-right IEEE doubles — bit-identical
+        # to Spark's F.aggregate); the coupled Holt (s, b) recursion as a
+        # recursive CTE stepping idx+1 per series with the identical
+        # arithmetic (s' recomputed textually inside b', same value DAG)
+        "ewma_holt_1h": f"""
+            WITH RECURSIVE pts AS ({pts}),
+            r0 AS (
+                SELECT source, CAST((ts // 3600) * 3600 AS BIGINT) AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS v
+                FROM pts GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT source, CAST(v AS DOUBLE) AS v,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY bucket_ts) AS idx
+                FROM r0
+            ),
+            hw AS (
+                SELECT source, idx, v AS s, CAST(0.0 AS DOUBLE) AS b
+                FROM r WHERE idx = 1
+                UNION ALL
+                SELECT r.source, r.idx,
+                       0.3*r.v + 0.7*(hw.s + hw.b) AS s,
+                       0.1*((0.3*r.v + 0.7*(hw.s + hw.b)) - hw.s)
+                           + 0.9*hw.b AS b
+                FROM hw JOIN r ON r.source = hw.source AND r.idx = hw.idx + 1
+            ),
+            fin AS (
+                SELECT source, s, b FROM hw
+                QUALIFY idx = MAX(idx) OVER (PARTITION BY source)
+            ),
+            srt AS (
+                SELECT source, list(v ORDER BY idx) AS vs,
+                       CAST(COUNT(*) AS BIGINT) AS n_buckets
+                FROM r GROUP BY source
+            )
+            SELECT srt.source,
+                   srt.n_buckets,
+                   CAST(vs[-1] AS BIGINT) AS v_last,
+                   list_reduce(vs, (acc, x) -> 0.3*x + 0.7*acc) AS ewma,
+                   fin.s AS holt_level,
+                   fin.b AS holt_trend,
+                   fin.s + fin.b AS holt_forecast
+            FROM srt JOIN fin ON srt.source = fin.source
         """,
         # counter rate: lag window over the 1h tier, reset correction as
         # a CASE — exact longs, bit-stable long/long -> double division

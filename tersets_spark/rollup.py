@@ -1150,6 +1150,80 @@ def instant_read(
     )
 
 
+def exp_smooth(
+    tier_df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "bucket_ts",
+    value_col: str = "last",
+) -> DataFrame:
+    """Exponential smoothing over each series' bucket sequence — the
+    PromQL ``holt_winters()`` serving read (single-exponential EWMA plus
+    Holt double-exponential level+trend), computed as JVM-side
+    higher-order-function folds, no Python in the plan.
+
+    Recursions (seeded by the first bucket, PromQL-style):
+
+    * EWMA:  ``e_1 = v_1``;  ``e_i = alpha*v_i + (1-alpha)*e_{i-1}``
+    * Holt:  ``s_1 = v_1, b_1 = 0``;
+      ``s_i = alpha*v_i + (1-alpha)*(s_{i-1} + b_{i-1})``;
+      ``b_i = beta*(s_i - s_{i-1}) + (1-beta)*b_{i-1}``
+
+    Output per series: ``n_buckets``, ``v_last`` (raw final value),
+    ``ewma``, ``holt_level``/``holt_trend`` (final s/b) and
+    ``holt_forecast`` = level + trend (the one-step-ahead read an
+    alerting rule compares against). Single-bucket series yield
+    ewma = level = forecast = v_1 and trend 0.
+
+    Scale: ONE shuffle on ``keys`` collects each series' in-range buckets
+    into an array (bounded by range/step — a serving contract, same as
+    the gap-fill grid), then ``F.aggregate`` folds it inside codegen.
+    A smoothing recursion is inherently sequential per series; keeping it
+    as an array fold makes the cross-series parallelism explicit and the
+    per-series state O(1).
+    """
+    a, na = float(alpha), 1.0 - float(alpha)
+    bt, nb = float(beta), 1.0 - float(beta)
+    v = F.col(value_col).cast("double")
+    pts = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), v.alias("v")))
+    )
+    g = tier_df.groupBy(*keys).agg(pts.alias("_pts"))
+    vs = F.transform(F.col("_pts"), lambda p: p["v"])
+    rest = F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.element_at(vs, 1),
+        lambda acc, x: F.lit(a) * x + F.lit(na) * acc,
+    )
+
+    def _holt_step(acc, x):
+        s_new = F.lit(a) * x + F.lit(na) * (acc["s"] + acc["b"])
+        return F.struct(
+            s_new.alias("s"),
+            (F.lit(bt) * (s_new - acc["s"]) + F.lit(nb) * acc["b"]).alias("b"),
+        )
+
+    holt = F.aggregate(
+        rest,
+        F.struct(
+            F.element_at(vs, 1).alias("s"),
+            F.lit(0.0).cast("double").alias("b"),
+        ),
+        _holt_step,
+    )
+    return g.select(
+        *keys,
+        F.size(vs).cast("long").alias("n_buckets"),
+        F.element_at(vs, -1).cast("long").alias("v_last"),
+        ewma.alias("ewma"),
+        holt["s"].alias("holt_level"),
+        holt["b"].alias("holt_trend"),
+        (holt["s"] + holt["b"]).alias("holt_forecast"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # time-weighted average (TimescaleDB time_weight('LOCF') analog)
 # ---------------------------------------------------------------------------

@@ -213,15 +213,28 @@ def test_footer_stat_resolver_runs_zero_jobs(spark, seq, seq_path):
 def test_push_limit_defaults_to_session_in_filter_threshold(spark, raw_m1):
     """The static doc_id IN(...) path only triggers when the predicate
     actually converts to a parquet filter: the default collect bound IS
-    the session's inFilterThreshold (one shared knob)."""
+    the session's inFilterThreshold (one shared knob, read at call time).
+    The fixture is 240 docs, so the conf is temporarily lowered below it
+    to drive the default path onto the broadcast-join fallback."""
     raw, m1 = raw_m1
-    thr_conf = int(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold"))
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    saved = spark.conf.get(key)
     n_cand = threshold_candidates(m1, 1).count()  # every doc qualifies
-    assert n_cand > thr_conf, "fixture must exceed the session threshold"
-    # with the default push_limit (None -> session conf), the candidate set
-    # above the threshold takes the broadcast-join path — and still matches
-    # the explicitly-pushed twin computed with a raised limit
-    a = sorted(map(tuple, threshold_points(raw, m1, 1).collect()))
-    b = sorted(map(tuple,
-                   threshold_points(raw, m1, 1, push_limit=n_cand + 1).collect()))
-    assert a == b and a
+    try:
+        spark.conf.set(key, "64")
+        assert n_cand > 64, "fixture must exceed the lowered threshold"
+        # with the default push_limit (None -> session conf), the candidate
+        # set above the threshold takes the broadcast-join path — and still
+        # matches the explicitly-pushed twin computed with a raised limit
+        a = sorted(map(tuple, threshold_points(raw, m1, 1).collect()))
+        b = sorted(map(tuple,
+                       threshold_points(raw, m1, 1,
+                                        push_limit=n_cand + 1).collect()))
+        assert a == b and a
+        # below the lowered threshold the default path pushes statically
+        # and must agree as well
+        c = sorted(map(tuple, threshold_points(raw, m1, 1,
+                                               push_limit=64).collect()))
+        assert c == a
+    finally:
+        spark.conf.set(key, saved)
