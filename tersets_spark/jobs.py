@@ -1283,6 +1283,33 @@ def rate_from_catalog(
     return counter_rate(t, value_col=value_col)
 
 
+def smooth_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    tier: str = "1h",
+    as_of: int | None = None,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    value_col: str = "last",
+) -> DataFrame:
+    """Exponential-smoothing serving (rollup.exp_smooth over a catalog
+    read): EWMA + Holt level/trend/forecast per (doc_id, source) series
+    from the committed ``tier`` restricted to ``[start, end)`` — one
+    snapshot, the bucket_ts range pushed to the time-clustered scan so
+    the per-series fold array is bounded by range/step."""
+    from .rollup import exp_smooth
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(catalog, tier, start, "smooth_from_catalog")
+    t = catalog.read_tier(spark, tier, as_of=snap).where(
+        (F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end)
+    )
+    return exp_smooth(t, alpha=alpha, beta=beta, value_col=value_col)
+
+
 def instant_from_catalog(
     spark: SparkSession,
     out_dir: str,

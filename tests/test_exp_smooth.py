@@ -84,6 +84,35 @@ def test_multiple_series_independent(spark):
     assert got[("d2", "b")].ewma == eb and got[("d2", "b")].holt_trend == bb
 
 
+def test_catalog_twin_matches_direct(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import run_cascade, smooth_from_catalog
+    from tersets_spark.tables import generate_sequences
+
+    seq_path = str(tmp_path / "seq.parquet")
+    pq.write_table(generate_sequences(200, seed=61), seq_path)
+    out = str(tmp_path / "tiers")
+    os.makedirs(out)
+    run_cascade(spark, seq_path, out, with_blocks=False)
+    h1 = TierCatalog(out).read_tier(spark, "1h")
+    lo, hi = h1.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    lo, hi = int(lo), int(hi) + 3600
+    want = sorted(map(tuple, exp_smooth(
+        h1.where((F.col("bucket_ts") >= lo) & (F.col("bucket_ts") < hi))
+    ).collect()))
+    got = sorted(map(tuple, smooth_from_catalog(spark, out, lo, hi).collect()))
+    assert got == want and len(got) > 0
+    # a narrower range folds fewer buckets per series
+    mid = (lo + hi) // 2
+    full = {(t[0], t[1]): t[2] for t in got}  # (doc_id, source) -> n_buckets
+    for r in smooth_from_catalog(spark, out, lo, mid).collect():
+        assert r.n_buckets <= full[(r.doc_id, r.source)]
+
+
 def test_custom_keys_and_value_col(spark):
     df = spark.createDataFrame(
         [("a", 0, 3), ("a", 60, 6), ("b", 0, 9)],
