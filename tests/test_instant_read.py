@@ -103,6 +103,32 @@ def test_catalog_twin_matches_direct(spark, seq_path, catalog_dir):
     assert got == fresh
 
 
+def test_instant_over_realtime_tail_matches_batch(spark, seq_path, tmp_path):
+    """Live instant vector: instant_read composed over read_tier_realtime
+    (committed tier UNION un-materialized fresh docs) equals instant_read
+    over a full fresh rollup — a consumer between cascade runs gets the
+    same PromQL instant answer a full re-run would give."""
+    from tersets_spark.jobs import read_tier_realtime
+
+    seq = spark.read.parquet(seq_path)
+    gate = (
+        F.substring(F.md5(F.concat(F.lit("irt:"), F.col("doc_id"))), 1, 1) < "c"
+    )
+    committed = seq.where(gate)
+    sub = str(tmp_path / "committed.parquet")
+    committed.write.parquet(sub)
+    out = str(tmp_path / "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, sub, out, with_blocks=False)
+
+    full_m1 = rollup_raw(seq, TIERS["1m"])
+    hi = int(full_m1.agg(F.max("bucket_ts")).first()[0])
+    live = read_tier_realtime(spark, out, "1m", seq, mode="antijoin")
+    got = sorted(map(tuple, instant_read(live, hi, 7200).collect()))
+    want = sorted(map(tuple, instant_read(full_m1, hi, 7200).collect()))
+    assert got == want and got
+
+
 def test_retention_guard(spark, seq_path, tmp_path):
     from tersets_spark.jobs import apply_retention
 
