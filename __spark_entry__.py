@@ -490,6 +490,27 @@ _MEDIA_JPEG_ORACLE = """
 """
 
 
+# FLAC decode replay: lossless mono 8-bit samples == utf-8 text bytes
+# (signed rebias is undone by the decoder's uint8 convention), so decoded
+# stats are plain text math.
+_MEDIA_FLAC_ORACLE = """
+    WITH feats AS (
+        SELECT 'audio' AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+               CAST(len(list_filter(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1))), c -> c // 16 = 7)) AS BIGINT) AS hist_bin7
+        FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           CAST(SUM(byte_sum) AS BIGINT) AS byte_sum,
+           CAST(SUM(hist_bin7) AS BIGINT) AS hist_bin7
+    FROM feats GROUP BY kind
+"""
+
+
 def _grid_multi_values() -> str:
     return ", ".join(f"({rid}, {s}, {e})" for rid, (s, e) in enumerate(_GRID_MULTI))
 
@@ -1653,6 +1674,28 @@ def _q_media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decoding: genuine FLAC streams (Rice-coded
+    residuals, fixed/LPC predictors, CRC-8/16 verified) synthesized from
+    documents as mono 8-bit samples = text bytes, decoded by the
+    pure-NumPy decoder inside mapInPandas (allow_fake=False,
+    tersets_spark.flac.decode_flac). FLAC is lossless, so decoded feature
+    stats hash-match the oracle's plain text replay."""
+    from tersets_spark.multimodal import (
+        media_features,
+        synthesize_flac_media_from_documents,
+    )
+
+    media = synthesize_flac_media_from_documents(_docs(spark, sf_dir))
+    feats = media_features(media, allow_fake=False)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("byte_sum").alias("byte_sum"),
+        F.sum(F.element_at("hist16", 8)).alias("hist_bin7"),
+    )
+
+
 def _q_sketch_delete_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier REBUILD after per-document deletion
     (jobs._rebuild_sketches_after_delete): a cascade with HDR+HLL sketch
@@ -2551,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "media_real_decode_stats": _q_media_real_decode_stats,
         "media_jpeg_decode_stats": _q_media_jpeg_decode_stats,
+        "media_flac_decode_stats": _q_media_flac_decode_stats,
         "instant_irate_1m": _q_instant_irate_1m,
         "ewma_holt_1h": _q_ewma_holt_1h,
         "media_feature_stats": _q_media_feature_stats,
@@ -3549,6 +3593,7 @@ def oracle_sql() -> dict[str, str]:
         "media_real_decode_stats": _MEDIA_REAL_ORACLE,
         "media_png_decode_stats": _MEDIA_PNG_ORACLE,
         "media_jpeg_decode_stats": _MEDIA_JPEG_ORACLE,
+        "media_flac_decode_stats": _MEDIA_FLAC_ORACLE,
         # connected components over the same pairs, via recursive CTE
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),

@@ -389,10 +389,14 @@ def decode_payload(payload: bytes, kind: str, *, allow_fake: bool = False) -> np
             from tersets_spark.jpeg import decode_jpeg
 
             return decode_jpeg(b)
+        if b[:4] == b"fLaC":
+            from tersets_spark.flac import decode_flac
+
+            return decode_flac(b)
         raise NotImplementedError(
             f"no decoder for this {kind} payload in this environment "
-            "(real decoders: RIFF/PCM WAV, binary PPM, PNG, baseline JPEG); "
-            "pass allow_fake=True to use the deterministic stand-in"
+            "(real decoders: RIFF/PCM WAV, binary PPM, PNG, baseline JPEG, "
+            "FLAC); pass allow_fake=True to use the deterministic stand-in"
         )
     return np.frombuffer(b, dtype=np.uint8)
 
@@ -528,6 +532,45 @@ def synthesize_jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
                               "sample_rate": 0, "n_frames": 1})
             yield pd.DataFrame(
                 {"media_id": ids, "kind": ["image"] * len(ids),
+                 "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_flac_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL FLAC streams derived
+    deterministically from the documents table: mono 8-bit, samples =
+    utf-8 text bytes rebasied to signed (b - 128), subframe kind cycling
+    by doc_id over auto/verbatim/fixed2/lpc1 (plus a Rice-escape variant
+    every 5th doc) so a full decode exercises constant, verbatim, fixed
+    and LPC subframes and both residual encodings.
+
+    FLAC is lossless and the decoder rebiases 8-bit samples back to
+    uint8, so decoded samples == text bytes exactly and the SQL oracle
+    replays decoded feature stats from the text alone."""
+    from tersets_spark.flac import encode_flac
+
+    kinds = ("auto", "verbatim", "fixed2", "lpc1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                signed = data.astype(np.int64) - 128
+                payloads.append(
+                    encode_flac(
+                        signed,
+                        subframe=kinds[int(doc_id) % 4],
+                        rice_escape=(int(doc_id) % 5 == 0),
+                    )
+                )
+                ids.append(int(doc_id))
+                metas.append({"width": 0, "height": 0, "sample_rate": 16000,
+                              "n_frames": 0})
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["audio"] * len(ids),
                  "payload": payloads, "meta": metas}
             )
 
