@@ -7,13 +7,15 @@ and never materialize on the driver.
 
 Decoders: WAV (RIFF/PCM, 8- and 16-bit), PPM (binary P6), PNG (8-bit
 gray/RGB/RGBA, all five scanline filters — stdlib zlib inflate + NumPy
-unfiltering) and baseline JPEG (full Huffman entropy decode, dequant,
-IDCT, restart markers, 4:4:4/4:2:0 chroma — :mod:`tersets_spark.jpeg`)
-are REAL parsers, no external imaging library, with matching encoders for
-fixture synthesis. Remaining compressed formats (MP3/MP4/H.264...)
-genuinely need libav, absent in this container, so for payloads that are
-not a recognized container :func:`decode_payload` raises
-``NotImplementedError`` unless the deterministic fake decoder is requested.
+unfiltering), baseline JPEG (full Huffman entropy decode, dequant, IDCT,
+restart markers, 4:4:4/4:2:0 chroma — :mod:`tersets_spark.jpeg`) and FLAC
+(Rice-coded residuals, fixed/LPC predictors, channel decorrelation,
+CRC-verified — :mod:`tersets_spark.flac`) are REAL parsers, no external
+media library, with matching encoders for fixture synthesis. Remaining
+compressed formats (MP3/MP4/H.264...) genuinely need libav, absent in
+this container, so for payloads that are not a recognized container
+:func:`decode_payload` raises ``NotImplementedError`` unless the
+deterministic fake decoder is requested.
 Everything Spark-side — schema, partitioning, UDF signature, batch shape —
 is real and tested either way.
 
