@@ -103,6 +103,19 @@ def test_catalog_twin_matches_direct(spark, seq_path, catalog_dir):
     assert got == fresh
 
 
+def test_plan_shape_one_exchange_with_group_limit(spark):
+    """The rank<=2 pivot must compile to ONE exchange with a PARTIAL
+    WindowGroupLimit below it — map-side top-2 per series, so at most two
+    rows per (series, input partition) ever cross the shuffle."""
+    tier = _mk_tier(spark, [("d", "s", 0, 1)])
+    plan = (
+        instant_read(tier, 1000, 500)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_instant_over_realtime_tail_matches_batch(spark, seq_path, tmp_path):
     """Live instant vector: instant_read composed over read_tier_realtime
     (committed tier UNION un-materialized fresh docs) equals instant_read
