@@ -2269,6 +2269,30 @@ def _q_instant_irate_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_instant_multi_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch instant-vector serving (rollup.instant_read_many): four
+    dashboard panels — current 6h window, an hour-back 2h window, a tight
+    5m window and a day-wide window anchored 2h back — served from ONE 1m
+    scan (OR-envelope pushed, literal panel-array attribution, one
+    rank-1/2 pivot per panel x series). The oracle replays the panel join
+    + rank pivot in SQL."""
+    from tersets_spark.rollup import instant_read_many
+
+    seq = _sequences(spark, sf_dir)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    series = m1.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("v")
+    )
+    hi = int(series.agg(F.max("bucket_ts")).first()[0])
+    panels = [(hi, 21600), (hi - 3600, 7200), (hi, 300), (hi - 7200, 86400)]
+    return instant_read_many(
+        series, panels, value_col="v", keys=("source",)
+    ).select(
+        "panel_id", "source", "sample_ts", "value", "staleness", "prev_ts",
+        "idelta", "irate",
+    )
+
+
 def _q_ewma_holt_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential smoothing (rollup.exp_smooth): EWMA + Holt
     double-exponential level/trend/one-step forecast over each source's
@@ -2596,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_decode_stats": _q_media_jpeg_decode_stats,
         "media_flac_decode_stats": _q_media_flac_decode_stats,
         "instant_irate_1m": _q_instant_irate_1m,
+        "instant_multi_1m": _q_instant_multi_1m,
         "ewma_holt_1h": _q_ewma_holt_1h,
         "media_feature_stats": _q_media_feature_stats,
         "seq_dedup_exact": _q_seq_dedup_exact,
@@ -4094,6 +4119,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM rk WHERE rn <= 2 GROUP BY source
             )
             SELECT source,
+                   CAST(sample_ts AS BIGINT) AS sample_ts,
+                   CAST(v1 AS BIGINT) AS value,
+                   CAST(at - sample_ts AS BIGINT) AS staleness,
+                   CAST(prev_ts AS BIGINT) AS prev_ts,
+                   CAST(v1 - v2 AS BIGINT) AS idelta,
+                   CAST(CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END AS DOUBLE)
+                       / CAST(sample_ts - prev_ts AS DOUBLE) AS irate
+            FROM pv
+        """,
+        # batch instant vector: panel VALUES join + rank-1/2 pivot per
+        # (panel, source); panels anchored to the corpus's last 1m bucket
+        "instant_multi_1m": f"""
+            WITH pts AS ({pts}),
+            r AS (
+                SELECT source, CAST((ts // 60) * 60 AS BIGINT) AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS v
+                FROM pts GROUP BY 1, 2
+            ),
+            mx AS (SELECT MAX(bucket_ts) AS hi FROM r),
+            panels AS (
+                SELECT pid, mx.hi + off AS at, lb
+                FROM (VALUES (0, 0, 21600), (1, -3600, 7200),
+                             (2, 0, 300), (3, -7200, 86400)) p(pid, off, lb),
+                     mx
+            ),
+            rk AS (
+                SELECT p.pid AS panel_id, p.at, r.source, r.bucket_ts, r.v,
+                       row_number() OVER (PARTITION BY p.pid, r.source
+                                          ORDER BY r.bucket_ts DESC) AS rn
+                FROM r JOIN panels p
+                  ON r.bucket_ts > p.at - p.lb AND r.bucket_ts <= p.at
+            ),
+            pv AS (
+                SELECT panel_id, source,
+                       MAX(at) AS at,
+                       MAX(CASE WHEN rn = 1 THEN bucket_ts END) AS sample_ts,
+                       MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+                       MAX(CASE WHEN rn = 2 THEN bucket_ts END) AS prev_ts,
+                       MAX(CASE WHEN rn = 2 THEN v END) AS v2
+                FROM rk WHERE rn <= 2 GROUP BY 1, 2
+            )
+            SELECT CAST(panel_id AS INT) AS panel_id, source,
                    CAST(sample_ts AS BIGINT) AS sample_ts,
                    CAST(v1 AS BIGINT) AS value,
                    CAST(at - sample_ts AS BIGINT) AS staleness,

@@ -1150,6 +1150,89 @@ def instant_read(
     )
 
 
+def instant_read_many(
+    tier_df: DataFrame,
+    panels: list[tuple[int, int]],
+    value_col: str = "last",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "bucket_ts",
+    reset_correction: bool = True,
+) -> DataFrame:
+    """Batch instant-vector read: N dashboard panels' instant samples from
+    ONE tier scan — the ``stitched_rows_many`` idiom applied to
+    :func:`instant_read`. ``panels`` is a list of ``(at_ts, lookback)``
+    pairs; output rows carry ``panel_id`` (the list index) plus the same
+    columns as the single read.
+
+    Scale: the scan predicate is the OR-envelope of all panel windows
+    (pushed to the time-clustered files once), panel attribution is a
+    codegen filter over a literal panel array + explode (a row joins only
+    the panels whose staleness window contains it — overlapping panels
+    duplicate only the bounded in-window tier rows), then the identical
+    rank-1/2 pivot runs per (panel, series) in one window — N panels cost
+    one scan and one shuffle, not N jobs.
+    """
+    if not panels:
+        raise ValueError("instant_read_many: at least one panel required")
+    lo = min(at - lb for at, lb in panels)
+    hi = max(at for at, _ in panels)
+    v = F.col(value_col).cast("long")
+    scan = tier_df.where((F.col(ts_col) > lo) & (F.col(ts_col) <= hi))
+    panel_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("pid"),
+                F.lit(int(at)).cast("long").alias("at"),
+                F.lit(int(lb)).cast("long").alias("lb"),
+            )
+            for i, (at, lb) in enumerate(panels)
+        ]
+    )
+    ts = F.col(ts_col)
+    matched = F.filter(
+        panel_arr, lambda p: (ts > p["at"] - p["lb"]) & (ts <= p["at"])
+    )
+    exploded = (
+        scan.select(*keys, ts, v.alias("_v"), matched.alias("_ps"))
+        .where(F.size("_ps") > 0)
+        .select(*keys, ts, "_v", F.explode("_ps").alias("_p"))
+        .select(
+            F.col("_p.pid").alias("panel_id"),
+            F.col("_p.at").alias("_at"),
+            *keys,
+            ts,
+            "_v",
+        )
+    )
+    w = Window.partitionBy("panel_id", *keys).orderBy(F.desc(ts_col))
+    ranked = exploded.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= 2
+    )
+    top = ranked.groupBy("panel_id", *keys).agg(
+        F.max("_at").alias("_at"),
+        F.max(F.when(F.col("_rn") == 1, F.col(ts_col))).alias("sample_ts"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_v"))).alias("value"),
+        F.max(F.when(F.col("_rn") == 2, F.col(ts_col))).alias("prev_ts"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_v"))).alias("prev_v"),
+    )
+    value, prev_v = F.col("value"), F.col("prev_v")
+    if reset_correction:
+        increase = F.when(value >= prev_v, value - prev_v).otherwise(value)
+    else:
+        increase = value - prev_v
+    elapsed = (F.col("sample_ts") - F.col("prev_ts")).cast("long")
+    return top.select(
+        "panel_id",
+        *keys,
+        "sample_ts",
+        "value",
+        (F.col("_at") - F.col("sample_ts")).cast("long").alias("staleness"),
+        "prev_ts",
+        (value - prev_v).cast("long").alias("idelta"),
+        (increase.cast("double") / elapsed.cast("double")).alias("irate"),
+    )
+
+
 def exp_smooth(
     tier_df: DataFrame,
     alpha: float = 0.3,

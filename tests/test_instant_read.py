@@ -103,6 +103,34 @@ def test_catalog_twin_matches_direct(spark, seq_path, catalog_dir):
     assert got == fresh
 
 
+def test_batch_many_matches_single_reads(spark, seq_path):
+    """instant_read_many over N panels == N independent instant_read
+    calls, including overlapping and empty panels."""
+    from tersets_spark.rollup import instant_read_many
+
+    seq = spark.read.parquet(seq_path)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    hi = int(m1.agg(F.max("bucket_ts")).first()[0])
+    panels = [(hi, 7200), (hi - 3600, 7200), (hi, 300), (hi - 10**9, 60)]
+    got = sorted(map(tuple, instant_read_many(m1, panels).collect()))
+    want = sorted(
+        (i, *row)
+        for i, (at, lb) in enumerate(panels)
+        for row in map(tuple, instant_read(m1, at, lb).collect())
+    )
+    assert got == want and got
+    # the prehistoric panel matched nothing
+    assert not any(t[0] == 3 for t in got)
+
+
+def test_batch_many_validates_empty_panels(spark):
+    from tersets_spark.rollup import instant_read_many
+
+    tier = _mk_tier(spark, [("d", "s", 0, 1)])
+    with pytest.raises(ValueError, match="at least one panel"):
+        instant_read_many(tier, [])
+
+
 def test_plan_shape_one_exchange_with_group_limit(spark):
     """The rank<=2 pivot must compile to ONE exchange with a PARTIAL
     WindowGroupLimit below it — map-side top-2 per series, so at most two
