@@ -142,6 +142,15 @@ def test_plan_shape_one_exchange_with_group_limit(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the batch twin keeps the same shape: one exchange, group-limit pushed
+    from tersets_spark.rollup import instant_read_many
+
+    p2 = (
+        instant_read_many(tier, [(100, 50), (200, 60)])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p2.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in p2
 
 
 def test_instant_over_realtime_tail_matches_batch(spark, seq_path, tmp_path):
