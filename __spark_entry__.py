@@ -2564,20 +2564,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup_1m,
         "rollup_1h": _q_rollup_1h,
         "rollup_1d": _q_rollup_1d,
-        "rollup_from_blobs": _q_rollup_from_blobs,
-        "stream_cascade_1h": _q_stream_cascade_1h,
         "stream_watermark_1h": _q_stream_watermark_1h,
         "rollup_delete_1h": _q_rollup_delete_1h,
-        "source_stats_salted": _q_source_stats_salted,
         "roundtrip_lossless": _q_roundtrip_lossless,
         "roundtrip_lossless_pla": _q_roundtrip_lossless_pla,
         "within_bound_linf": _q_within_bound_linf,
         "pwch_bucket_cap": _q_pwch_bucket_cap,
         "pwlh_bucket_cap": _q_pwlh_bucket_cap,
-        "pmc_segments": _q_pmc_segments,
-        "blocks_roundtrip_1m": _q_blocks_roundtrip_1m,
         "blocks_roundtrip_1h": _q_blocks_roundtrip_1h,
         "codec_footprint": _q_codec_footprint,
+        "instant_irate_1m": _q_instant_irate_1m,
+        "instant_multi_1m": _q_instant_multi_1m,
+        "ewma_holt_1h": _q_ewma_holt_1h,
+        "media_jpeg_decode_stats": _q_media_jpeg_decode_stats,
+        "media_flac_decode_stats": _q_media_flac_decode_stats,
         "range_stitch_agg": _q_range_stitch_agg,
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
         "range_multi_agg": _q_range_multi_agg,
@@ -2614,14 +2614,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: driver-green in earlier rounds
         # (CORRECTNESS_r01-r04) or judge-re-run in r4; legacy
         # events demos at the tail by design ---
+        "rollup_from_blobs": _q_rollup_from_blobs,
+        "stream_cascade_1h": _q_stream_cascade_1h,
+        "source_stats_salted": _q_source_stats_salted,
+        "pmc_segments": _q_pmc_segments,
+        "blocks_roundtrip_1m": _q_blocks_roundtrip_1m,
         "sketch_percentiles": _q_sketch_percentiles,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "media_real_decode_stats": _q_media_real_decode_stats,
-        "media_jpeg_decode_stats": _q_media_jpeg_decode_stats,
-        "media_flac_decode_stats": _q_media_flac_decode_stats,
-        "instant_irate_1m": _q_instant_irate_1m,
-        "instant_multi_1m": _q_instant_multi_1m,
-        "ewma_holt_1h": _q_ewma_holt_1h,
         "media_feature_stats": _q_media_feature_stats,
         "seq_dedup_exact": _q_seq_dedup_exact,
         "seq_repetition_stats": _q_seq_repetition_stats,
