@@ -2316,6 +2316,57 @@ def _q_ewma_holt_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_predict_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv()/predict_linear() (rollup.linear_predict): per-source
+    least-squares trend of the hourly total-token series over the corpus's
+    final 24h, extrapolated 4h past the window end — the capacity-planning
+    read. Every accumulator (n, Σt, Σv, Σtv, Σt²) and the derived num/den
+    are exact decimal integers with time centered at the window start;
+    floats appear only in the final slope division and intercept/predict
+    chain, so the DuckDB replay (HUGEINT sums, VARCHAR-routed casts) is
+    bit-identical."""
+    from tersets_spark.rollup import linear_predict
+
+    seq = _sequences(spark, sf_dir)
+    h1 = rollup_up(rollup_raw(seq, TIERS["1m"]), TIERS["1h"])
+    series = h1.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("v")
+    )
+    hi = int(series.agg(F.max("bucket_ts")).first()[0])
+    start, end = hi - 86400, hi + 3600
+    return linear_predict(
+        series, start, end, 14400, value_col="v", keys=("source",)
+    ).select("source", "n", "slope", "intercept", "predicted")
+
+
+def _q_alert_for_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-rule firing intervals with PromQL `for:` semantics
+    (rollup.alert_intervals): runs of >=5 CONSECUTIVE 1m buckets whose
+    per-source total tokens exceed the corpus-wide mean bucket value
+    (exact integer division), reported as (start_ts, end_ts, duration,
+    peak, total) firing intervals. Gaps break runs (no data != condition
+    true on the tier grid). The oracle replays the same gaps-and-islands
+    grouping in SQL — all-integer arithmetic, order-free."""
+    from tersets_spark.rollup import alert_intervals
+
+    seq = _sequences(spark, sf_dir)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    series = m1.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("v")
+    )
+    tot = series.agg(
+        F.sum("v").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    ).first()
+    thr = tot.s // tot.c
+    return alert_intervals(
+        series, thr, 60, 300, value_col="v", keys=("source",)
+    ).select(
+        "source", "start_ts", "end_ts", "n_buckets", "duration", "peak",
+        "total",
+    )
+
+
 def _q_overview_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 pixel-exact overview (downsample.m4_points, Jugel et al. VLDB'14):
     the per-source 1m total-tokens series squeezed into 48 pixel buckets,
@@ -2569,10 +2620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lossless": _q_roundtrip_lossless,
         "roundtrip_lossless_pla": _q_roundtrip_lossless_pla,
         "within_bound_linf": _q_within_bound_linf,
-        "pwch_bucket_cap": _q_pwch_bucket_cap,
         "pwlh_bucket_cap": _q_pwlh_bucket_cap,
         "blocks_roundtrip_1h": _q_blocks_roundtrip_1h,
-        "codec_footprint": _q_codec_footprint,
+        "predict_linear_1h": _q_predict_linear_1h,
+        "alert_for_1m": _q_alert_for_1m,
         "instant_irate_1m": _q_instant_irate_1m,
         "instant_multi_1m": _q_instant_multi_1m,
         "ewma_holt_1h": _q_ewma_holt_1h,
@@ -2617,6 +2668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_from_blobs": _q_rollup_from_blobs,
         "stream_cascade_1h": _q_stream_cascade_1h,
         "source_stats_salted": _q_source_stats_salted,
+        "pwch_bucket_cap": _q_pwch_bucket_cap,
+        "codec_footprint": _q_codec_footprint,
         "pmc_segments": _q_pmc_segments,
         "blocks_roundtrip_1m": _q_blocks_roundtrip_1m,
         "sketch_percentiles": _q_sketch_percentiles,
@@ -4094,6 +4147,88 @@ def oracle_sql() -> dict[str, str]:
         """,
         # instant vector: rank-1/rank-2 pivot inside a 6h staleness window
         # ending at the corpus's last 1m bucket; irate reset-corrected
+        # least-squares trend + extrapolation: exact HUGEINT sums with
+        # time centered at the window start; num/den -> DOUBLE via VARCHAR
+        # (DuckDB's direct HUGEINT cast double-rounds); slope/intercept/
+        # predict chain mirrors Spark's IEEE op order exactly
+        "predict_linear_1h": f"""
+            WITH pts AS ({pts}),
+            r AS (
+                SELECT source, CAST((ts // 3600) * 3600 AS BIGINT)
+                           AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS v
+                FROM pts GROUP BY 1, 2
+            ),
+            mx AS (SELECT MAX(bucket_ts) AS hi FROM r),
+            s AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(bucket_ts - (mx.hi - 86400) AS HUGEINT))
+                           AS st,
+                       SUM(CAST(v AS HUGEINT)) AS sv,
+                       SUM(CAST(bucket_ts - (mx.hi - 86400) AS HUGEINT)
+                           * CAST(v AS HUGEINT)) AS stv,
+                       SUM(CAST(bucket_ts - (mx.hi - 86400) AS HUGEINT)
+                           * CAST(bucket_ts - (mx.hi - 86400) AS HUGEINT))
+                           AS stt
+                FROM r, mx
+                WHERE r.bucket_ts >= mx.hi - 86400
+                  AND r.bucket_ts < mx.hi + 3600
+                GROUP BY 1
+            ),
+            d AS (
+                SELECT source, n,
+                       CAST(CAST(n * stv - st * sv AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(n * stt - st * st AS VARCHAR)
+                                  AS DOUBLE) AS slope,
+                       CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS svd,
+                       CAST(CAST(st AS VARCHAR) AS DOUBLE) AS std,
+                       CAST(n AS DOUBLE) AS nd
+                FROM s
+                WHERE n >= 2 AND n * stt - st * st > 0
+            )
+            SELECT source, n, slope,
+                   (svd - slope * std) / nd AS intercept,
+                   (svd - slope * std) / nd + slope * 104400.0 AS predicted
+            FROM d
+        """,
+        # gaps-and-islands alert firing: island id = ts - 60*row_number
+        # over the breach-filtered series; threshold = exact integer mean
+        "alert_for_1m": f"""
+            WITH pts AS ({pts}),
+            r AS (
+                SELECT source, CAST((ts // 60) * 60 AS BIGINT) AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS v
+                FROM pts GROUP BY 1, 2
+            ),
+            thr AS (
+                SELECT CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                           AS t
+                FROM r
+            ),
+            br AS (SELECT source, bucket_ts, v FROM r, thr WHERE v > thr.t),
+            isl AS (
+                SELECT source, bucket_ts, v,
+                       bucket_ts - 60 * row_number() OVER (
+                           PARTITION BY source ORDER BY bucket_ts)
+                           AS island
+                FROM br
+            ),
+            runs AS (
+                SELECT source, island,
+                       CAST(MIN(bucket_ts) AS BIGINT) AS start_ts,
+                       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                       CAST(MAX(v) AS BIGINT) AS peak,
+                       CAST(SUM(v) AS BIGINT) AS total
+                FROM isl GROUP BY 1, 2
+            )
+            SELECT source, start_ts,
+                   CAST(start_ts + 60 * n_buckets AS BIGINT) AS end_ts,
+                   n_buckets,
+                   CAST(60 * n_buckets AS BIGINT) AS duration,
+                   peak, total
+            FROM runs WHERE 60 * n_buckets >= 300
+        """,
         "instant_irate_1m": f"""
             WITH pts AS ({pts}),
             r AS (

@@ -1336,6 +1336,64 @@ def instant_from_catalog(
     return instant_read(t, at_ts, lookback, value_col=value_col)
 
 
+def predict_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    horizon: int,
+    tier: str = "1h",
+    as_of: int | None = None,
+    value_col: str = "sum",
+) -> DataFrame:
+    """Trend/extrapolation serving (rollup.linear_predict over a catalog
+    read): per-(doc_id, source) least-squares slope of the committed
+    ``tier`` series over ``[start, end)`` plus the predicted value
+    ``horizon`` seconds past the window — one snapshot, the bucket_ts
+    range pushed into the time-clustered scan so the read is bounded by
+    the regression window, never by history."""
+    from .rollup import linear_predict
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(catalog, tier, start, "predict_from_catalog")
+    t = catalog.read_tier(spark, tier, as_of=snap)
+    return linear_predict(t, start, end, horizon, value_col=value_col)
+
+
+def alerts_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    threshold: int,
+    min_duration: int,
+    tier: str = "1m",
+    start: int | None = None,
+    end: int | None = None,
+    as_of: int | None = None,
+    value_col: str = "sum",
+) -> DataFrame:
+    """Alert-rule evaluation (rollup.alert_intervals over a catalog read):
+    firing intervals where the committed ``tier`` series breached
+    ``threshold`` for at least ``min_duration`` continuous seconds
+    (PromQL ``for:``). Optional [start, end) bounds push into the
+    time-clustered scan; the threshold predicate prunes before the
+    shuffle either way, so cost tracks breaches, not history."""
+    from .rollup import alert_intervals
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    if start is not None:
+        _check_retention_horizon(catalog, tier, start, "alerts_from_catalog")
+    t = catalog.read_tier(spark, tier, as_of=snap)
+    if start is not None:
+        t = t.where(F.col("bucket_ts") >= start)
+    if end is not None:
+        t = t.where(F.col("bucket_ts") < end)
+    return alert_intervals(
+        t, threshold, TIERS[tier], min_duration, value_col=value_col
+    )
+
+
 def read_doc_range(
     spark: SparkSession,
     out_dir: str,

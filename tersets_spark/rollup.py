@@ -1233,6 +1233,136 @@ def instant_read_many(
     )
 
 
+def linear_predict(
+    tier_df: DataFrame,
+    start: int,
+    end: int,
+    horizon: int,
+    value_col: str = "sum",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "bucket_ts",
+    min_points: int = 2,
+) -> DataFrame:
+    """PromQL ``deriv()`` / ``predict_linear()``: per-series simple least
+    squares of value on time over the range ``[start, end)``, plus the
+    extrapolated value ``horizon`` seconds past the range end — the
+    capacity-planning read ("at this trend, where is the series in 4h?")
+    served from a committed tier, never raw points.
+
+    Semantics: with t centered at ``start`` (t = ts - start, exact small
+    ints), slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²) per second,
+    intercept = value at ``start``, ``predicted`` = intercept +
+    slope·(end − start + horizon). Series with fewer than ``min_points``
+    buckets or a degenerate time spread (all buckets identical — den 0)
+    are dropped, matching PromQL's two-point minimum for deriv().
+
+    Cross-engine determinism (the source_correlation argument): every
+    accumulator — n, Σt, Σv, Σtv, Σt² — and the derived num/den are exact
+    decimal(38,0) integers (HUGEINT in the DuckDB oracle, converted via
+    VARCHAR there to dodge DuckDB's double-rounding HUGEINT→DOUBLE cast),
+    so aggregation order cannot perturb anything; floats appear only in
+    the final slope = num/den division and the intercept/predict chain —
+    a fixed sequence of IEEE ops, bit-identical in any IEEE engine.
+
+    Scale: the ``ts_col`` range predicate is pushed into the
+    time-clustered tier scan (bounded by the window, not history), then
+    ONE groupBy on the tier's own layout key computes the five sums
+    map-side-partial — no window function, no self-join, output one row
+    per series.
+    """
+    if end <= start:
+        raise ValueError("linear_predict: end must be > start")
+    if min_points < 2:
+        raise ValueError("linear_predict: min_points must be >= 2")
+    dec = "decimal(38,0)"
+    scan = tier_df.where((F.col(ts_col) >= start) & (F.col(ts_col) < end))
+    t = (F.col(ts_col) - F.lit(int(start))).cast("long").cast(dec)
+    v = F.col(value_col).cast("long").cast(dec)
+    sums = scan.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(v).alias("sv"),
+        F.sum(t * v).alias("stv"),
+        F.sum(t * t).alias("stt"),
+    )
+    n = F.col("n").cast(dec)
+    num = n * F.col("stv") - F.col("st") * F.col("sv")
+    den = n * F.col("stt") - F.col("st") * F.col("st")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sv").cast("double") - F.col("_slope") * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    t_pred = float(int(end) - int(start) + int(horizon))
+    return (
+        sums.where((F.col("n") >= min_points) & (den > 0))
+        .withColumn("_slope", slope)
+        .select(
+            *keys,
+            "n",
+            F.col("_slope").alias("slope"),
+            intercept.alias("intercept"),
+            (intercept + F.col("_slope") * F.lit(t_pred)).alias("predicted"),
+        )
+    )
+
+
+def alert_intervals(
+    tier_df: DataFrame,
+    threshold: int,
+    step: int,
+    min_duration: int,
+    value_col: str = "sum",
+    keys: tuple[str, ...] = ("source",),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Alert-rule evaluation with PromQL ``for:`` duration semantics over
+    a committed tier: per series, maximal runs of CONSECUTIVE buckets
+    (spacing exactly ``step``) whose value exceeds ``threshold``, kept
+    only when the run lasts at least ``min_duration`` seconds — i.e. the
+    condition held continuously for the ``for:`` window, so the alert
+    FIRES. Output one row per firing interval: (keys, start_ts, end_ts,
+    n_buckets, duration, peak, total) with end_ts exclusive
+    (start_ts + n_buckets·step).
+
+    A missing bucket breaks the run (on the tier grid "no data" is not
+    "condition true" — the conservative reading; gap-fill the tier first
+    for LOCF semantics). Classic gaps-and-islands: island id =
+    ts − step·row_number() over the condition-filtered series, constant
+    exactly while buckets are consecutive.
+
+    Scale: the threshold predicate prunes the scan BEFORE the shuffle
+    (only breaching buckets move), one window + one groupBy both keyed by
+    the series key, output bounded by the number of breaches. Pure JVM —
+    codegen window + agg, no Python.
+    """
+    if step <= 0 or min_duration <= 0:
+        raise ValueError("alert_intervals: step and min_duration must be > 0")
+    v = F.col(value_col).cast("long")
+    breaching = tier_df.where(v > threshold).select(
+        *keys, F.col(ts_col).cast("long").alias("_ts"), v.alias("_v")
+    )
+    w = Window.partitionBy(*keys).orderBy("_ts")
+    islands = breaching.withColumn(
+        "_island", F.col("_ts") - F.lit(int(step)) * F.row_number().over(w)
+    )
+    runs = islands.groupBy(*keys, "_island").agg(
+        F.min("_ts").alias("start_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("_v").alias("peak"),
+        F.sum("_v").cast("long").alias("total"),
+    )
+    duration = F.col("n_buckets") * F.lit(int(step))
+    return runs.where(duration >= min_duration).select(
+        *keys,
+        "start_ts",
+        (F.col("start_ts") + duration).alias("end_ts"),
+        "n_buckets",
+        duration.alias("duration"),
+        "peak",
+        "total",
+    )
+
+
 def exp_smooth(
     tier_df: DataFrame,
     alpha: float = 0.3,
