@@ -490,6 +490,56 @@ _MEDIA_JPEG_ORACLE = """
 """
 
 
+# MJPEG AVI full-video decode replay: every frame is constant 8x8 blocks
+# (one per text byte, <=16 bytes per frame), so decoding all frames is the
+# same 64x text math as the still-JPEG gate, kind='video'.
+_MEDIA_AVI_ORACLE = """
+    WITH feats AS (
+        SELECT 'video' AS kind,
+               64 * GREATEST(1, CAST(octet_length(encode(text)) AS BIGINT))
+                   AS n_bytes,
+               64 * CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+               64 * CAST(len(list_filter(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1))), c -> c // 16 = 7)) AS BIGINT) AS hist_bin7
+        FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           CAST(SUM(byte_sum) AS BIGINT) AS byte_sum,
+           CAST(SUM(hist_bin7) AS BIGINT) AS hist_bin7
+    FROM feats GROUP BY kind
+"""
+
+# Frame-sampling replay: frame f of a doc holds text bytes
+# [16f, min(16(f+1), L)) (empty text -> one zero byte, L=1); sampling keeps
+# even frame indices; each kept byte decodes to 64 samples.
+_MEDIA_VIDEO_FRAMES_ORACLE = """
+    WITH d AS (
+        SELECT GREATEST(1, CAST(octet_length(encode(text)) AS BIGINT)) AS L,
+               list_transform(range(1, length(text)+1),
+                              i -> ord(substr(text, i, 1))) AS bs
+        FROM documents
+    ),
+    fr AS (
+        SELECT L, bs, UNNEST(range(0, (L + 15) // 16, 2)) AS f
+        FROM d
+    ),
+    st AS (
+        SELECT 64 * (LEAST(16 * (f + 1), L) - 16 * f) AS n_samples,
+               64 * CAST(COALESCE(list_sum(
+                   bs[CAST(16 * f + 1 AS BIGINT)
+                      : CAST(LEAST(16 * (f + 1), L) AS BIGINT)]), 0)
+                   AS BIGINT) AS sample_sum
+        FROM fr
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+           CAST(SUM(sample_sum) AS BIGINT) AS sample_sum
+    FROM st
+"""
+
+
 # FLAC decode replay: lossless mono 8-bit samples == utf-8 text bytes
 # (signed rebias is undone by the decoder's uint8 convention), so decoded
 # stats are plain text math.
@@ -1696,6 +1746,50 @@ def _q_media_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_avi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decoding: genuine Motion-JPEG AVI containers (RIFF
+    hdrl/movi/idx1 structure, each frame a constant-block baseline JPEG)
+    synthesized from documents — text bytes split into <=16-byte frames —
+    and decoded frame-by-frame inside mapInPandas (allow_fake=False,
+    tersets_spark.avi.decode_avi). Constant blocks survive the lossy JPEG
+    path bit-exactly, so full-video feature stats hash-match the oracle's
+    64x text replay (same math as the still-JPEG gate, kind='video')."""
+    from tersets_spark.multimodal import (
+        media_features,
+        synthesize_avi_media_from_documents,
+    )
+
+    media = synthesize_avi_media_from_documents(_docs(spark, sf_dir))
+    feats = media_features(media, allow_fake=False)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("byte_sum").alias("byte_sum"),
+        F.sum(F.element_at("hist16", 8)).alias("hist_bin7"),
+    )
+
+
+def _q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-level frame sampling (multimodal.sample_video_frames):
+    every 2nd frame of each MJPEG AVI is located via the RIFF chunk index
+    and ONLY those JPEGs are decoded — the decode bill tracks sampled
+    frames, not stored footage. The oracle replays sampled-frame stats as
+    a byte-position filter over the text (frame f holds bytes
+    [16f, 16(f+1)) and even frames are kept)."""
+    from tersets_spark.multimodal import (
+        sample_video_frames,
+        synthesize_avi_media_from_documents,
+    )
+
+    media = synthesize_avi_media_from_documents(_docs(spark, sf_dir))
+    feats = sample_video_frames(media, every=2)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("n_samples").alias("n_samples"),
+        F.sum("sample_sum").alias("sample_sum"),
+    )
+
+
 def _q_sketch_delete_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier REBUILD after per-document deletion
     (jobs._rebuild_sketches_after_delete): a cascade with HDR+HLL sketch
@@ -2620,8 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lossless": _q_roundtrip_lossless,
         "roundtrip_lossless_pla": _q_roundtrip_lossless_pla,
         "within_bound_linf": _q_within_bound_linf,
-        "pwlh_bucket_cap": _q_pwlh_bucket_cap,
-        "blocks_roundtrip_1h": _q_blocks_roundtrip_1h,
+        "media_avi_decode_stats": _q_media_avi_decode_stats,
+        "media_video_frames": _q_media_video_frames,
         "predict_linear_1h": _q_predict_linear_1h,
         "alert_for_1m": _q_alert_for_1m,
         "instant_irate_1m": _q_instant_irate_1m,
@@ -2669,6 +2763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cascade_1h": _q_stream_cascade_1h,
         "source_stats_salted": _q_source_stats_salted,
         "pwch_bucket_cap": _q_pwch_bucket_cap,
+        "pwlh_bucket_cap": _q_pwlh_bucket_cap,
+        "blocks_roundtrip_1h": _q_blocks_roundtrip_1h,
         "codec_footprint": _q_codec_footprint,
         "pmc_segments": _q_pmc_segments,
         "blocks_roundtrip_1m": _q_blocks_roundtrip_1m,
@@ -3672,6 +3768,8 @@ def oracle_sql() -> dict[str, str]:
         "media_png_decode_stats": _MEDIA_PNG_ORACLE,
         "media_jpeg_decode_stats": _MEDIA_JPEG_ORACLE,
         "media_flac_decode_stats": _MEDIA_FLAC_ORACLE,
+        "media_avi_decode_stats": _MEDIA_AVI_ORACLE,
+        "media_video_frames": _MEDIA_VIDEO_FRAMES_ORACLE,
         # connected components over the same pairs, via recursive CTE
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),

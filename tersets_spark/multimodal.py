@@ -8,9 +8,11 @@ and never materialize on the driver.
 Decoders: WAV (RIFF/PCM, 8- and 16-bit), PPM (binary P6), PNG (8-bit
 gray/RGB/RGBA, all five scanline filters — stdlib zlib inflate + NumPy
 unfiltering), baseline JPEG (full Huffman entropy decode, dequant, IDCT,
-restart markers, 4:4:4/4:2:0 chroma — :mod:`tersets_spark.jpeg`) and FLAC
+restart markers, 4:4:4/4:2:0 chroma — :mod:`tersets_spark.jpeg`), FLAC
 (Rice-coded residuals, fixed/LPC predictors, channel decorrelation,
-CRC-verified — :mod:`tersets_spark.flac`) are REAL parsers, no external
+CRC-verified — :mod:`tersets_spark.flac`) and Motion-JPEG AVI video
+(RIFF chunk walk + per-frame JPEG decode, container-level frame
+sampling — :mod:`tersets_spark.avi`) are REAL parsers, no external
 media library, with matching encoders for fixture synthesis. Remaining
 compressed formats (MP3/MP4/H.264...) genuinely need libav, absent in
 this container, so for payloads that are not a recognized container
@@ -395,10 +397,15 @@ def decode_payload(payload: bytes, kind: str, *, allow_fake: bool = False) -> np
             from tersets_spark.flac import decode_flac
 
             return decode_flac(b)
+        if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            from tersets_spark.avi import decode_avi
+
+            return decode_avi(b)
         raise NotImplementedError(
             f"no decoder for this {kind} payload in this environment "
             "(real decoders: RIFF/PCM WAV, binary PPM, PNG, baseline JPEG, "
-            "FLAC); pass allow_fake=True to use the deterministic stand-in"
+            "FLAC, MJPEG AVI); pass allow_fake=True to use the "
+            "deterministic stand-in"
         )
     return np.frombuffer(b, dtype=np.uint8)
 
@@ -577,6 +584,101 @@ def synthesize_flac_media_from_documents(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_avi_media_from_documents(
+    docs: DataFrame, frame_bytes: int = 16
+) -> DataFrame:
+    """Media table whose payloads are REAL Motion-JPEG AVI videos derived
+    deterministically from the documents table: the utf-8 text bytes split
+    into frames of up to ``frame_bytes`` bytes (empty text gets one zero
+    byte), each frame a constant-block grayscale baseline JPEG (8 px wide,
+    one 8x8 block per byte — the synthesize_jpeg trick, which survives the
+    lossy pipeline bit-exactly), wrapped in a spec-shaped RIFF container
+    with avih/strh/strf headers and an idx1 index.
+
+    Decoding ALL frames therefore reproduces each text byte exactly 64
+    times in order, so the SQL oracle replays full-video feature stats
+    from the text alone, and container-level frame sampling replays as a
+    byte-position filter (frame f holds text bytes [f*frame_bytes,
+    (f+1)*frame_bytes))."""
+    from tersets_spark.avi import encode_avi_mjpeg
+    from tersets_spark.jpeg import encode_jpeg_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                if data.size == 0:
+                    data = np.zeros(1, dtype=np.uint8)
+                frames = []
+                for i in range(0, len(data), frame_bytes):
+                    ch = data[i : i + frame_bytes]
+                    img = np.repeat(
+                        np.repeat(ch.reshape(-1, 1), 8, axis=0), 8, axis=1
+                    )
+                    frames.append(encode_jpeg_gray(img))
+                payloads.append(
+                    encode_avi_mjpeg(frames, 8, 8 * frame_bytes, fps=25)
+                )
+                ids.append(int(doc_id))
+                metas.append({"width": 8, "height": 8 * frame_bytes,
+                              "sample_rate": 0, "n_frames": len(frames)})
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["video"] * len(ids),
+                 "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every: int = 2, offset: int = 0
+) -> DataFrame:
+    """REAL container-level frame sampling over MJPEG AVI payloads: parse
+    the RIFF chunk index (no decode), decode ONLY every ``every``-th
+    frame's JPEG, emit one stats row per sampled frame. Skipped frames
+    cost a chunk-header hop — at 100 TB the decode bill tracks sampled
+    frames, not stored footage. Non-AVI video payloads raise (loudly)
+    inside the task, like every real decode path."""
+    from tersets_spark.avi import decode_avi_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                for k, s in decode_avi_frames(
+                    bytes(payload or b""), every=every, offset=offset
+                ):
+                    ids.append(int(media_id))
+                    idxs.append(k)
+                    lens.append(len(s))
+                    sums.append(int(s.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_index": pd.array(idxs, dtype="int32"),
+                    "n_samples": pd.array(lens, dtype="int64"),
+                    "sample_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(gen, VIDEO_FRAME_STATS_SCHEMA)
+    )
 
 
 def extract_features_batch(pdf: pd.DataFrame, *, allow_fake: bool = True) -> pd.DataFrame:
