@@ -2340,6 +2340,28 @@ def _q_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rate_grid_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridded PromQL rate() panel (rollup.rate_grid): per-(doc_id,
+    source) reset-corrected increase and per-second rate for every
+    1h cell of the corpus's first 12h, computed from consecutive 1m
+    'last' pairs (pair attributed to the cell of its later bucket, true
+    elapsed seconds on gaps). One pushed range scan + one lag window +
+    one map-side-partial grid aggregate; the oracle replays the window
+    and the integer cell arithmetic in SQL — exact longs, bit-stable
+    long/long->double division."""
+    from tersets_spark.rollup import rate_grid
+
+    seq = _sequences(spark, sf_dir)
+    m1 = rollup_raw(seq, TIERS["1m"])
+    lo = int(m1.agg(F.min("bucket_ts")).first()[0])
+    return rate_grid(
+        m1, lo, lo + 43200, 3600, value_col="last"
+    ).select(
+        "doc_id", "source", "grid_ts", "n_pairs", "increase", "elapsed",
+        "rate",
+    )
+
+
 def _q_instant_irate_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL instant-vector read (rollup.instant_read): each source's
     most recent 1m bucket within a 6h staleness window ending at the
@@ -2712,8 +2734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_watermark_1h": _q_stream_watermark_1h,
         "rollup_delete_1h": _q_rollup_delete_1h,
         "roundtrip_lossless": _q_roundtrip_lossless,
-        "roundtrip_lossless_pla": _q_roundtrip_lossless_pla,
         "within_bound_linf": _q_within_bound_linf,
+        "rate_grid_1m": _q_rate_grid_1m,
         "media_avi_decode_stats": _q_media_avi_decode_stats,
         "media_video_frames": _q_media_video_frames,
         "predict_linear_1h": _q_predict_linear_1h,
@@ -2765,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pwch_bucket_cap": _q_pwch_bucket_cap,
         "pwlh_bucket_cap": _q_pwlh_bucket_cap,
         "blocks_roundtrip_1h": _q_blocks_roundtrip_1h,
+        "roundtrip_lossless_pla": _q_roundtrip_lossless_pla,
         "codec_footprint": _q_codec_footprint,
         "pmc_segments": _q_pmc_segments,
         "blocks_roundtrip_1m": _q_blocks_roundtrip_1m,
@@ -4451,6 +4474,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # counter rate: lag window over the 1h tier, reset correction as
         # a CASE — exact longs, bit-stable long/long -> double division
+        # gridded rate: lag window over the range-filtered 1m series, pair
+        # attributed to the later bucket's 1h cell, exact-integer cell math
+        "rate_grid_1m": f"""
+            WITH pts AS ({pts}),
+            r AS (
+                SELECT doc_id, source,
+                       CAST((ts // 60) * 60 AS BIGINT) AS bucket_ts,
+                       CAST(LAST(v ORDER BY ts) AS BIGINT) AS value
+                FROM pts GROUP BY 1, 2, 3
+            ),
+            lo AS (SELECT MIN(bucket_ts) AS lo FROM r),
+            w AS (
+                SELECT r.doc_id, r.source, r.bucket_ts, r.value, lo.lo,
+                       lag(value) OVER (PARTITION BY doc_id, source
+                                        ORDER BY bucket_ts) AS pv,
+                       lag(bucket_ts) OVER (PARTITION BY doc_id, source
+                                            ORDER BY bucket_ts) AS pt
+                FROM r, lo
+                WHERE r.bucket_ts >= lo.lo AND r.bucket_ts < lo.lo + 43200
+            ),
+            per AS (
+                SELECT doc_id, source,
+                       CAST(lo + ((bucket_ts - lo) // 3600) * 3600
+                            AS BIGINT) AS grid_ts,
+                       CAST(CASE WHEN value >= pv THEN value - pv
+                                 ELSE value END AS BIGINT) AS inc,
+                       CAST(bucket_ts - pt AS BIGINT) AS el
+                FROM w WHERE pv IS NOT NULL
+            )
+            SELECT doc_id, source, grid_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(inc) AS BIGINT) AS increase,
+                   CAST(SUM(el) AS BIGINT) AS elapsed,
+                   CAST(SUM(inc) AS DOUBLE) / CAST(SUM(el) AS DOUBLE)
+                       AS rate
+            FROM per GROUP BY 1, 2, 3
+        """,
         "counter_rate_1h": f"""
             WITH pts AS ({pts}),
             r AS (

@@ -1394,6 +1394,29 @@ def alerts_from_catalog(
     )
 
 
+def rate_grid_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    step: int,
+    tier: str = "1m",
+    as_of: int | None = None,
+    value_col: str = "last",
+) -> DataFrame:
+    """Gridded counter-rate serving (rollup.rate_grid over a catalog
+    read): per-(doc_id, source) reset-corrected increase + per-second
+    rate for every step cell of [start, end) from the committed ``tier``
+    — one snapshot, the range pushed into the time-clustered scan."""
+    from .rollup import rate_grid
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    _check_retention_horizon(catalog, tier, start, "rate_grid_from_catalog")
+    t = catalog.read_tier(spark, tier, as_of=snap)
+    return rate_grid(t, start, end, step, value_col=value_col)
+
+
 def read_doc_range(
     spark: SparkSession,
     out_dir: str,

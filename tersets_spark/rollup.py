@@ -1089,6 +1089,62 @@ def counter_rate(
     )
 
 
+def rate_grid(
+    tier_df: DataFrame,
+    start: int,
+    end: int,
+    step: int,
+    value_col: str = "last",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "bucket_ts",
+    reset_correction: bool = True,
+) -> DataFrame:
+    """Gridded counter rate: the PromQL ``rate()`` dashboard panel — per
+    series, the reset-corrected increase and per-second rate for every
+    ``step``-aligned cell of ``[start, end)``, served from a committed
+    tier. Each consecutive bucket pair contributes its increase to the
+    cell containing the LATER bucket (the increase accrued in that
+    interval); a pair spanning a gap contributes its true elapsed
+    seconds, so ``rate = increase / elapsed`` stays honest on sparse
+    series. Cells with no pair are absent (PromQL returns no sample,
+    not zero). Output: (keys, grid_ts, n_pairs, increase, elapsed, rate).
+
+    Scale: the range predicate pushes into the time-clustered scan, ONE
+    window keyed by the tier's own layout key computes lags, then the
+    grid groupBy (keys + cell) aggregates map-side-partial; shuffled rows
+    are tier buckets in range, never raw points.
+    """
+    if end <= start:
+        raise ValueError("rate_grid: end must be > start")
+    if step <= 0:
+        raise ValueError("rate_grid: step must be > 0")
+    scan = tier_df.where((F.col(ts_col) >= start) & (F.col(ts_col) < end))
+    per = counter_rate(
+        scan,
+        value_col=value_col,
+        keys=keys,
+        ts_col=ts_col,
+        reset_correction=reset_correction,
+    )
+    cell = (
+        F.lit(int(start))
+        + ((F.col(ts_col) - F.lit(int(start))) / F.lit(int(step))).cast("long")
+        * F.lit(int(step))
+    ).cast("long")
+    return (
+        per.groupBy(*keys, cell.alias("grid_ts"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("increase").cast("long").alias("increase"),
+            F.sum("elapsed").cast("long").alias("elapsed"),
+        )
+        .withColumn(
+            "rate",
+            F.col("increase").cast("double") / F.col("elapsed").cast("double"),
+        )
+    )
+
+
 def instant_read(
     tier_df: DataFrame,
     at_ts: int,

@@ -218,3 +218,75 @@ def test_serve_rejects_ambiguous_and_bad_style(spark, served_catalog):
         serve(spark, served_catalog["out"], start, end, k=8, rate_tier="1h")
     with pytest.raises(ValueError):
         serve(spark, served_catalog["out"], start, end, k=8, style="wat")
+
+
+# ---------------------------------------------------------------------------
+# rate_grid: gridded PromQL rate panels
+# ---------------------------------------------------------------------------
+
+
+def test_rate_grid_cell_attribution_and_resets(spark):
+    from tersets_spark.rollup import rate_grid
+
+    # 1m buckets, 2-bucket grid cells (step=120). Values 10->25->4->9->9:
+    # pairs land in the cell of their LATER bucket; reset at t=120.
+    rows = [("d", "s", 60 * i, v) for i, v in enumerate([10, 25, 4, 9, 9])]
+    out = {
+        r.grid_ts: r
+        for r in rate_grid(_tier(spark, rows), 0, 600, 120).collect()
+    }
+    # cell 0 holds the (0,60) pair; cell 120 holds (60,120)+(120,180);
+    # cell 240 holds (180,240)
+    assert set(out) == {0, 120, 240}
+    assert (out[0].n_pairs, out[0].increase, out[0].elapsed) == (1, 15, 60)
+    assert (out[120].n_pairs, out[120].increase) == (2, 4 + 5)  # reset: 4
+    assert (out[240].n_pairs, out[240].increase) == (1, 0)
+    assert out[120].rate == 9 / 120
+
+
+def test_rate_grid_range_excludes_outside_pairs(spark):
+    from tersets_spark.rollup import rate_grid
+
+    rows = [("d", "s", t, v) for t, v in [(0, 1), (60, 2), (120, 3), (180, 4)]]
+    # range [60, 180): the (0,60) pair is cut because bucket 0 is filtered
+    # BEFORE the lag, so bucket 60 has no predecessor inside the range
+    out = rate_grid(_tier(spark, rows), 60, 180, 60).collect()
+    assert sorted(r.grid_ts for r in out) == [120]
+
+
+def test_rate_grid_sparse_gap_true_elapsed(spark):
+    from tersets_spark.rollup import rate_grid
+
+    rows = [("d", "s", 0, 5), ("d", "s", 300, 35)]
+    (r,) = rate_grid(_tier(spark, rows), 0, 600, 600).collect()
+    assert (r.grid_ts, r.increase, r.elapsed) == (0, 30, 300)
+    assert r.rate == 30 / 300
+
+
+def test_rate_grid_validates_args(spark):
+    from tersets_spark.rollup import rate_grid
+
+    df = _tier(spark, [("d", "s", 0, 1)])
+    with pytest.raises(ValueError, match="end must be > start"):
+        rate_grid(df, 10, 10, 60)
+    with pytest.raises(ValueError, match="step must be > 0"):
+        rate_grid(df, 0, 100, 0)
+
+
+def test_rate_grid_from_catalog_matches_direct(spark, served_catalog):
+    from tersets_spark.catalog import TierCatalog
+    from tersets_spark.jobs import rate_grid_from_catalog
+    from tersets_spark.rollup import rate_grid
+
+    lo, hi = _range_of(spark, served_catalog)
+    t = TierCatalog(served_catalog["out"]).read_tier(spark, "1m")
+    want = sorted(map(tuple, rate_grid(t, lo, hi, 3600).collect()))
+    got = sorted(
+        map(
+            tuple,
+            rate_grid_from_catalog(
+                spark, served_catalog["out"], lo, hi, 3600
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
