@@ -166,8 +166,7 @@ def test_alert_catalog_twin_matches_direct(spark, seq_path, catalog_dir):
     m1 = TierCatalog(catalog_dir).read_tier(spark, "1m")
     thr = int(m1.agg(F.expr("CAST(avg(sum) AS LONG)")).first()[0])
     want = sorted(
-        map(tuple, alert_intervals(m1, thr, TIERS["1m"], 300,
-                                   keys=("doc_id", "source")).collect())
+        map(tuple, alert_intervals(m1, thr, TIERS["1m"], 300).collect())
     )
     got = sorted(
         map(
@@ -175,14 +174,7 @@ def test_alert_catalog_twin_matches_direct(spark, seq_path, catalog_dir):
             alerts_from_catalog(spark, catalog_dir, thr, 300).collect(),
         )
     )
-    # catalog twin defaults to keys=("source",)? no — alert_intervals
-    # default is ("source",); the direct call above groups per doc too, so
-    # compare against the twin's own key shape instead:
-    got_direct = sorted(
-        map(tuple, alert_intervals(m1, thr, TIERS["1m"], 300).collect())
-    )
-    assert got == got_direct
-    assert len(got) > 0 or len(want) >= 0  # twin equality is the contract
+    assert got == want
 
 
 def test_alert_bounded_window_matches_prefiltered(spark, seq_path, catalog_dir):
@@ -208,3 +200,22 @@ def test_alert_bounded_window_matches_prefiltered(spark, seq_path, catalog_dir):
         )
     )
     assert got == want
+
+
+def test_plan_shape_single_exchange(spark):
+    """Both serving reads must compile to exactly ONE exchange on the
+    series key: linear_predict's five sums aggregate map-side-partial
+    before the shuffle, and alert_intervals' island window + run groupBy
+    share one partitioning (the groupBy keys contain the window keys)."""
+    df = _mk_series(spark, [("a", 0, 1)])
+    p = (
+        linear_predict(df, 0, 100, 10, keys=("source",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in p  # map-side combine of the decimal sums
+    p2 = (
+        alert_intervals(df, 0, 60, 60, keys=("source",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p2.count("Exchange hashpartitioning") == 1

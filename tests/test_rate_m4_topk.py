@@ -290,3 +290,16 @@ def test_rate_grid_from_catalog_matches_direct(spark, served_catalog):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_rate_grid_plan_single_exchange(spark):
+    """The grid groupBy's keys contain the lag window's partition keys,
+    so the aggregate reuses the window's shuffle — ONE exchange total."""
+    from tersets_spark.rollup import rate_grid
+
+    df = _tier(spark, [("d", "s", 0, 1)])
+    p = (
+        rate_grid(df, 0, 600, 60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange hashpartitioning") == 1
