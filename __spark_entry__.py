@@ -465,6 +465,28 @@ _MEDIA_PNG_ORACLE = """
 """
 
 
+# GIF decode replay: lossless LZW + grayscale palette -> each padded-grid
+# index (the PNG/PPM 16-wide zero-padded shape) appears 3x in the RGB
+# output, so decoded stats are the padded-text math scaled by 3.
+_MEDIA_GIF_ORACLE = """
+    WITH feats AS (
+        SELECT 'image' AS kind,
+               3 * 16 * GREATEST(1, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT))
+                   AS n_bytes,
+               3 * CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+               3 * CAST(len(list_filter(list_transform(range(1, length(text)+1),
+                    i -> ord(substr(text, i, 1))), c -> c // 16 = 7)) AS BIGINT) AS hist_bin7
+        FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           CAST(SUM(byte_sum) AS BIGINT) AS byte_sum,
+           CAST(SUM(hist_bin7) AS BIGINT) AS hist_bin7
+    FROM feats GROUP BY kind
+"""
+
+
 # JPEG decode replay: each utf-8 text byte becomes one constant 8x8 block
 # (all-ones quant table), and constant blocks survive the full
 # Huffman->dequant->IDCT path bit-exactly (the DCT of a constant block is a
@@ -1790,6 +1812,29 @@ def _q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decoding: genuine GIF87a images (variable-width LZW with
+    dictionary growth and CLEAR resets, grayscale palette) synthesized
+    from documents — text bytes zero-padded to a 16-wide index grid —
+    decoded by the pure-NumPy decoder inside mapInPandas
+    (allow_fake=False, tersets_spark.gif.decode_gif). LZW is lossless and
+    the palette triples each index, so decoded feature stats hash-match
+    the oracle's 3x padded-text replay."""
+    from tersets_spark.multimodal import (
+        media_features,
+        synthesize_gif_media_from_documents,
+    )
+
+    media = synthesize_gif_media_from_documents(_docs(spark, sf_dir))
+    feats = media_features(media, allow_fake=False)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("byte_sum").alias("byte_sum"),
+        F.sum(F.element_at("hist16", 8)).alias("hist_bin7"),
+    )
+
+
 def _q_sketch_delete_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier REBUILD after per-document deletion
     (jobs._rebuild_sketches_after_delete): a cascade with HDR+HLL sketch
@@ -2776,7 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_movers_1h": _q_top_movers_1h,
         "seasonal_hourly": _q_seasonal_hourly,
         "token_topk_1h": _q_token_topk_1h,
-        "token_drift_daily": _q_token_drift_daily,
+        "media_gif_decode_stats": _q_media_gif_decode_stats,
         "media_png_decode_stats": _q_media_png_decode_stats,
         # --- entries 51+: driver-green in earlier rounds
         # (CORRECTNESS_r01-r04) or judge-re-run in r4; legacy
@@ -2800,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_ngram_contamination": _q_seq_ngram_contamination,
         "seq_pack_blocks": _q_seq_pack_blocks,
         "seq_token_stats": _q_seq_token_stats,
+        "token_drift_daily": _q_token_drift_daily,
         "seq_split_stats": _q_seq_split_stats,
         "seq_length_gate": _q_seq_length_gate,
         "seq_span_dedup": _q_seq_span_dedup,
@@ -3789,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "media_feature_stats": _MEDIA_ORACLE,
         "media_real_decode_stats": _MEDIA_REAL_ORACLE,
         "media_png_decode_stats": _MEDIA_PNG_ORACLE,
+        "media_gif_decode_stats": _MEDIA_GIF_ORACLE,
         "media_jpeg_decode_stats": _MEDIA_JPEG_ORACLE,
         "media_flac_decode_stats": _MEDIA_FLAC_ORACLE,
         "media_avi_decode_stats": _MEDIA_AVI_ORACLE,

@@ -401,6 +401,10 @@ def decode_payload(payload: bytes, kind: str, *, allow_fake: bool = False) -> np
             from tersets_spark.avi import decode_avi
 
             return decode_avi(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            from tersets_spark.gif import decode_gif
+
+            return decode_gif(b)
         raise NotImplementedError(
             f"no decoder for this {kind} payload in this environment "
             "(real decoders: RIFF/PCM WAV, binary PPM, PNG, baseline JPEG, "
@@ -627,6 +631,37 @@ def synthesize_avi_media_from_documents(
                               "sample_rate": 0, "n_frames": len(frames)})
             yield pd.DataFrame(
                 {"media_id": ids, "kind": ["video"] * len(ids),
+                 "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_gif_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL GIF87a images derived
+    deterministically from the documents table: pixel indices = utf-8
+    text bytes zero-padded to a 16-wide grid (the PPM shape), compressed
+    with genuine dictionary-building LZW, 256-entry grayscale palette so
+    decoded RGB repeats each padded byte exactly 3x. The SQL oracle
+    replays decoded feature stats from the text alone (3x the padded-PPM
+    math; padding zeros land in histogram bin 0 only)."""
+    from tersets_spark.gif import encode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                w = 16
+                h = max(1, -(-len(data) // w))
+                grid = np.zeros(w * h, dtype=np.uint8)
+                grid[: len(data)] = data
+                payloads.append(encode_gif(grid, w, h))
+                ids.append(int(doc_id))
+                metas.append({"width": w, "height": h, "sample_rate": 0,
+                              "n_frames": 1})
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids),
                  "payload": payloads, "meta": metas}
             )
 
