@@ -161,3 +161,45 @@ def test_spark_pipeline_full_and_sampled(spark):
             ch = data[16 * f : 16 * (f + 1)]
             want.append((mid, f, 64 * len(ch), 64 * sum(ch)))
     assert sampled == sorted(want)
+
+
+def test_mixed_format_media_one_pass(spark):
+    """One media table holding every real container format — WAV, PPM,
+    PNG, JPEG, FLAC, GIF, MJPEG AVI — decodes in a single media_features
+    pass (per-payload magic-byte dispatch, allow_fake=False)."""
+    import numpy as np
+
+    from tersets_spark.flac import encode_flac
+    from tersets_spark.gif import encode_gif
+    from tersets_spark.jpeg import encode_jpeg_gray
+    from tersets_spark.multimodal import (
+        encode_ppm,
+        encode_wav,
+        media_features,
+        encode_png,
+    )
+
+    data = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    img8 = np.repeat(np.repeat(data.reshape(-1, 1), 8, axis=0), 8, axis=1)
+    payloads = {
+        1: ("audio", encode_wav(data, 16000), len(data), int(data.sum())),
+        2: ("image", encode_ppm(np.tile(data, 3), 16, 1), 48,
+            3 * int(data.sum())),
+        3: ("image", encode_png(data, 16, 1), 16, int(data.sum())),
+        4: ("image", encode_jpeg_gray(img8), 64 * 16, 64 * int(data.sum())),
+        5: ("audio", encode_flac(data.astype(np.int64) - 128), 16,
+            int(data.sum())),
+        6: ("image", encode_gif(data, 16, 1), 48, 3 * int(data.sum())),
+        7: ("video", encode_avi_mjpeg([encode_jpeg_gray(img8)], 8, 128),
+            64 * 16, 64 * int(data.sum())),
+    }
+    media = spark.createDataFrame(
+        [(mid, kind, bytearray(p), None)
+         for mid, (kind, p, _, _) in payloads.items()],
+        "media_id long, kind string, payload binary, meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    feats = {r.media_id: r for r in
+             media_features(media, allow_fake=False).collect()}
+    assert set(feats) == set(payloads)
+    for mid, (_, _, n, s) in payloads.items():
+        assert (feats[mid].n_bytes, feats[mid].byte_sum) == (n, s), mid

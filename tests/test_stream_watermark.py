@@ -323,3 +323,36 @@ def test_streamed_tail_realtime_serving(spark, streamed, tmp_path):
     # full finalize: open set empty, plain catalog read
     finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM2)
     assert served() == want
+
+
+def test_alert_intervals_over_live_tail_match_batch(spark, streamed, tmp_path):
+    """Alert-rule `for:` evaluation composed over the LIVE streamed tail
+    (committed tier ∪ open partials at a mid-stream watermark) fires the
+    exact intervals the batch cascade produces — alerting consumers never
+    see a boundary artifact between finalized and open buckets."""
+    from tersets_spark.rollup import alert_intervals
+    from tersets_spark.streaming import read_tier_realtime_streamed
+
+    cat_dir = str(tmp_path / "cat")
+    os.makedirs(cat_dir)
+    catalog = TierCatalog(cat_dir)
+    finalize_streamed_tier_incremental(spark, streamed, catalog, "1h", WM1)
+
+    batch = _batch_1h(spark)
+    thr = int(batch.agg(F.expr("CAST(avg(sum) AS LONG)")).first()[0])
+    want = sorted(
+        map(
+            tuple,
+            alert_intervals(batch, thr, TIERS["1h"], 2 * 3600,
+                            keys=("doc_id", "source")).collect(),
+        )
+    )
+    live = read_tier_realtime_streamed(spark, streamed, catalog, "1h")
+    got = sorted(
+        map(
+            tuple,
+            alert_intervals(live, thr, TIERS["1h"], 2 * 3600,
+                            keys=("doc_id", "source")).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
