@@ -2402,8 +2402,8 @@ def _q_rate_grid_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_grid(
         m1, lo, lo + 43200, 3600, value_col="last"
     ).select(
-        "doc_id", "source", "grid_ts", "n_pairs", "increase", "elapsed",
-        "rate",
+        "doc_id", "source", "grid_ts", "n_pairs", "n_resets", "increase",
+        "elapsed", "rate",
     )
 
 
@@ -4547,11 +4547,13 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS grid_ts,
                        CAST(CASE WHEN value >= pv THEN value - pv
                                  ELSE value END AS BIGINT) AS inc,
+                       CASE WHEN value < pv THEN 1 ELSE 0 END AS rst,
                        CAST(bucket_ts - pt AS BIGINT) AS el
                 FROM w WHERE pv IS NOT NULL
             )
             SELECT doc_id, source, grid_ts,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(rst) AS BIGINT) AS n_resets,
                    CAST(SUM(inc) AS BIGINT) AS increase,
                    CAST(SUM(el) AS BIGINT) AS elapsed,
                    CAST(SUM(inc) AS DOUBLE) / CAST(SUM(el) AS DOUBLE)

@@ -1107,7 +1107,9 @@ def rate_grid(
     interval); a pair spanning a gap contributes its true elapsed
     seconds, so ``rate = increase / elapsed`` stays honest on sparse
     series. Cells with no pair are absent (PromQL returns no sample,
-    not zero). Output: (keys, grid_ts, n_pairs, increase, elapsed, rate).
+    not zero). ``n_resets`` counts counter restarts (value < previous) in
+    the cell — the PromQL ``resets()`` read for free off the same pairs.
+    Output: (keys, grid_ts, n_pairs, n_resets, increase, elapsed, rate).
 
     Scale: the range predicate pushes into the time-clustered scan, ONE
     window keyed by the tier's own layout key computes lags, then the
@@ -1135,6 +1137,9 @@ def rate_grid(
         per.groupBy(*keys, cell.alias("grid_ts"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_resets"),
             F.sum("increase").cast("long").alias("increase"),
             F.sum("elapsed").cast("long").alias("elapsed"),
         )

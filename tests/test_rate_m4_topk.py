@@ -239,6 +239,7 @@ def test_rate_grid_cell_attribution_and_resets(spark):
     # cell 240 holds (180,240)
     assert set(out) == {0, 120, 240}
     assert (out[0].n_pairs, out[0].increase, out[0].elapsed) == (1, 15, 60)
+    assert (out[0].n_resets, out[120].n_resets) == (0, 1)
     assert (out[120].n_pairs, out[120].increase) == (2, 4 + 5)  # reset: 4
     assert (out[240].n_pairs, out[240].increase) == (1, 0)
     assert out[120].rate == 9 / 120
