@@ -1065,6 +1065,7 @@ def counter_rate(
     smaller than raw), so serving rate over a month of 1h buckets touches
     ~720 rows per series. Pure JVM lag() — whole-stage codegen, no Python.
     """
+    _require_integer_value_col(tier_df, value_col, "counter_rate")
     w = Window.partitionBy(*keys).orderBy(ts_col)
     v = F.col(value_col).cast("long")
     prev_v = F.lag(v).over(w)
@@ -1087,6 +1088,23 @@ def counter_rate(
         .where(F.col("delta").isNotNull())
         .withColumn("rate", F.col("increase") / F.col("elapsed"))
     )
+
+
+def _require_integer_value_col(df: DataFrame, col: str, op: str) -> None:
+    """Integer-value contract (token series are integers): casting a
+    fractional gauge to long would silently TRUNCATE — fail fast instead,
+    the m4_points rule applied to every exact-integer serving read."""
+    from pyspark.sql import types as T
+
+    vt = df.schema[col].dataType
+    if isinstance(vt, (T.FloatType, T.DoubleType)) or (
+        isinstance(vt, T.DecimalType) and vt.scale > 0
+    ):
+        raise TypeError(
+            f"{op}: value_col {col!r} is fractional ({vt.simpleString()}); "
+            "this read uses exact integer math — pre-scale the series to "
+            "integers (e.g. fixed-point) first"
+        )
 
 
 def rate_grid(
@@ -1120,6 +1138,7 @@ def rate_grid(
         raise ValueError("rate_grid: end must be > start")
     if step <= 0:
         raise ValueError("rate_grid: step must be > 0")
+    _require_integer_value_col(tier_df, value_col, "rate_grid")
     scan = tier_df.where((F.col(ts_col) >= start) & (F.col(ts_col) < end))
     per = counter_rate(
         scan,
@@ -1335,6 +1354,7 @@ def linear_predict(
         raise ValueError("linear_predict: end must be > start")
     if min_points < 2:
         raise ValueError("linear_predict: min_points must be >= 2")
+    _require_integer_value_col(tier_df, value_col, "linear_predict")
     dec = "decimal(38,0)"
     scan = tier_df.where((F.col(ts_col) >= start) & (F.col(ts_col) < end))
     t = (F.col(ts_col) - F.lit(int(start))).cast("long").cast(dec)
@@ -1398,6 +1418,7 @@ def alert_intervals(
     """
     if step <= 0 or min_duration <= 0:
         raise ValueError("alert_intervals: step and min_duration must be > 0")
+    _require_integer_value_col(tier_df, value_col, "alert_intervals")
     v = F.col(value_col).cast("long")
     breaching = tier_df.where(v > threshold).select(
         *keys, F.col(ts_col).cast("long").alias("_ts"), v.alias("_v")

@@ -304,3 +304,23 @@ def test_rate_grid_plan_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_rate_family_rejects_fractional_value_col(spark):
+    """counter_rate / rate_grid (and the predict/alert reads) apply the
+    m4_points integer-value contract: a fractional gauge column fails
+    fast instead of silently truncating."""
+    from tersets_spark.rollup import alert_intervals, linear_predict, rate_grid
+
+    df = spark.createDataFrame(
+        [("d", "s", 0, 1.5)],
+        "doc_id string, source string, bucket_ts long, last double",
+    )
+    for fn in (
+        lambda: counter_rate(df),
+        lambda: rate_grid(df, 0, 600, 60),
+        lambda: linear_predict(df, 0, 600, 0, value_col="last"),
+        lambda: alert_intervals(df, 0, 60, 60, value_col="last"),
+    ):
+        with pytest.raises(TypeError, match="fractional"):
+            fn()
