@@ -1197,6 +1197,7 @@ def instant_read(
     ≤ lookback/step in-window buckets per series and a conditional
     aggregate pivots rank 1/2 into one row — no self-join, no second scan.
     """
+    _require_integer_value_col(tier_df, value_col, "instant_read")
     v = F.col(value_col).cast("long")
     scan = tier_df.where(
         (F.col(ts_col) > at_ts - lookback) & (F.col(ts_col) <= at_ts)
@@ -1254,6 +1255,7 @@ def instant_read_many(
     """
     if not panels:
         raise ValueError("instant_read_many: at least one panel required")
+    _require_integer_value_col(tier_df, value_col, "instant_read_many")
     lo = min(at - lb for at, lb in panels)
     hi = max(at for at, _ in panels)
     v = F.col(value_col).cast("long")

@@ -137,3 +137,15 @@ def test_spark_pipeline_matches_text_math(spark):
         h = max(1, -(-len(data) // 16))
         assert feats[mid].n_bytes == 3 * 16 * h
         assert feats[mid].byte_sum == 3 * sum(data)
+
+
+def test_lzw_roundtrip_property():
+    """Hypothesis: any byte string round-trips through the LZW pair."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=2000))
+    def prop(data):
+        assert _lzw_decode(8, _lzw_encode(8, data), len(data)) == data
+
+    prop()
