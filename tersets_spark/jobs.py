@@ -2802,8 +2802,14 @@ def serve(
     k: int | None = None,
     style: str = "lttb",
     rate_tier: str | None = None,
+    rate_step: int | None = None,
     threshold: int | None = None,
     threshold_mode: str = ">=",
+    instant_tier: str | None = None,
+    horizon: int | None = None,
+    alert_for: int | None = None,
+    alert_threshold: int | None = None,
+    smooth: bool = False,
     as_of: int | None = None,
 ) -> DataFrame:
     """ONE serving entry point over a committed catalog — routes an
@@ -2822,7 +2828,21 @@ def serve(
       step-aligned grid with ``strategy`` fill (locf/linear/null), served
       from the coarsest tier dividing ``step``.
     * ``rate_tier`` given -> :func:`rate_from_catalog` — PromQL-style
-      per-series counter rate/increase over that committed tier.
+      per-series counter rate/increase over that committed tier; add
+      ``rate_step`` for :func:`rate_grid_from_catalog` — gridded rate
+      panels (one cell per step, per-cell resets()).
+    * ``instant_tier`` given -> :func:`instant_from_catalog` — the
+      instant-vector read at ``end`` with staleness lookback
+      ``end - start`` (idelta/irate from the final bucket pair).
+    * ``horizon`` given -> :func:`predict_from_catalog` — per-series
+      least-squares trend over ``[start, end)`` extrapolated ``horizon``
+      seconds past the window (deriv/predict_linear).
+    * ``alert_for`` given (with ``alert_threshold``) ->
+      :func:`alerts_from_catalog` — firing intervals where the series
+      breached the threshold for at least ``alert_for`` continuous
+      seconds (PromQL ``for:``).
+    * ``smooth=True`` -> :func:`smooth_from_catalog` — EWMA + Holt
+      level/trend/one-step forecast per series over ``[start, end)``.
     * ``threshold`` given -> :func:`threshold_from_catalog` — every point
       with ``v >= threshold`` (``threshold_mode="<="`` flips it), served
       via the 1m tier's vmin/vmax zone maps so only candidate documents'
@@ -2839,12 +2859,17 @@ def serve(
     """
     chosen = [name for name, v in
               (("doc_ids", doc_ids), ("k", k), ("step", step),
-               ("rate_tier", rate_tier), ("threshold", threshold))
+               ("rate_tier", rate_tier or rate_step),
+               ("threshold", threshold), ("instant_tier", instant_tier),
+               ("horizon", horizon), ("alert_for", alert_for),
+               ("smooth", smooth or None))
               if v is not None]
     if len(chosen) > 1:
         raise ValueError(
             f"serve: selectors are mutually exclusive, got {chosen}"
         )
+    if alert_for is not None and alert_threshold is None:
+        raise ValueError("serve: alert_for requires alert_threshold")
     if style not in ("lttb", "m4"):
         raise ValueError(f"serve: unknown overview style {style!r}")
     if doc_ids is not None:
@@ -2857,10 +2882,30 @@ def serve(
         return range_gapfill_from_catalog(
             spark, out_dir, start, end, step, strategy=strategy, as_of=as_of
         )
+    if rate_step is not None:
+        return rate_grid_from_catalog(
+            spark, out_dir, start, end, rate_step,
+            tier=rate_tier or "1m", as_of=as_of,
+        )
     if rate_tier is not None:
         return rate_from_catalog(
             spark, out_dir, start, end, tier=rate_tier, as_of=as_of
         )
+    if instant_tier is not None:
+        return instant_from_catalog(
+            spark, out_dir, end, end - start, tier=instant_tier, as_of=as_of
+        )
+    if horizon is not None:
+        return predict_from_catalog(
+            spark, out_dir, start, end, horizon, as_of=as_of
+        )
+    if alert_for is not None:
+        return alerts_from_catalog(
+            spark, out_dir, alert_threshold, alert_for,
+            start=start, end=end, as_of=as_of,
+        )
+    if smooth:
+        return smooth_from_catalog(spark, out_dir, start, end, as_of=as_of)
     if threshold is not None:
         return threshold_from_catalog(
             spark, out_dir, threshold, start, end,

@@ -324,3 +324,45 @@ def test_rate_family_rejects_fractional_value_col(spark):
     ):
         with pytest.raises(TypeError, match="fractional"):
             fn()
+
+
+def test_serve_routes_new_reads(spark, served_catalog):
+    """serve() routes the round-5 reads: gridded rate, instant vector,
+    trend extrapolation, alert intervals and smoothing — each equal to
+    its direct catalog twin, mutual exclusivity enforced."""
+    import pyspark.sql.functions as SF
+
+    from tersets_spark.jobs import (
+        alerts_from_catalog,
+        instant_from_catalog,
+        predict_from_catalog,
+        rate_grid_from_catalog,
+        serve,
+        smooth_from_catalog,
+    )
+
+    out = served_catalog["out"]
+    lo, hi = _range_of(spark, served_catalog)
+
+    def eq(a, b):
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    eq(serve(spark, out, lo, hi, rate_step=3600),
+       rate_grid_from_catalog(spark, out, lo, hi, 3600))
+    eq(serve(spark, out, hi - 7200, hi, instant_tier="1m"),
+       instant_from_catalog(spark, out, hi, 7200, tier="1m"))
+    eq(serve(spark, out, lo, hi, horizon=3600),
+       predict_from_catalog(spark, out, lo, hi, 3600))
+    from tersets_spark.catalog import TierCatalog
+
+    m1 = TierCatalog(out).read_tier(spark, "1m")
+    thr = int(m1.agg(SF.expr("CAST(avg(sum) AS LONG)")).first()[0])
+    eq(serve(spark, out, lo, hi, alert_for=300, alert_threshold=thr),
+       alerts_from_catalog(spark, out, thr, 300, start=lo, end=hi))
+    eq(serve(spark, out, lo, hi, smooth=True),
+       smooth_from_catalog(spark, out, lo, hi))
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        serve(spark, out, lo, hi, rate_step=3600, horizon=60)
+    with pytest.raises(ValueError, match="requires alert_threshold"):
+        serve(spark, out, lo, hi, alert_for=300)
