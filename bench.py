@@ -266,6 +266,35 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
             )
             return pts.where(F.col("v") >= thr)
 
+        # instant-vector read: catalog tier scan vs a fresh 1m rollup of
+        # the corpus (tier-free); identical staleness semantics
+        iv_hi = int(m1.agg(F.max("bucket_ts")).head()[0])
+
+        def instant_tier():
+            from tersets_spark.jobs import instant_from_catalog
+
+            return instant_from_catalog(spark, out, iv_hi, 7200, tier="1m")
+
+        def instant_raw():
+            from tersets_spark.rollup import instant_read, rollup_raw
+
+            return instant_read(rollup_raw(seq, 60, with_blocks=False),
+                                iv_hi, 7200)
+
+        # gridded rate panels: committed 1m tier vs fresh rollup
+        rg_s, rg_e = 1_700_000_100 // 60 * 60, 1_700_086_400 // 60 * 60
+
+        def rategrid_tier():
+            from tersets_spark.jobs import rate_grid_from_catalog
+
+            return rate_grid_from_catalog(spark, out, rg_s, rg_e, 3600)
+
+        def rategrid_raw():
+            from tersets_spark.rollup import rate_grid, rollup_raw
+
+            return rate_grid(rollup_raw(seq, 60, with_blocks=False),
+                             rg_s, rg_e, 3600)
+
         # batch multi-range serving: 16 overlapping dashboard panels in ONE
         # job (one scan per tier) vs 16 sequential single-range jobs
         p0, p1 = 1_700_000_100, 1_700_086_400 // 60 * 60
@@ -313,6 +342,8 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
             ("point_read", point_read), ("point_read_raw", point_read_raw),
             ("gapfill_1h", gapfill_1h), ("gapfill_raw", gapfill_raw),
             ("threshold_zone", threshold_zone), ("threshold_raw", threshold_raw),
+            ("instant_tier", instant_tier), ("instant_raw", instant_raw),
+            ("rategrid_tier", rategrid_tier), ("rategrid_raw", rategrid_raw),
         ):
             fn().collect()
             best = float("inf")
@@ -331,6 +362,12 @@ def run_serving(cpus: int, seq_path: str, n_runs: int) -> dict:
         assert answers["threshold_zone"] == answers["threshold_raw"] and answers[
             "threshold_zone"
         ], "threshold strategies disagree or matched nothing"
+        assert answers["instant_tier"] == answers["instant_raw"] and answers[
+            "instant_tier"
+        ], "instant strategies disagree or matched nothing"
+        assert answers["rategrid_tier"] == answers["rategrid_raw"] and answers[
+            "rategrid_tier"
+        ], "rate-grid strategies disagree or matched nothing"
         # multi-range: batched DataFrame vs sequential per-panel jobs
         rows_b = multi_batched().collect()
         best = float("inf")
