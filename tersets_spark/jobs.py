@@ -1569,6 +1569,120 @@ def corr_from_catalog(
     return source_correlation(df, sources=sources, max_sources=max_sources)
 
 
+def group_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    mapping: DataFrame,
+    tier: str = "1h",
+    start: int | None = None,
+    end: int | None = None,
+    as_of: int | None = None,
+    default_group: str = "other",
+) -> DataFrame:
+    """Label-grouped fleet aggregation over a COMMITTED tier
+    (rollup.group_aggregate as a serving read): the source→group dim is
+    broadcast against the pinned, range-pruned tier scan."""
+    from .rollup import group_aggregate
+
+    df = _read_tier_range(
+        spark, out_dir, tier, start, end, as_of, "group_from_catalog"
+    )
+    return group_aggregate(df, mapping, default_group)
+
+
+def moving_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str = "1h",
+    window_seconds: int = 21600,
+    start: int | None = None,
+    end: int | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Trailing-window grid over a COMMITTED tier (rollup.moving_window
+    as a serving read). NOTE the PromQL lookback contract: a trailing
+    frame at ``start`` needs ``window_seconds`` of history, so the
+    pushed scan starts at ``start - window_seconds`` and the output is
+    re-cut to [start, end) after the frame — cells near ``start`` see
+    their full trailing context instead of a silently truncated one."""
+    from .rollup import TIERS, moving_window
+
+    w = int(window_seconds)
+    scan_start = None if start is None else int(start) - w
+    df = _read_tier_range(
+        spark, out_dir, tier, scan_start, end, as_of, "moving_from_catalog"
+    )
+    out = moving_window(df, w, TIERS[tier])
+    if start is not None:
+        out = out.where(F.col("bucket_ts") >= int(start))
+    return out
+
+
+def ratio_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    num_source: str,
+    den_source: str,
+    tier: str = "1h",
+    start: int | None = None,
+    end: int | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Series binary op over a COMMITTED tier (rollup.series_ratio as a
+    serving read); the two-source predicate is applied before the pivot
+    so it pushes into the pinned scan."""
+    from .rollup import series_ratio
+
+    df = _read_tier_range(
+        spark, out_dir, tier, start, end, as_of, "ratio_from_catalog"
+    )
+    return series_ratio(df, num_source, den_source)
+
+
+def absent_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    tier: str = "1h",
+    step_seconds: int = 3600,
+    expected: list[str] | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Stale-feed detection over a COMMITTED tier (rollup.absent_series
+    as a serving read): which watchlist sources went quiet in each step
+    cell of the pinned, range-pruned scan."""
+    from .rollup import absent_series
+
+    df = _read_tier_range(
+        spark, out_dir, tier, int(start), int(end), as_of,
+        "absent_from_catalog",
+    )
+    return absent_series(df, int(start), int(end), step_seconds, expected)
+
+
+def cusum_from_catalog(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str = "1h",
+    slack: int = 0,
+    threshold_ratio: int = 8,
+    start: int | None = None,
+    end: int | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """CUSUM changepoint scan over a COMMITTED tier
+    (rollup.cusum_changepoints as a serving read); ``target`` is the
+    series mean over the served range, so [start, end) defines the
+    baseline window as well as the scan bounds."""
+    from .rollup import cusum_changepoints
+
+    df = _read_tier_range(
+        spark, out_dir, tier, start, end, as_of, "cusum_from_catalog"
+    )
+    return cusum_changepoints(df, slack, threshold_ratio)
+
+
 def range_aggregate_many_from_catalog(
     spark: SparkSession,
     out_dir: str,

@@ -1983,3 +1983,347 @@ def seasonal_profile(
         F.min("x").cast("long").alias("tmin"),
         F.max("x").cast("long").alias("tmax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# label-grouped aggregation (PromQL `sum by (group)` with a dim table)
+# ---------------------------------------------------------------------------
+
+
+def group_aggregate(
+    tier_df: DataFrame,
+    mapping: DataFrame,
+    default_group: str = "other",
+) -> DataFrame:
+    """Per-(group, bucket) exact tier totals under a source→group LABEL
+    MAPPING — the PromQL ``sum by (team)`` / Prometheus-relabel read: a
+    fleet groups thousands of sources into a handful of teams/regions
+    and dashboards aggregate at the group level.
+
+    ``mapping`` is a dim frame ``(source, grp)``; it is BROADCAST (a
+    label map is small by construction — one row per source, and the
+    whole point of grouping is |groups| ≪ |sources|), so the tier scan
+    never shuffles for the join: the map-side hash join rewrites each
+    row's key, and the single shuffle is the (grp, bucket_ts) aggregate
+    — bounded by |groups| × buckets, not by the tier. Sources absent
+    from the mapping fall into ``default_group`` (PromQL's unlabeled
+    catch-all) rather than silently dropping data.
+
+    All outputs are exact int64 combines of the tier's partial
+    aggregates (sum/cnt/min/max re-aggregate losslessly; mean is the
+    one sum/cnt division) — order-insensitive, so Spark and any SQL
+    replay agree bitwise.
+
+    Output: (grp, bucket_ts, n_series, cnt, sum, vmin, vmax, mean).
+    """
+    m = F.broadcast(mapping.select("source", "grp"))
+    j = tier_df.join(m, "source", "left").withColumn(
+        "grp", F.coalesce(F.col("grp"), F.lit(default_group))
+    )
+    return j.groupBy("grp", "bucket_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("sum").cast("long").alias("sum"),
+        F.min("vmin").cast("long").alias("vmin"),
+        F.max("vmax").cast("long").alias("vmax"),
+        (F.sum("sum").cast("double") / F.sum("cnt")).alias("mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# trailing-window grid (PromQL subquery: max_over_time(...[w])[range:step])
+# ---------------------------------------------------------------------------
+
+
+def moving_window(
+    tier_df: DataFrame,
+    window_seconds: int = 21600,
+    tier_seconds: int = 3600,
+) -> DataFrame:
+    """TRAILING-window aggregates per series step — the PromQL subquery
+    shape ``max_over_time(metric[6h])`` evaluated at every tier bucket:
+    for each (source, bucket) the sum/min/max/avg over the trailing
+    ``window_seconds`` of that source's buckets, served from a committed
+    tier, never raw points.
+
+    Sparse-series semantics come free from the RANGE frame: the frame is
+    over the *bucket_ts value domain* (``RANGE BETWEEN w-t PRECEDING AND
+    CURRENT ROW``), so a gap in the series shrinks the trailing set
+    instead of silently reaching further back (the ROWS-frame bug).
+    ``w_cnt`` counts the buckets actually present, so a consumer can
+    distinguish "low trailing max" from "thin data".
+
+    Exactness: the tier first collapses to one (source, bucket) int64
+    total per bucket (map-side partial agg), the frame aggregates are
+    exact int64, and the one float is ``w_avg = w_sum / w_cnt`` — a
+    single division both engines round identically.
+
+    Scale shape: ONE shuffle on ``source`` (the window partition key);
+    each partition sorts its own O(range/step) bucket rows, and the
+    frame is computed in a single pass. Pure JVM.
+
+    Output: (source, bucket_ts, x, w_cnt, w_sum, w_min, w_max, w_avg).
+    """
+    w, t = int(window_seconds), int(tier_seconds)
+    if w % t != 0 or w < t:
+        raise ValueError(f"window {w}s must be a positive multiple of tier {t}s")
+    per = tier_df.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("x")
+    )
+    frame = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bucket_ts").cast("long"))
+        .rangeBetween(-(w - t), Window.currentRow)
+    )
+    return per.select(
+        "source",
+        "bucket_ts",
+        "x",
+        F.count(F.lit(1)).over(frame).cast("long").alias("w_cnt"),
+        F.sum("x").over(frame).cast("long").alias("w_sum"),
+        F.min("x").over(frame).cast("long").alias("w_min"),
+        F.max("x").over(frame).cast("long").alias("w_max"),
+        (
+            F.sum("x").over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("w_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# series binary op (PromQL vector matching: a / b, a - b)
+# ---------------------------------------------------------------------------
+
+
+def series_ratio(
+    tier_df: DataFrame,
+    num_source: str,
+    den_source: str,
+) -> DataFrame:
+    """BINARY OP between two series — the PromQL vector-matching read
+    (``errors / requests``, ``cache_hits - cache_misses``): per bucket,
+    the numerator source's tier total against the denominator source's,
+    with inner matching (a bucket either side lacks yields no sample —
+    PromQL drops unmatched vector elements rather than inventing zeros).
+
+    One scan: the two-source predicate pushes into the tier read
+    (partition/row-group pruning on ``source`` where clustered), and a
+    single conditional-aggregation pivot builds both sides in the same
+    (bucket_ts) groupBy — no self-join, no second scan. num/den/diff
+    are exact int64; ``ratio`` is the one num/den division (NULL when
+    den = 0, PromQL's division guard).
+
+    Output: (bucket_ts, num, den, diff, ratio).
+    """
+    if num_source == den_source:
+        raise ValueError("series_ratio: numerator and denominator must differ")
+    f = tier_df.where(F.col("source").isin([num_source, den_source]))
+    per = f.groupBy("bucket_ts").agg(
+        F.sum(F.when(F.col("source") == num_source, F.col("sum")))
+        .cast("long")
+        .alias("num"),
+        F.sum(F.when(F.col("source") == den_source, F.col("sum")))
+        .cast("long")
+        .alias("den"),
+    )
+    matched = per.where(F.col("num").isNotNull() & F.col("den").isNotNull())
+    ratio = F.when(
+        F.col("den") != 0, F.col("num").cast("double") / F.col("den")
+    )
+    return matched.select(
+        "bucket_ts",
+        "num",
+        "den",
+        (F.col("num") - F.col("den")).cast("long").alias("diff"),
+        ratio.alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# absent/staleness detection (PromQL absent_over_time / stale-feed audit)
+# ---------------------------------------------------------------------------
+
+
+def absent_series(
+    tier_df: DataFrame,
+    start: int,
+    end: int,
+    step_seconds: int = 3600,
+    expected: list[str] | None = None,
+) -> DataFrame:
+    """STALE-FEED detection — the PromQL ``absent_over_time`` /
+    dead-man's-switch read: which expected sources produced NO data in
+    each step cell of ``[start, end)``, and when each was last seen.
+
+    ``expected`` names the watchlist; ``None`` derives it from the
+    sources present anywhere in the (already range-bounded) tier slice —
+    the "went quiet mid-window" audit. The absent grid is (expected ×
+    cells): both factors are serving-bounded (a watchlist and a
+    dashboard range), so the cross join is a broadcast of a constant
+    cell frame — the gap-fill idiom, never a data-sized shuffle.
+
+    ``last_seen`` is the source's latest present bucket BEFORE OR IN the
+    cell within [start, end) (NULL if silent since ``start``): because
+    presence timestamps only grow along the cell axis, LOCF is a RUNNING
+    MAX over the per-cell maxima — a plain cumulative window, no
+    ignore-nulls machinery, identical in any SQL engine.
+
+    Output (absent cells only): (source, window_ts, last_seen,
+    stale_seconds = window_end - (last_seen + step < window_end ?
+    ... )) — concretely ``window_ts + step - coalesce(last_seen + tier
+    bucket length, start)`` is left to the caller; the emitted column is
+    ``silent_for = window_ts + step - coalesce(last_seen, start)``
+    measured from bucket starts, exact int64.
+    """
+    s, e, step = int(start), int(end), int(step_seconds)
+    if e <= s or (e - s) % step != 0:
+        raise ValueError("absent_series: [start,end) must be a multiple of step")
+    sliced = tier_df.where(
+        (F.col("bucket_ts") >= s) & (F.col("bucket_ts") < e)
+    )
+    cell = (F.floor((F.col("bucket_ts") - s) / step) * step + s).cast("long")
+    present = sliced.groupBy(
+        "source", cell.alias("window_ts")
+    ).agg(F.max("bucket_ts").cast("long").alias("seen_max"))
+    spark = tier_df.sparkSession
+    if expected is None:
+        srcs = present.select("source").distinct()
+    else:
+        srcs = spark.createDataFrame([(x,) for x in expected], "source string")
+    n_cells = (e - s) // step
+    cells = spark.range(n_cells).select(
+        (F.col("id") * step + s).cast("long").alias("window_ts")
+    )
+    grid = srcs.crossJoin(F.broadcast(cells))
+    j = grid.join(present, ["source", "window_ts"], "left")
+    locf = (
+        Window.partitionBy("source")
+        .orderBy("window_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_seen = j.select(
+        "source",
+        "window_ts",
+        F.max("seen_max").over(locf).alias("last_seen"),
+        F.col("seen_max").isNull().alias("_absent"),
+    )
+    return (
+        with_seen.where(F.col("_absent"))
+        .select(
+            "source",
+            "window_ts",
+            F.col("last_seen").cast("long").alias("last_seen"),
+            (
+                F.col("window_ts")
+                + F.lit(step)
+                - F.coalesce(F.col("last_seen"), F.lit(s))
+            )
+            .cast("long")
+            .alias("silent_for"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (drift alarms over tier series)
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoints(
+    tier_df: DataFrame,
+    slack: int = 0,
+    threshold_ratio: int = 8,
+) -> DataFrame:
+    """CUSUM drift detection per source series — the "this feed's level
+    shifted" changepoint read (Page 1954), served from tier bucket
+    totals with EXACT integer arithmetic end to end.
+
+    Classic recursions against the series' own mean level:
+
+    * up:   ``S⁺_i = max(0, S⁺_{i-1} + (x_i - target - slack))``
+    * down: ``S⁻_i = max(0, S⁻_{i-1} + (target - x_i - slack))``
+
+    computed in CLOSED FORM instead of a sequential fold: with
+    ``P_i = Σ_{j≤i} (x_j - target - slack)`` (prefix sum, P_0 = 0),
+    ``S⁺_i = P_i - min(P_0..P_i)`` — a cumulative sum minus a running
+    min, two plain window aggregates any engine evaluates identically
+    on int64 (and symmetrically for S⁻). No higher-order fold, no
+    Python, no per-row recursion.
+
+    ``target = total div n_buckets`` (exact integer division of exact
+    int64 sums — both engines truncate identically on non-negatives)
+    and the alarm bar is ``h = threshold_ratio × target`` — scale-free
+    across sources of very different volumes while staying in exact
+    integers. A cell alarms upward when S⁺ > h (level ran persistently
+    above target), downward when S⁻ > h.
+
+    Scale shape: one map-side-partial groupBy to (source, bucket)
+    totals, then ONE shuffle on ``source``; each series' windows are a
+    single sorted pass over O(buckets-per-source) narrow rows. Output
+    only alarm cells — bounded by flagged buckets.
+
+    Output: (source, bucket_ts, x, target, cusum_up, cusum_dn,
+    direction).
+    """
+    k = int(slack)
+    r = int(threshold_ratio)
+    if k < 0 or r < 1:
+        raise ValueError("cusum_changepoints: slack >= 0, threshold_ratio >= 1")
+    per = tier_df.groupBy("source", "bucket_ts").agg(
+        F.sum("sum").cast("long").alias("x")
+    )
+    run = (
+        Window.partitionBy("source")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    target = F.expr(
+        "sum(x) over (partition by source) div count(1) over (partition by source)"
+    ).cast("long")
+    per = per.withColumn("target", target)
+    d_up = F.col("x") - F.col("target") - F.lit(k)
+    d_dn = F.col("target") - F.col("x") - F.lit(k)
+    # Two selects because window functions don't nest in one projection;
+    # both specs share the (source) partitioning + bucket_ts sort, so
+    # Catalyst plans ONE exchange + sort for the whole chain.
+    prefixed = per.select(
+        "source",
+        "bucket_ts",
+        "x",
+        "target",
+        F.sum(d_up).over(run).cast("long").alias("_p_up"),
+        F.sum(d_dn).over(run).cast("long").alias("_p_dn"),
+    )
+    s_up = F.col("_p_up") - F.least(
+        F.lit(0).cast("long"), F.min("_p_up").over(run)
+    )
+    s_dn = F.col("_p_dn") - F.least(
+        F.lit(0).cast("long"), F.min("_p_dn").over(run)
+    )
+    h = (F.col("target") * r).cast("long")
+    scored = prefixed.select(
+        "source",
+        "bucket_ts",
+        "x",
+        "target",
+        s_up.cast("long").alias("cusum_up"),
+        s_dn.cast("long").alias("cusum_dn"),
+        h.alias("_h"),
+    )
+    return (
+        scored.where(
+            (F.col("cusum_up") > F.col("_h"))
+            | (F.col("cusum_dn") > F.col("_h"))
+        )
+        .select(
+            "source",
+            "bucket_ts",
+            "x",
+            "target",
+            "cusum_up",
+            "cusum_dn",
+            F.when(F.col("cusum_up") > F.col("_h"), F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+        )
+    )
