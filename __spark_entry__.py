@@ -2767,6 +2767,46 @@ def _q_top_movers_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_movers(h1, k=5, window_seconds=TIERS["1h"])
 
 
+#: CDF split points for the sketch CDF read (token-id value domain)
+_CDF_SPLITS = [100, 1_000, 5_000, 20_000, 50_256]
+
+
+def _cdf_splits_values() -> str:
+    """(split, threshold-bucket-id) VALUES rows for the CDF oracle —
+    thresholds from the same Python bucket_id twin the Spark read embeds
+    as literals, so the two stay in sync by construction."""
+    from tersets_spark.sketch import bucket_id_of
+
+    return ", ".join(f"({s}, {bucket_id_of(s)})" for s in _CDF_SPLITS)
+
+
+def _q_sketch_cdf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-scoped CDF serving (sketch.cdf): P(v <= split) per source
+    over a minute-aligned range, read off the stitched psk sketch tiers
+    — n_le/total exact int64 at bucket granularity (split thresholds
+    precomputed as plan literals), cdf the one division. The oracle
+    replays the same bucket arithmetic one-shot from raw points."""
+    from tersets_spark.rollup import stitched_rows
+    from tersets_spark.sketch import cdf, merge_sketch
+
+    s, e = _SKETCH_MULTI[0]
+    rows = stitched_rows(_psk_tiers_mem(spark, sf_dir), s, e)
+    return cdf(merge_sketch(rows, ["source"]), ["source"], _CDF_SPLITS)
+
+
+def _q_sketch_histogram_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-scoped value-HISTOGRAM serving (sketch.histogram): the
+    merged sketch's buckets with inclusive [lo, hi] bounds, counts and
+    per-source fractions — the distribution-panel read, bounded rows per
+    source, served without a raw rescan."""
+    from tersets_spark.rollup import stitched_rows
+    from tersets_spark.sketch import histogram, merge_sketch
+
+    s, e = _SKETCH_MULTI[0]
+    rows = stitched_rows(_psk_tiers_mem(spark, sf_dir), s, e)
+    return histogram(merge_sketch(rows, ["source"]), ["source"])
+
+
 def _q_group_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-grouped fleet aggregation (rollup.group_aggregate): the
     PromQL `sum by (team)` read — a broadcast source→group dim joined
@@ -2887,7 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints_1h": _q_cusum_changepoints_1h,
         "sketch_range_percentiles": _q_sketch_range_percentiles,
         "sketch_grid_percentiles": _q_sketch_grid_percentiles,
-        "sketch_grid_multi": _q_sketch_grid_multi,
+        "sketch_cdf_range": _q_sketch_cdf_range,
         "hll_range_distinct": _q_hll_range_distinct,
         "bloom_token_windows": _q_bloom_token_windows,
         "cms_token_freq": _q_cms_token_freq,
@@ -2912,6 +2952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # member of a family whose primary sits in the window; legacy
         # events demos at the tail by design ---
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
+        "sketch_grid_multi": _q_sketch_grid_multi,
+        "sketch_histogram_range": _q_sketch_histogram_range,
         "gapfill_multi": _q_gapfill_multi,
         "overview_m4": _q_overview_m4,
         "sketch_multi_percentiles": _q_sketch_multi_percentiles,
@@ -5100,6 +5142,58 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'down' END AS direction
             FROM s
             WHERE cusum_up > target * 2 OR cusum_dn > target * 2
+        """,
+        # sketch CDF: same bucket arithmetic one-shot from raw points,
+        # split thresholds precomputed with the Python bucket_id twin
+        "sketch_cdf_range": f"""
+            WITH pts AS ({pts}),
+            sk AS (
+                SELECT source,
+                       CAST(length(bin(v)) * 32
+                            + (v >> greatest(length(bin(v)) - 5, 0))
+                            AS BIGINT) AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts
+                WHERE ts >= {_SKETCH_MULTI[0][0]}
+                  AND ts < {_SKETCH_MULTI[0][1]}
+                GROUP BY 1, 2
+            ),
+            splits(split, thr) AS (VALUES {_cdf_splits_values()})
+            SELECT source, CAST(split AS BIGINT) AS split,
+                   CAST(SUM(CASE WHEN bucket_id <= thr THEN cnt
+                                 ELSE 0 END) AS BIGINT) AS n_le,
+                   CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(SUM(CASE WHEN bucket_id <= thr THEN cnt
+                                 ELSE 0 END) AS DOUBLE) / SUM(cnt) AS cdf
+            FROM sk CROSS JOIN splits GROUP BY 1, 2
+        """,
+        # sketch histogram: [lo, hi] bounds from the bucket id alone
+        "sketch_histogram_range": f"""
+            WITH pts AS ({pts}),
+            sk AS (
+                SELECT source,
+                       CAST(length(bin(v)) * 32
+                            + (v >> greatest(length(bin(v)) - 5, 0))
+                            AS BIGINT) AS bucket_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pts
+                WHERE ts >= {_SKETCH_MULTI[0][0]}
+                  AND ts < {_SKETCH_MULTI[0][1]}
+                GROUP BY 1, 2
+            )
+            SELECT source, bucket_id,
+                   CAST((bucket_id & 31)
+                        << greatest((bucket_id >> 5) - 5, 0)
+                        AS BIGINT) AS lo,
+                   CAST(((bucket_id & 31)
+                         << greatest((bucket_id >> 5) - 5, 0))
+                        + (CAST(1 AS BIGINT)
+                           << greatest((bucket_id >> 5) - 5, 0)) - 1
+                        AS BIGINT) AS hi,
+                   cnt,
+                   CAST(cnt AS DOUBLE)
+                       / SUM(cnt) OVER (PARTITION BY source) AS frac
+            FROM sk
         """,
         # batch sketch serving: per-panel one-shot sketch replay
         "sketch_multi_percentiles": f"""

@@ -1844,6 +1844,70 @@ def percentiles_in_range(
     return percentiles(merge_sketch(rows, list(keys)), list(keys), list(pcts))
 
 
+def cdf_in_range(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    splits: list[int],
+    keys: tuple[str, ...] = ("source",),
+    as_of: int | None = None,
+) -> DataFrame:
+    """Range-scoped CDF serving: stitch the committed ``psk_*`` sketch
+    tiers over ``[start, end)`` (same segment plan as
+    :func:`percentiles_in_range`) and read ``P(v <= split)`` per key off
+    the exact sum-merge (sketch.cdf) — bitwise what a one-shot sketch
+    over the range's raw points yields."""
+    from .rollup import stitched_rows
+    from .sketch import cdf, merge_sketch, sketch
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    tier_dfs = {
+        name: catalog.read_tier(spark, f"psk_{name}", as_of=snap)
+        for name in ("1m", "1h", "1d")
+    }
+    raw_df = None
+    if start % 60 or end % 60:
+        raw_df = catalog.read_tier(spark, "raw", as_of=snap)
+    rows = stitched_rows(
+        tier_dfs, start, end, raw_df=raw_df,
+        edge_rows=lambda pts: sketch(pts, ["source", "bucket_ts"], "v"),
+    )
+    return cdf(merge_sketch(rows, list(keys)), list(keys), list(splits))
+
+
+def histogram_in_range(
+    spark: SparkSession,
+    out_dir: str,
+    start: int,
+    end: int,
+    keys: tuple[str, ...] = ("source",),
+    as_of: int | None = None,
+) -> DataFrame:
+    """Range-scoped value-HISTOGRAM serving: the merged sketch's buckets
+    with [lo, hi] bounds and per-key fractions (sketch.histogram) over
+    ``[start, end)`` — the distribution-panel read, bounded rows per
+    key, no raw rescan."""
+    from .rollup import stitched_rows
+    from .sketch import histogram, merge_sketch, sketch
+
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    tier_dfs = {
+        name: catalog.read_tier(spark, f"psk_{name}", as_of=snap)
+        for name in ("1m", "1h", "1d")
+    }
+    raw_df = None
+    if start % 60 or end % 60:
+        raw_df = catalog.read_tier(spark, "raw", as_of=snap)
+    rows = stitched_rows(
+        tier_dfs, start, end, raw_df=raw_df,
+        edge_rows=lambda pts: sketch(pts, ["source", "bucket_ts"], "v"),
+    )
+    return histogram(merge_sketch(rows, list(keys)), list(keys))
+
+
 def percentiles_in_range_many(
     spark: SparkSession,
     out_dir: str,

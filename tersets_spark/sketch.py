@@ -126,3 +126,104 @@ def percentiles(
     return out.select(
         *keys, "pct", bucket_lower(F.col("bucket_id"), sub_bits).alias("estimate")
     )
+
+
+def bucket_id_of(value: int, sub_bits: int = SUB_BITS) -> int:
+    """Python twin of :func:`hdr_bucket` for literal split points —
+    ``bitlen * 2^sub_bits + (v >> max(bitlen - sub_bits, 0))`` with
+    ``bitlen = max(v.bit_length(), 1)`` (v=0 -> bitlen 1, matching
+    ``length(bin(0)) = 1``). Lets callers precompute a split's bucket
+    threshold driver-side and embed it as a plan literal in BOTH the
+    Spark read and any SQL oracle."""
+    v = int(value)
+    if v < 0:
+        raise ValueError("bucket_id_of: domain is v >= 0")
+    bitlen = max(v.bit_length(), 1)
+    return bitlen * (1 << sub_bits) + (v >> max(bitlen - sub_bits, 0))
+
+
+def cdf(
+    sketch_df: DataFrame,
+    keys: list[str],
+    splits: list[int],
+    sub_bits: int = SUB_BITS,
+) -> DataFrame:
+    """CDF read off a sketch: for each integer split point ``s``,
+    ``P(v <= s)`` at sketch resolution — the count in buckets whose id
+    is at or below ``s``'s own bucket, over the total (the DDSketch CDF
+    contract: exact at bucket granularity, <= 2^-sub_bits relative blur
+    at the split itself; a split on a bucket boundary is exact).
+
+    Split thresholds are precomputed driver-side (:func:`bucket_id_of`)
+    and land in the plan as literals; the read is one explode of the
+    |splits|-row constant array against the (bounded) sketch rows and
+    one hash aggregate — ``n_le`` and ``total`` exact int64, ``cdf``
+    the single division. Pure JVM.
+
+    Output: (keys..., split, n_le, total, cdf).
+    """
+    if not splits:
+        raise ValueError("cdf: splits must be non-empty")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(s)).cast("long").alias("split"),
+                F.lit(bucket_id_of(s, sub_bits)).cast("long").alias("thr"),
+            )
+            for s in splits
+        ]
+    )
+    exploded = sketch_df.select(
+        *keys, "bucket_id", "cnt", F.explode(pairs).alias("_sp")
+    )
+    return (
+        exploded.groupBy(*keys, F.col("_sp.split").alias("split"))
+        .agg(
+            F.sum(
+                F.when(F.col("bucket_id") <= F.col("_sp.thr"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_le"),
+            F.sum("cnt").cast("long").alias("total"),
+        )
+        .withColumn(
+            "cdf", F.col("n_le").cast("double") / F.col("total")
+        )
+    )
+
+
+def histogram(
+    sketch_df: DataFrame,
+    keys: list[str],
+    sub_bits: int = SUB_BITS,
+) -> DataFrame:
+    """Materialized value-HISTOGRAM read: each sketch bucket with its
+    inclusive ``[lo, hi]`` value bounds, count, and fraction of the
+    key's total — the Grafana heatmap / distribution-panel read served
+    straight from the committed sketch rows (bounded:
+    <= 32 * 2^sub_bits rows per key), never raw points.
+
+    Bounds from the id alone: ``shift = max(bitlen - sub_bits, 0)``,
+    ``lo = sub << shift``, ``hi = lo + 2^shift - 1`` — exact int64, the
+    same arithmetic any SQL engine replays. ``frac`` is the one
+    division per row.
+
+    Output: (keys..., bucket_id, lo, hi, cnt, frac).
+    """
+    w_all = Window.partitionBy(*keys)
+    bid = F.col("bucket_id")
+    bitlen = F.shiftrightunsigned(bid, sub_bits)
+    shift = F.greatest(bitlen - F.lit(sub_bits), F.lit(0)).cast("int")
+    lo = bucket_lower(bid, sub_bits)
+    hi = lo + F.call_function("shiftleft", F.lit(1).cast("long"), shift) - 1
+    return sketch_df.select(
+        *keys,
+        bid.cast("long").alias("bucket_id"),
+        lo.cast("long").alias("lo"),
+        hi.cast("long").alias("hi"),
+        F.col("cnt").cast("long").alias("cnt"),
+        (
+            F.col("cnt").cast("double") / F.sum("cnt").over(w_all)
+        ).alias("frac"),
+    )
