@@ -2891,6 +2891,69 @@ def _q_cusum_changepoints_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(h1, slack=0, threshold_ratio=2)
 
 
+def _derived_gate(spark: SparkSession, sf_dir: str, rule: str) -> DataFrame:
+    """Shared lifecycle gate for the materialized recording rules: a
+    cascade commits the first ~3/4 of documents, the derived tier is
+    materialized, the last quarter arrives late (APPEND-only ingest),
+    and refresh_derived repairs ONLY the touched keys — the served
+    derived tier must hash-match the SQL oracle over ALL documents:
+    incremental refresh equals the from-scratch recompute, bitwise."""
+    from tersets_spark.derived import (
+        materialize_derived,
+        read_derived,
+        refresh_derived,
+    )
+    from tersets_spark.jobs import ingest_append, run_cascade
+    from tersets_spark.seqops import default_order_key
+    from tersets_spark.tables import ROWS_BY_SF
+
+    seq = _sequences(spark, sf_dir)
+    work = _gate_workdir(f"tersets_drv_{rule}_q_")
+    cutoff = ROWS_BY_SF[sf_name_from_dir(sf_dir)] * 3 // 4
+    base_path = os.path.join(work, "base.parquet")
+    late_path = os.path.join(work, "late.parquet")
+    seq.where(default_order_key() < cutoff).write.parquet(base_path)
+    seq.where(default_order_key() >= cutoff).write.parquet(late_path)
+    out = os.path.join(work, "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, base_path, out, with_blocks=False)
+    mapping = None
+    if rule == "group_1h":
+        mapping = (
+            seq.select("source")
+            .distinct()
+            .withColumn(
+                "grp",
+                F.concat(
+                    F.lit("g"),
+                    (F.substring("source", 5, 2).cast("int") % 3).cast("string"),
+                ),
+            )
+        )
+    materialize_derived(spark, out, rule, mapping=mapping)
+    ingest_append(spark, late_path, out, batch_id="late-drv")
+    refresh_derived(spark, out, rule, mapping=mapping)
+    return read_derived(spark, out, rule)
+
+
+def _q_derived_rate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized recording rule, rate (derived.materialize_derived /
+    refresh_derived): per-source counter rate over 1h totals, kept fresh
+    through a late-data ingest by re-deriving ONLY the touched sources'
+    series (predecessor coupling). Hash gate = SQL lag replay over the
+    full corpus."""
+    return _derived_gate(spark, sf_dir, "rate_1h")
+
+
+def _q_derived_group_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized recording rule, label-grouped totals: kept fresh
+    through a late-data ingest by recomputing ONLY the touched
+    (group, bucket) cells (bucket-local coupling) and splicing them into
+    the live partitions. Hash gate = the group-aggregate SQL over the
+    full corpus."""
+    return _derived_gate(spark, sf_dir, "group_1h")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness gate covers the FIRST 50 entries:
@@ -2937,12 +3000,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_retention_1h": _q_rollup_retention_1h,
         "sketch_delete_percentiles": _q_sketch_delete_percentiles,
         "stream_alerts_1m": _q_stream_alerts_1m,
-        "counter_rate_1h": _q_counter_rate_1h,
+        "derived_rate_refresh": _q_derived_rate_refresh,
         "time_weight_1m": _q_time_weight_1m,
         "anomaly_zscore_1m": _q_anomaly_zscore_1m,
         "corr_sources_1h": _q_corr_sources_1h,
         "coverage_1m_hourly": _q_coverage_1m_hourly,
-        "top_docs_daily": _q_top_docs_daily,
+        "derived_group_refresh": _q_derived_group_refresh,
         "top_movers_1h": _q_top_movers_1h,
         "seasonal_hourly": _q_seasonal_hourly,
         "token_topk_1h": _q_token_topk_1h,
@@ -2952,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # member of a family whose primary sits in the window; legacy
         # events demos at the tail by design ---
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
+        "counter_rate_1h": _q_counter_rate_1h,
+        "top_docs_daily": _q_top_docs_daily,
         "sketch_grid_multi": _q_sketch_grid_multi,
         "sketch_histogram_range": _q_sketch_histogram_range,
         "gapfill_multi": _q_gapfill_multi,
@@ -5142,6 +5207,56 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'down' END AS direction
             FROM s
             WHERE cusum_up > target * 2 OR cusum_dn > target * 2
+        """,
+        # materialized rate rule: incremental refresh == full-corpus lag
+        # replay (reset-corrected, sparse elapsed), bitwise
+        "derived_rate_refresh": f"""
+            WITH pts AS ({pts}),
+            per AS (
+                SELECT source, (ts // 3600) * 3600 AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS x
+                FROM pts GROUP BY 1, 2
+            ),
+            l AS (
+                SELECT source, bucket_ts, x,
+                       lag(x) OVER w AS prev_v,
+                       lag(bucket_ts) OVER w AS prev_t
+                FROM per
+                WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)
+                QUALIFY prev_v IS NOT NULL
+            )
+            SELECT source, CAST(bucket_ts AS BIGINT) AS bucket_ts,
+                   x AS value,
+                   CAST(x - prev_v AS BIGINT) AS delta,
+                   CAST(CASE WHEN x >= prev_v THEN x - prev_v ELSE x END
+                        AS BIGINT) AS increase,
+                   CAST(bucket_ts - prev_t AS BIGINT) AS elapsed,
+                   CAST(CASE WHEN x >= prev_v THEN x - prev_v ELSE x END
+                        AS DOUBLE) / (bucket_ts - prev_t) AS rate
+            FROM l
+        """,
+        # materialized group rule: touched-cell splice == full-corpus
+        # group aggregate (same oracle shape as group_agg_1h)
+        "derived_group_refresh": f"""
+            WITH pts AS ({pts}),
+            tier AS (
+                SELECT doc_id, source, (ts // 3600) * 3600 AS bucket_ts,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(v) AS BIGINT) AS vsum,
+                       CAST(MIN(v) AS BIGINT) AS vmin,
+                       CAST(MAX(v) AS BIGINT) AS vmax
+                FROM pts GROUP BY 1, 2, 3
+            )
+            SELECT 'g' || CAST(CAST(substr(source, 5, 2) AS INT) % 3
+                               AS VARCHAR) AS grp,
+                   CAST(bucket_ts AS BIGINT) AS bucket_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_series,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt,
+                   CAST(SUM(vsum) AS BIGINT) AS sum,
+                   CAST(MIN(vmin) AS BIGINT) AS vmin,
+                   CAST(MAX(vmax) AS BIGINT) AS vmax,
+                   CAST(SUM(vsum) AS DOUBLE) / SUM(cnt) AS mean
+            FROM tier GROUP BY 1, 2
         """,
         # sketch CDF: same bucket arithmetic one-shot from raw points,
         # split thresholds precomputed with the Python bucket_id twin

@@ -2225,6 +2225,12 @@ def delete_documents(
         if tier.split("_", 1)[0] in ("psk", "hll", "blm", "cms"):
             skipped.append(tier)
             continue
+        if tier.startswith("drv_") or tier == "ingest":
+            # derived recording-rule tiers carry no doc_id (they derive
+            # from the 1h tier); refresh_derived repairs them from the
+            # post-delete commits. "ingest" rows are batch lineage only.
+            skipped.append(tier)
+            continue
         try:
             tier_df = catalog.read_tier(spark, tier)
         except FileNotFoundError:
