@@ -2994,6 +2994,7 @@ def serve(
     alert_for: int | None = None,
     alert_threshold: int | None = None,
     smooth: bool = False,
+    derived_rule: str | None = None,
     as_of: int | None = None,
 ) -> DataFrame:
     """ONE serving entry point over a committed catalog — routes an
@@ -3027,6 +3028,9 @@ def serve(
       seconds (PromQL ``for:``).
     * ``smooth=True`` -> :func:`smooth_from_catalog` — EWMA + Holt
       level/trend/one-step forecast per series over ``[start, end)``.
+    * ``derived_rule`` given -> the materialized recording rule's rows
+      (:func:`tersets_spark.derived.read_derived`) cut to ``[start,
+      end)`` — precomputed rate / grouped series as a plain pruned read.
     * ``threshold`` given -> :func:`threshold_from_catalog` — every point
       with ``v >= threshold`` (``threshold_mode="<="`` flips it), served
       via the 1m tier's vmin/vmax zone maps so only candidate documents'
@@ -3046,7 +3050,7 @@ def serve(
                ("rate_tier", rate_tier or rate_step),
                ("threshold", threshold), ("instant_tier", instant_tier),
                ("horizon", horizon), ("alert_for", alert_for),
-               ("smooth", smooth or None))
+               ("smooth", smooth or None), ("derived_rule", derived_rule))
               if v is not None]
     if len(chosen) > 1:
         raise ValueError(
@@ -3090,6 +3094,12 @@ def serve(
         )
     if smooth:
         return smooth_from_catalog(spark, out_dir, start, end, as_of=as_of)
+    if derived_rule is not None:
+        from .derived import read_derived
+
+        return read_derived(spark, out_dir, derived_rule, as_of=as_of).where(
+            (F.col("bucket_ts") >= int(start)) & (F.col("bucket_ts") < int(end))
+        )
     if threshold is not None:
         return threshold_from_catalog(
             spark, out_dir, threshold, start, end,

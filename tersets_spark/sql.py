@@ -56,6 +56,18 @@ def register_views(
         if not catalog.current_run_lists(tier, as_of=snap):
             continue  # fully deleted / never-committed tier
         view = f"{prefix}_{tier}".replace(".", "_").replace("-", "_")
-        catalog.read_tier(spark, tier, as_of=snap).createOrReplaceTempView(view)
+        if tier.startswith("drv_"):
+            # derived recording-rule tiers: surface the rule's canonical
+            # columns (the partition path reuses the source= layout slot,
+            # so the key column needs its real name back)
+            from .derived import DERIVED_RULES, read_derived
+
+            rule = tier[len("drv_"):]
+            if rule not in DERIVED_RULES:
+                continue  # unknown/foreign derived tier: leave unregistered
+            df = read_derived(spark, out_dir, rule, as_of=snap)
+        else:
+            df = catalog.read_tier(spark, tier, as_of=snap)
+        df.createOrReplaceTempView(view)
         views[tier] = view
     return views
