@@ -2834,6 +2834,8 @@ def maintain(
     compact_files: int = 1,
     compact_range: bool = False,
     fold_sketches: bool = True,
+    refresh_derived_rules: bool = True,
+    derived_mappings: dict | None = None,
     superseded_grace_sec: float = 600.0,
 ) -> dict:
     """One maintenance pass over a committed catalog — the scheduled job a
@@ -2860,6 +2862,17 @@ def maintain(
     key universe again instead of growing with ingest count. Committed
     through the same conditional guard as compaction.
 
+    ``refresh_derived_rules=True`` (default) brings every MATERIALIZED
+    recording rule (:mod:`tersets_spark.derived`) up to date right after
+    retention — a retention pass is a content change the derived tiers
+    must follow, and running the refresh BEFORE compaction means the
+    compaction commits land after the new freshness watermark (the next
+    refresh sees only ``compact`` records and no-ops). Rules that need a
+    dim frame (``group_1h``) take it from ``derived_mappings[rule]``;
+    with none provided the rule is skipped and reported under
+    ``"derived_skipped"`` rather than refreshed against a guessed
+    mapping.
+
     ``compact_range=True`` (with ``compact_files > 1``) lays each
     partition out as time-DISJOINT files (``repartitionByRange`` on the
     tier's time column), which is what makes the NEXT retention pass
@@ -2881,6 +2894,21 @@ def maintain(
             spark, out_dir, now_ts, retention_policy,
             superseded_grace_sec=superseded_grace_sec,
         )
+    derived_refreshed: dict[str, str] = {}
+    derived_skipped: list[str] = []
+    if refresh_derived_rules:
+        from .derived import DERIVED_RULES, _last_watermark, refresh_derived
+
+        recs = catalog.metrics()
+        for rule in sorted(DERIVED_RULES):
+            if _last_watermark(recs, rule) is None:
+                continue  # never materialized in this catalog
+            mapping = (derived_mappings or {}).get(rule)
+            if rule == "group_1h" and mapping is None:
+                derived_skipped.append(rule)
+                continue
+            r = refresh_derived(spark, out_dir, rule, mapping=mapping)
+            derived_refreshed[rule] = r["mode"]
     tiers = sorted(
         {r["tier"] for r in catalog.metrics() if r.get("path")} - {"raw+1m"}
     )
@@ -2910,7 +2938,9 @@ def maintain(
         vacuumed_dirs=sum(vacuumed.values()),
     )
     return {"expired": expired, "folded": folded,
-            "compacted": compacted, "vacuumed": vacuumed}
+            "compacted": compacted, "vacuumed": vacuumed,
+            "derived_refreshed": derived_refreshed,
+            "derived_skipped": derived_skipped}
 
 
 #: family prefix -> (merge fn import path is resolved lazily), tier seconds

@@ -108,3 +108,32 @@ def test_streamed_finalize_refreshes_incrementally(spark, tmp_path):
     assert _rows(read_derived(spark, cat_dir, "rate_1h")) == _rows(
         derived_rows(h1, "rate_1h")
     )
+
+
+def test_maintain_refreshes_derived_after_retention(spark, tmp_path):
+    """maintain(now_ts=...) with a retention policy: the derived tier
+    follows the content change in the same pass, and a second maintain
+    sees only compact commits -> the refresh no-ops."""
+    from tersets_spark.jobs import maintain
+
+    seq = str(tmp_path / "seq.parquet")
+    pq.write_table(generate_sequences(240, seed=79), seq)
+    out = str(tmp_path / "cat")
+    os.makedirs(out)
+    run_cascade(spark, seq, out, with_blocks=False)
+    materialize_derived(spark, out, "rate_1h")
+    cat = TierCatalog(out)
+    h1 = cat.read_tier(spark, "1h")
+    lo = int(h1.agg(F.min("bucket_ts")).head()[0])
+    hi = int(h1.agg(F.max("bucket_ts")).head()[0])
+    now = hi + 3600
+    res = maintain(spark, out, now_ts=now,
+                   retention_policy={"1h": now - (lo + 4 * 3600)})
+    assert res["derived_refreshed"].get("rate_1h") == "rebuild"
+    assert res["derived_skipped"] == []
+    h1b = cat.read_tier(spark, "1h")
+    assert _rows(read_derived(spark, out, "rate_1h")) == _rows(
+        derived_rows(h1b, "rate_1h")
+    )
+    res2 = maintain(spark, out)
+    assert res2["derived_refreshed"].get("rate_1h") == "noop"
