@@ -2918,6 +2918,7 @@ def _derived_gate(spark: SparkSession, sf_dir: str, rule: str) -> DataFrame:
     os.makedirs(out, exist_ok=True)
     run_cascade(spark, base_path, out, with_blocks=False)
     mapping = None
+    params = None
     if rule == "group_1h":
         mapping = (
             seq.select("source")
@@ -2930,7 +2931,22 @@ def _derived_gate(spark: SparkSession, sf_dir: str, rule: str) -> DataFrame:
                 ),
             )
         )
-    materialize_derived(spark, out, rule, mapping=mapping)
+    if rule == "alert_1h":
+        # pinned condition = the FULL corpus's exact-integer mean 1h
+        # series value (the oracle derives the identical threshold in
+        # SQL) with a 3-consecutive-hours for: duration
+        series = (
+            rollup_raw(seq, TIERS["1m"])
+            .groupBy("source", (F.floor(F.col("bucket_ts") / 3600) * 3600)
+                     .cast("long").alias("bucket_ts"))
+            .agg(F.sum("sum").cast("long").alias("x"))
+        )
+        tot = series.agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        ).first()
+        params = {"threshold": tot.s // tot.c, "min_duration": 10_800}
+    materialize_derived(spark, out, rule, mapping=mapping, params=params)
     ingest_append(spark, late_path, out, batch_id="late-drv")
     refresh_derived(spark, out, rule, mapping=mapping)
     return read_derived(spark, out, rule)
@@ -2943,6 +2959,17 @@ def _q_derived_rate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     series (predecessor coupling). Hash gate = SQL lag replay over the
     full corpus."""
     return _derived_gate(spark, sf_dir, "rate_1h")
+
+
+def _q_derived_alert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized ALERT rule (Prometheus's other rule kind): firing
+    intervals (x > corpus-mean threshold for >= 3 consecutive hours)
+    recorded as a derived tier with the condition PINNED in the
+    freshness watermark; kept fresh through a late-data ingest by
+    re-deriving only the touched sources' island structure. Hash gate =
+    the gaps-and-islands SQL over the full corpus at the identical
+    exact-integer threshold."""
+    return _derived_gate(spark, sf_dir, "alert_1h")
 
 
 def _q_derived_group_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3008,13 +3035,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_group_refresh": _q_derived_group_refresh,
         "top_movers_1h": _q_top_movers_1h,
         "seasonal_hourly": _q_seasonal_hourly,
-        "token_topk_1h": _q_token_topk_1h,
+        "derived_alert_refresh": _q_derived_alert_refresh,
         "media_png_decode_stats": _q_media_png_decode_stats,
         # --- entries 51+: driver-green in earlier rounds
         # (CORRECTNESS_r01-r04), judge-re-run in r4, or the batch/second
         # member of a family whose primary sits in the window; legacy
         # events demos at the tail by design ---
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
+        "token_topk_1h": _q_token_topk_1h,
         "counter_rate_1h": _q_counter_rate_1h,
         "top_docs_daily": _q_top_docs_daily,
         "sketch_grid_multi": _q_sketch_grid_multi,
@@ -5234,6 +5262,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN x >= prev_v THEN x - prev_v ELSE x END
                         AS DOUBLE) / (bucket_ts - prev_t) AS rate
             FROM l
+        """,
+        # materialized alert rule: pinned-condition islands replay over
+        # the full corpus (threshold = exact-integer mean of the 1h grid)
+        "derived_alert_refresh": f"""
+            WITH pts AS ({pts}),
+            per AS (
+                SELECT source, (ts // 3600) * 3600 AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS x
+                FROM pts GROUP BY 1, 2
+            ),
+            thr AS (
+                SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS t FROM per
+            ),
+            b AS (
+                SELECT source, bucket_ts, x FROM per, thr WHERE x > thr.t
+            ),
+            isl AS (
+                SELECT source, bucket_ts, x,
+                       bucket_ts - 3600 * row_number() OVER (
+                           PARTITION BY source ORDER BY bucket_ts) AS island
+                FROM b
+            ),
+            runs AS (
+                SELECT source, MIN(bucket_ts) AS start_ts,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(MAX(x) AS BIGINT) AS peak,
+                       CAST(SUM(x) AS BIGINT) AS total
+                FROM isl GROUP BY source, island
+            )
+            SELECT source, CAST(start_ts AS BIGINT) AS start_ts,
+                   CAST(start_ts + n * 3600 AS BIGINT) AS end_ts,
+                   n AS n_buckets,
+                   CAST(n * 3600 AS BIGINT) AS duration,
+                   peak, total
+            FROM runs WHERE n * 3600 >= 10800
         """,
         # materialized group rule: touched-cell splice == full-corpus
         # group aggregate (same oracle shape as group_agg_1h)

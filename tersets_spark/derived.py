@@ -62,7 +62,14 @@ from pyspark.sql import functions as F
 from .catalog import TierCatalog, tier_writer
 
 #: rules → the key column their derived rows are partitioned/read by
-DERIVED_RULES = {"rate_1h": "source", "group_1h": "grp"}
+DERIVED_RULES = {"rate_1h": "source", "group_1h": "grp", "alert_1h": "source"}
+
+#: refresh coupling class per rule: "series" (a row depends on other
+#: buckets of the SAME series — rate's predecessor, alert's islands) →
+#: refresh re-derives affected sources' series; "cell" (a row depends
+#: only on its own bucket across series) → refresh recomputes touched
+#: cells and splices
+RULE_COUPLING = {"rate_1h": "series", "group_1h": "cell", "alert_1h": "series"}
 
 #: canonical column order per rule (partitioned reads append the key
 #: column last; read_derived restores this order)
@@ -71,7 +78,30 @@ DERIVED_COLUMNS = {
                 "elapsed", "rate"],
     "group_1h": ["grp", "bucket_ts", "n_series", "cnt", "sum", "vmin",
                  "vmax", "mean"],
+    "alert_1h": ["source", "start_ts", "end_ts", "n_buckets", "duration",
+                 "peak", "total"],
 }
+
+#: the alert tier has no bucket_ts; reads/serving cut on start_ts
+DERIVED_TIME_COLUMN = {
+    "rate_1h": "bucket_ts", "group_1h": "bucket_ts", "alert_1h": "start_ts",
+}
+
+
+def _require_params(rule: str, params: dict | None) -> dict:
+    """Validate rule parameters. ``alert_1h`` REQUIRES integer
+    ``threshold`` and ``min_duration`` (a recorded alert rule without a
+    pinned condition is meaningless); the other rules take none."""
+    if rule == "alert_1h":
+        if not params or not {"threshold", "min_duration"} <= set(params):
+            raise ValueError(
+                "alert_1h needs params={'threshold': int, 'min_duration': int}"
+            )
+        return {"threshold": int(params["threshold"]),
+                "min_duration": int(params["min_duration"])}
+    if params:
+        raise ValueError(f"rule {rule!r} takes no params, got {params}")
+    return {}
 
 #: bucket lists above this size stop being broadcast IN-list material;
 #: the refresh falls back to whole-partition re-derivation instead
@@ -97,16 +127,20 @@ def derived_rows(
     mapping: DataFrame | None = None,
     sources: list[str] | None = None,
     buckets: list[int] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """The rule's derived table over (a slice of) a 1h tier frame — the
     ONE definition materialize, refresh, and every equality test share.
 
     ``sources`` / ``buckets`` restrict the recompute (pushed into the
-    scan). For ``rate_1h`` only ``sources`` is honored — a rate row
-    needs its predecessor, so slicing buckets would corrupt edges; for
-    ``group_1h`` both apply (a group cell is bucket-local).
+    scan). The "series"-coupled rules (rate, alert) honor only
+    ``sources`` — a rate row needs its predecessor and an alert island
+    spans buckets, so slicing buckets would corrupt edges; ``group_1h``
+    honors both (a group cell is bucket-local). ``params`` carries the
+    alert rule's pinned condition.
     """
     key = _require_rule(rule)
+    params = _require_params(rule, params)
     if rule == "rate_1h":
         from .rollup import counter_rate
 
@@ -117,6 +151,21 @@ def derived_rows(
         return out.select(
             "source", F.col("bucket_ts").cast("long").alias("bucket_ts"),
             "value", "delta", "increase", "elapsed", "rate",
+        )
+    if rule == "alert_1h":
+        from .rollup import alert_intervals
+
+        if sources is not None:
+            h1 = h1.where(F.col("source").isin(list(sources)))
+        per = _collapse(h1)
+        out = alert_intervals(
+            per, params["threshold"], 3600, params["min_duration"],
+            value_col="x", keys=("source",),
+        )
+        return out.select(
+            "source", F.col("start_ts").cast("long").alias("start_ts"),
+            F.col("end_ts").cast("long").alias("end_ts"),
+            "n_buckets", "duration", "peak", "total",
         )
     from .rollup import group_aggregate
 
@@ -230,14 +279,23 @@ def _watermark(catalog: TierCatalog, rule: str, upstream_snapshot: int, **m) -> 
     )
 
 
-def _last_watermark(recs: list[dict], rule: str) -> int | None:
+def _last_watermark_rec(recs: list[dict], rule: str) -> dict | None:
+    """The LATEST freshness watermark record for a rule (carries the
+    upstream snapshot AND the rule's pinned params)."""
     tier = f"drv_{rule}"
-    marks = [
-        int(r["upstream_snapshot"])
-        for r in recs
-        if r["tier"] == tier and r.get("status") == "derived_refresh"
-    ]
-    return max(marks) if marks else None
+    best = None
+    for r in recs:
+        if r["tier"] == tier and r.get("status") == "derived_refresh":
+            if best is None or int(r["upstream_snapshot"]) >= int(
+                best["upstream_snapshot"]
+            ):
+                best = r
+    return best
+
+
+def _last_watermark(recs: list[dict], rule: str) -> int | None:
+    rec = _last_watermark_rec(recs, rule)
+    return None if rec is None else int(rec["upstream_snapshot"])
 
 
 def materialize_derived(
@@ -245,26 +303,33 @@ def materialize_derived(
     out_dir: str,
     rule: str,
     mapping: DataFrame | None = None,
+    params: dict | None = None,
 ) -> dict:
     """Build the derived tier from the CURRENT committed 1h tier and
     commit it (one immutable run per key partition + the freshness
     watermark). The upstream snapshot is pinned BEFORE the read so the
     watermark never claims consistency with commits the build didn't
-    see."""
+    see. ``params`` (the alert rule's threshold/for-duration) is
+    validated here and RECORDED IN THE WATERMARK — every later refresh
+    reuses the pinned condition, so the materialized rows can never
+    silently drift to a different rule definition."""
     _require_rule(rule)
+    params = _require_params(rule, params)
     catalog = TierCatalog(out_dir)
     snap = catalog.pin()
     try:
         h1 = catalog.read_tier(spark, "1h")
-        rows = derived_rows(h1, rule, mapping=mapping)
+        rows = derived_rows(h1, rule, mapping=mapping, params=params or None)
         committed, _ = _commit_partitions(
             catalog, rows, rule, expected=None, upstream_snapshot=snap,
             status_note="materialize",
         )
     finally:
         catalog.unpin()
-    _watermark(catalog, rule, snap, partitions=len(committed))
-    return {"rule": rule, "partitions": committed, "upstream_snapshot": snap}
+    _watermark(catalog, rule, snap, partitions=len(committed),
+               rule_params=params)
+    return {"rule": rule, "partitions": committed, "upstream_snapshot": snap,
+            "params": params}
 
 
 def refresh_derived(
@@ -272,26 +337,39 @@ def refresh_derived(
     out_dir: str,
     rule: str,
     mapping: DataFrame | None = None,
+    params: dict | None = None,
 ) -> dict:
     """Bring a materialized rule up to date with the 1h tier,
     incrementally where the manifest proves it safe (module docstring
-    has the classification). Returns ``{"mode", "refreshed",
-    "conflicted", "touched_buckets"}``; ``mode`` is ``"noop"`` /
-    ``"incremental"`` / ``"rebuild"``."""
+    has the classification). Rule params come from the LAST watermark
+    (the condition pinned at materialize time); passing ``params``
+    explicitly is allowed only when it MATCHES — a refresh must never
+    quietly re-evaluate a different rule. Returns ``{"mode",
+    "refreshed", "conflicted", "touched_buckets"}``; ``mode`` is
+    ``"noop"`` / ``"incremental"`` / ``"rebuild"``."""
     key = _require_rule(rule)
     catalog = TierCatalog(out_dir)
     recs = catalog.metrics()
-    last = _last_watermark(recs, rule)
-    if last is None:
+    wm = _last_watermark_rec(recs, rule)
+    if wm is None:
         raise ValueError(
             f"derived rule {rule!r} has never been materialized in {out_dir}"
         )
+    last = int(wm["upstream_snapshot"])
+    pinned = wm.get("rule_params") or {}
+    if params is not None and _require_params(rule, params or None) != pinned:
+        raise ValueError(
+            f"refresh_derived: params {params} differ from the pinned rule "
+            f"condition {pinned}; re-materialize to change the rule"
+        )
+    params = pinned or None
     snap_now = len(recs)
     h1_commits = [
         r for r in recs[last:snap_now] if r["tier"] == "1h" and "path" in r
     ]
     if not h1_commits:
-        _watermark(catalog, rule, snap_now, refreshed=0)
+        _watermark(catalog, rule, snap_now, refreshed=0,
+                   rule_params=pinned)
         return {"mode": "noop", "refreshed": [], "conflicted": [],
                 "touched_buckets": 0}
 
@@ -301,7 +379,8 @@ def refresh_derived(
     append_recs = [r for r in h1_commits if r.get("status") == "append"]
     if incremental and not append_recs:
         # compaction only: content identical, nothing to re-derive
-        _watermark(catalog, rule, snap_now, refreshed=0)
+        _watermark(catalog, rule, snap_now, refreshed=0,
+                   rule_params=pinned)
         return {"mode": "noop", "refreshed": [], "conflicted": [],
                 "touched_buckets": 0}
 
@@ -330,10 +409,11 @@ def refresh_derived(
     try:
         h1 = catalog.read_tier(spark, "1h")
         expected = catalog.current_runs(f"drv_{rule}")
-        if rule == "rate_1h":
-            # predecessor coupling -> re-derive the affected sources' series
+        if RULE_COUPLING[rule] == "series":
+            # within-series coupling (rate's predecessor, alert's islands)
+            # -> re-derive the affected sources' series
             parts = touched_sources
-            new_rows = derived_rows(h1, rule, sources=parts)
+            new_rows = derived_rows(h1, rule, sources=parts, params=params)
         else:
             mapping = _require_mapping(mapping)
             grp_of = {
@@ -370,6 +450,7 @@ def refresh_derived(
         _watermark(
             catalog, rule, snap_read,
             refreshed=len(committed), touched_buckets=len(touched_buckets),
+            rule_params=pinned,
         )
     return {
         "mode": "incremental" if incremental else "rebuild",

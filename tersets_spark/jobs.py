@@ -3125,10 +3125,11 @@ def serve(
     if smooth:
         return smooth_from_catalog(spark, out_dir, start, end, as_of=as_of)
     if derived_rule is not None:
-        from .derived import read_derived
+        from .derived import DERIVED_TIME_COLUMN, read_derived
 
+        tcol = DERIVED_TIME_COLUMN[derived_rule]
         return read_derived(spark, out_dir, derived_rule, as_of=as_of).where(
-            (F.col("bucket_ts") >= int(start)) & (F.col("bucket_ts") < int(end))
+            (F.col(tcol) >= int(start)) & (F.col(tcol) < int(end))
         )
     if threshold is not None:
         return threshold_from_catalog(

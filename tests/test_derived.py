@@ -189,3 +189,44 @@ def test_watermark_advances_and_rides_manifest_only(spark, catalog_dir):
     assert len(marks) == 2 and marks[1]["upstream_snapshot"] >= snap0
     # path-less watermark records are invisible to readers
     assert "_watermark" not in cat.current_runs("drv_rate_1h")
+
+
+def _alert_params(spark, catalog_dir):
+    h1 = TierCatalog(catalog_dir).read_tier(spark, "1h")
+    per = h1.groupBy("source", "bucket_ts").agg(F.sum("sum").alias("x"))
+    tot = per.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c")).first()
+    return {"threshold": int(tot.s) // int(tot.c), "min_duration": 7200}
+
+
+def test_alert_rule_lifecycle_and_param_pinning(
+    spark, catalog_dir, split_corpus
+):
+    P = _alert_params(spark, catalog_dir)
+    m = materialize_derived(spark, catalog_dir, "alert_1h", params=P)
+    assert m["params"] == P and m["partitions"]
+    ingest_append(spark, split_corpus[1], catalog_dir, batch_id="late-a")
+    # refresh reuses the PINNED condition (no params arg needed)
+    r = refresh_derived(spark, catalog_dir, "alert_1h")
+    assert r["mode"] == "incremental" and not r["conflicted"]
+    h1 = TierCatalog(catalog_dir).read_tier(spark, "1h")
+    assert _rows(read_derived(spark, catalog_dir, "alert_1h")) == _rows(
+        derived_rows(h1, "alert_1h", params=P)
+    )
+    # matching explicit params are accepted; a drifted condition is not
+    assert refresh_derived(spark, catalog_dir, "alert_1h", params=P)[
+        "mode"
+    ] == "noop"
+    with pytest.raises(ValueError, match="pinned rule condition"):
+        refresh_derived(
+            spark, catalog_dir, "alert_1h",
+            params={"threshold": P["threshold"] + 1, "min_duration": 7200},
+        )
+
+
+def test_alert_rule_requires_params(spark, catalog_dir):
+    with pytest.raises(ValueError, match="needs params"):
+        materialize_derived(spark, catalog_dir, "alert_1h")
+    with pytest.raises(ValueError, match="takes no params"):
+        materialize_derived(
+            spark, catalog_dir, "rate_1h", params={"threshold": 1}
+        )
