@@ -2961,6 +2961,25 @@ def _q_derived_rate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derived_gate(spark, sf_dir, "rate_1h")
 
 
+def _q_promql_rate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-lite text surface (promql.query_range): `rate(tokens[1h])`
+    over a committed catalog compiles to the per-source step-cell
+    reset-corrected rate read — the oracle replays the identical lag
+    arithmetic in SQL over the raw corpus, proving the parser adds
+    nothing but the grammar."""
+    from tersets_spark.jobs import run_cascade
+    from tersets_spark.promql import query_range
+
+    seq_path = ensure_sequences(sf_name_from_dir(sf_dir))
+    work = _gate_workdir("tersets_promql_q_")
+    out = os.path.join(work, "cat")
+    os.makedirs(out, exist_ok=True)
+    run_cascade(spark, seq_path, out, with_blocks=False)
+    return query_range(
+        spark, out, "rate(tokens[1h])", _ABSENT_START, _ABSENT_END, 3600
+    )
+
+
 def _q_derived_alert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized ALERT rule (Prometheus's other rule kind): firing
     intervals (x > corpus-mean threshold for >= 3 consecutive hours)
@@ -3034,7 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_1m_hourly": _q_coverage_1m_hourly,
         "derived_group_refresh": _q_derived_group_refresh,
         "top_movers_1h": _q_top_movers_1h,
-        "seasonal_hourly": _q_seasonal_hourly,
+        "promql_rate_range": _q_promql_rate_range,
         "derived_alert_refresh": _q_derived_alert_refresh,
         "media_png_decode_stats": _q_media_png_decode_stats,
         # --- entries 51+: driver-green in earlier rounds
@@ -3042,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # member of a family whose primary sits in the window; legacy
         # events demos at the tail by design ---
         "range_stitch_agg_sec": _q_range_stitch_agg_sec,
+        "seasonal_hourly": _q_seasonal_hourly,
         "token_topk_1h": _q_token_topk_1h,
         "counter_rate_1h": _q_counter_rate_1h,
         "top_docs_daily": _q_top_docs_daily,
@@ -5261,6 +5281,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bucket_ts - prev_t AS BIGINT) AS elapsed,
                    CAST(CASE WHEN x >= prev_v THEN x - prev_v ELSE x END
                         AS DOUBLE) / (bucket_ts - prev_t) AS rate
+            FROM l
+        """,
+        # promql rate(tokens[1h]): identical lag arithmetic from raw points
+        "promql_rate_range": f"""
+            WITH pts AS ({pts}),
+            per AS (
+                SELECT source, (ts // 3600) * 3600 AS bucket_ts,
+                       CAST(SUM(v) AS BIGINT) AS x
+                FROM pts
+                WHERE ts >= {_ABSENT_START} AND ts < {_ABSENT_END}
+                GROUP BY 1, 2
+            ),
+            l AS (
+                SELECT source, bucket_ts, x,
+                       lag(x) OVER w AS prev_v,
+                       lag(bucket_ts) OVER w AS prev_t
+                FROM per
+                WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)
+                QUALIFY prev_v IS NOT NULL
+            )
+            SELECT source, CAST(bucket_ts AS BIGINT) AS bucket_ts,
+                   CAST(CASE WHEN x >= prev_v THEN x - prev_v ELSE x END
+                        AS DOUBLE) / (bucket_ts - prev_t) AS value
             FROM l
         """,
         # materialized alert rule: pinned-condition islands replay over
