@@ -60,7 +60,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["parse", "query_range"]
+__all__ = ["parse", "query_instant", "query_range"]
 
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
@@ -448,3 +448,60 @@ def query_range(
         )
 
     raise ValueError(f"promql: unsupported function {func!r}")
+
+
+def query_instant(
+    spark: SparkSession,
+    out_dir: str,
+    expr: str,
+    at: int,
+    lookback: int = 300,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Evaluate a PromQL-lite INSTANT query at evaluation time ``at``.
+
+    Two shapes:
+
+    * a bare selector (``tokens`` / ``tokens{source="x"}``) — each
+      series' most recent sample in the staleness window
+      ``(at - lookback, at]`` plus idelta/irate from the final bucket
+      pair (jobs.instant_from_catalog; PromQL's 5-minute staleness
+      default scaled by ``lookback``);
+    * ``irate(tokens[w])`` / ``idelta(tokens[w])`` — the same read with
+      ``lookback = w``, projected to (keys, ts, value).
+
+    The range form lives in :func:`query_range`; mixing a [window] onto
+    a bare instant selector is rejected (PromQL would too).
+    """
+    from .jobs import instant_from_catalog
+
+    node = parse(expr)
+    if isinstance(node, _Call):
+        if node.func not in ("irate", "idelta"):
+            raise ValueError(
+                f"promql: instant queries support irate/idelta or a bare "
+                f"selector, got {node.func!r}"
+            )
+        (sel,) = node.args
+        if sel.window is None:
+            raise ValueError(f"promql: {node.func} needs a [window]")
+        out = instant_from_catalog(
+            spark, out_dir, int(at), int(sel.window), as_of=as_of
+        )
+        if sel.sources is not None:
+            out = out.where(F.col("source").isin(sel.sources))
+        col = "irate" if node.func == "irate" else "idelta"
+        return out.select(
+            "doc_id", "source", F.col("sample_ts"),
+            F.col(col).cast("double").alias("value"),
+        )
+    if not isinstance(node, _Selector):
+        raise ValueError("promql: instant queries take a selector or irate/idelta")
+    if node.window is not None:
+        raise ValueError(
+            "promql: an instant selector takes no [window] — pass lookback="
+        )
+    out = instant_from_catalog(spark, out_dir, int(at), int(lookback), as_of=as_of)
+    if node.sources is not None:
+        out = out.where(F.col("source").isin(node.sources))
+    return out

@@ -172,3 +172,29 @@ def test_sum_by_grp_routes_to_group_read(spark, catalog_dir, span):
         spark, catalog_dir, mapping, tier="1h", start=lo, end=hi
     ).select("grp", "bucket_ts", F.col("sum").alias("value"))
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_query_instant_routes_and_filters(spark, catalog_dir, span):
+    from tersets_spark.jobs import instant_from_catalog
+    from tersets_spark.promql import query_instant
+
+    lo, hi = span
+    at = hi - 3600
+    got = query_instant(spark, catalog_dir, "tokens", at, lookback=7200)
+    want = instant_from_catalog(spark, catalog_dir, at, 7200)
+    assert _rows(got) == _rows(want) and got.count() > 0
+    one = query_instant(
+        spark, catalog_dir, 'tokens{source="src_00"}', at, lookback=7200
+    )
+    assert {r["source"] for r in one.collect()} == {"src_00"}
+    ir = query_instant(spark, catalog_dir, "irate(tokens[2h])", at)
+    assert ir.columns == ["doc_id", "source", "sample_ts", "value"]
+    want_ir = want.select(
+        "doc_id", "source", "sample_ts",
+        F.col("irate").cast("double").alias("value"),
+    )
+    assert _rows(ir) == _rows(want_ir)
+    with pytest.raises(ValueError, match="takes no \\[window\\]"):
+        query_instant(spark, catalog_dir, "tokens[1h]", at)
+    with pytest.raises(ValueError, match="irate/idelta"):
+        query_instant(spark, catalog_dir, "rate(tokens[1h])", at)
