@@ -429,8 +429,11 @@ class TierCatalog:
             # Conditional commit: if a concurrent writer superseded `rel`
             # while we rewrote it, our compaction of the OLD run must not
             # clobber the NEW data — abandon the rewrite instead.
+            # status="compact": a compaction is content-IDENTICAL by
+            # contract, and downstream consumers (derived-tier refresh)
+            # classify commits by status to skip re-deriving after one
             committed = self.record_if_current(
-                tier, part, rel, path=rel_new,
+                tier, part, rel, status="compact", path=rel_new,
                 wall_ms=round((time.monotonic() - t0) * 1000, 1),
                 bytes_out=_dir_bytes(dest),
                 compacted_from=n_files, compacted_to=max_files_per_partition,

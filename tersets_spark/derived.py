@@ -388,64 +388,72 @@ def refresh_derived(
     touched_buckets: list[int] = []
     if incremental:
         # the delta runs THEMSELVES name the touched keys — finding the
-        # work costs O(|delta|), not a tier scan
+        # work costs O(|delta|), not a tier scan. EVERY append run must
+        # still exist: with some vacuumed away (a later compaction
+        # superseded them) a partial read would UNDERCOUNT the touched
+        # keys while the watermark still advances — permanently stale
+        # rows; fall back to the per-partition rebuild instead.
         delta_dirs = [os.path.join(base, r["path"]) for r in append_recs]
-        delta_dirs = [d for d in delta_dirs if os.path.exists(d)]
-        if delta_dirs:
+        if delta_dirs and all(os.path.exists(d) for d in delta_dirs):
             delta = spark.read.option("basePath", base).parquet(*delta_dirs)
             pairs = (
                 delta.select("source", "bucket_ts").distinct().collect()
             )
             touched_sources = sorted({r["source"] for r in pairs})
             touched_buckets = sorted({int(r["bucket_ts"]) for r in pairs})
-        else:  # delta runs already compacted away: fall back per partition
+        else:
             incremental = False
     if incremental and len(touched_buckets) > MAX_TOUCHED_BUCKETS:
         incremental = False  # IN-list stops being a sane pushdown
     if not incremental:
         touched_sources = sorted({r["partition"] for r in h1_commits})
 
-    snap_read = catalog.pin()
-    try:
-        h1 = catalog.read_tier(spark, "1h")
-        expected = catalog.current_runs(f"drv_{rule}")
-        if RULE_COUPLING[rule] == "series":
-            # within-series coupling (rate's predecessor, alert's islands)
-            # -> re-derive the affected sources' series
-            parts = touched_sources
-            new_rows = derived_rows(h1, rule, sources=parts, params=params)
+    # Every read resolves AS OF the same snapshot the commits were
+    # classified against (snap_now) — pin() would resolve the CURRENT
+    # manifest, and a 1h commit landing between metrics() and pin()
+    # would then be covered by the watermark without ever having been
+    # classified (its derived rows permanently stale). The conditional
+    # commits still guard against concurrent drv writers at commit time.
+    snap_read = snap_now
+    h1 = catalog.read_tier(spark, "1h", as_of=snap_read)
+    expected = catalog.current_runs(f"drv_{rule}", as_of=snap_read)
+    if RULE_COUPLING[rule] == "series":
+        # within-series coupling (rate's predecessor, alert's islands)
+        # -> re-derive the affected sources' series
+        parts = touched_sources
+        new_rows = derived_rows(h1, rule, sources=parts, params=params)
+    else:
+        mapping = _require_mapping(mapping)
+        grp_of = {
+            r["source"]: r["grp"] for r in mapping.distinct().collect()
+        }
+        # unmapped sources land in group_aggregate's "other" group;
+        # affected groups are filtered AFTER the aggregate (never by
+        # source list — "other" has no enumerable source set)
+        parts = sorted({grp_of.get(s, "other") for s in touched_sources})
+        if incremental:
+            # bucket-local coupling -> recompute ONLY touched cells,
+            # keep every other bucket's rows from the live runs
+            old = read_derived(
+                spark, out_dir, rule, as_of=snap_read
+            ).where(
+                F.col(key).isin(parts)
+                & ~F.col("bucket_ts").isin(touched_buckets)
+            )
+            fresh = derived_rows(
+                h1, rule, mapping=mapping, buckets=touched_buckets
+            ).where(F.col(key).isin(parts))
+            new_rows = old.unionByName(fresh)
         else:
-            mapping = _require_mapping(mapping)
-            grp_of = {
-                r["source"]: r["grp"] for r in mapping.distinct().collect()
-            }
-            # unmapped sources land in group_aggregate's "other" group;
-            # affected groups are filtered AFTER the aggregate (never by
-            # source list — "other" has no enumerable source set)
-            parts = sorted({grp_of.get(s, "other") for s in touched_sources})
-            if incremental:
-                # bucket-local coupling -> recompute ONLY touched cells,
-                # keep every other bucket's rows from the live runs
-                old = read_derived(spark, out_dir, rule).where(
-                    F.col(key).isin(parts)
-                    & ~F.col("bucket_ts").isin(touched_buckets)
-                )
-                fresh = derived_rows(
-                    h1, rule, mapping=mapping, buckets=touched_buckets
-                ).where(F.col(key).isin(parts))
-                new_rows = old.unionByName(fresh)
-            else:
-                new_rows = derived_rows(h1, rule, mapping=mapping).where(
-                    F.col(key).isin(parts)
-                )
-        committed, conflicted = _commit_partitions(
-            catalog, new_rows, rule, expected=expected,
-            upstream_snapshot=snap_read, affected=list(parts),
-            touched_buckets=len(touched_buckets),
-            refresh_mode="incremental" if incremental else "rebuild",
-        )
-    finally:
-        catalog.unpin()
+            new_rows = derived_rows(h1, rule, mapping=mapping).where(
+                F.col(key).isin(parts)
+            )
+    committed, conflicted = _commit_partitions(
+        catalog, new_rows, rule, expected=expected,
+        upstream_snapshot=snap_read, affected=list(parts),
+        touched_buckets=len(touched_buckets),
+        refresh_mode="incremental" if incremental else "rebuild",
+    )
     if not conflicted:
         _watermark(
             catalog, rule, snap_read,

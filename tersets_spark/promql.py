@@ -192,7 +192,13 @@ class _Parser:
         window = None
         if self.peek() == ("op", "["):
             self.take()
-            n = int(float(self.take("number")))
+            raw_n = self.take("number")
+            if "." in raw_n:
+                raise ValueError(
+                    f"promql: durations are integers (got {raw_n!r}) — "
+                    "write 90m, not 1.5h"
+                )
+            n = int(raw_n)
             unit = self.take("ident")
             if unit not in _UNIT_SECONDS:
                 raise ValueError(f"promql: unknown duration unit {unit!r}")
@@ -244,8 +250,8 @@ def _grid(
         df = df.where(F.col("source").isin(sel.sources))
     cell = (F.floor(F.col("bucket_ts") / step) * step).cast("long")
     return df.groupBy("source", cell.alias("bucket_ts")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("sum").cast("long").alias("value"),
+        F.sum("cnt").cast("long").alias("cnt"),
         F.min("vmin").cast("long").alias("vmin"),
         F.max("vmax").cast("long").alias("vmax"),
     )
@@ -281,29 +287,13 @@ def query_range(
             )
         if node.label == "source":
             g = _grid(spark, out_dir, node.sel, s, e, step, as_of)
+            # avg of the cell's points = sum/cnt — both exact integers
+            # the grid already carries, one bit-stable division
             agg = {"sum": F.col("value"), "min": F.col("vmin"),
                    "max": F.col("vmax"),
-                   "avg": F.col("value")}[node.op]
-            out = g.select("source", "bucket_ts", agg.alias("value"))
-            if node.op == "avg":
-                # avg of the series' points in the cell = sum / count of
-                # points, which the tier carries exactly as sum/cnt — use
-                # the grid's exact integers
-                from .jobs import _read_tier_range
-                from .rollup import serving_tier_for_step
-
-                name, _secs = serving_tier_for_step(step)
-                df = _read_tier_range(
-                    spark, out_dir, name, s, e, as_of, "promql"
-                )
-                if node.sel.sources is not None:
-                    df = df.where(F.col("source").isin(node.sel.sources))
-                cell = (F.floor(F.col("bucket_ts") / step) * step).cast("long")
-                out = df.groupBy("source", cell.alias("bucket_ts")).agg(
-                    (F.sum("sum").cast("double") / F.sum("cnt"))
-                    .alias("value")
-                )
-            return out
+                   "avg": F.col("value").cast("double") / F.col("cnt")}[
+                       node.op]
+            return g.select("source", "bucket_ts", agg.alias("value"))
         if node.label == "grp":
             if mapping is None:
                 raise ValueError("promql: sum by (grp) needs mapping=")
@@ -391,6 +381,12 @@ def query_range(
         q, sel = args
         if not isinstance(q, float) or not (0 <= q <= 1):
             raise ValueError("promql: quantile_over_time needs 0 <= q <= 1")
+        if abs(q * 100 - round(q * 100)) > 1e-9:
+            raise ValueError(
+                f"promql: q={q} is not a whole percent — the sketch grid "
+                "serves integer percentiles (p0-p100); q=0.995 would have "
+                "silently become p100"
+            )
         _require_window(sel, step, func)
         if sel.sources is not None:
             raise ValueError(
@@ -412,13 +408,16 @@ def query_range(
         (sel,) = args
         _require_window(sel, step, func)
         from .jobs import absent_from_catalog
+        from .rollup import serving_tier_for_step
 
-        name_step = step
-        out = absent_from_catalog(
-            spark, out_dir, s, e, tier="1h" if step % 3600 == 0 else "1m",
-            step_seconds=name_step, expected=sel.sources, as_of=as_of,
+        # the serving tier's bucket must divide the step — a 30s step
+        # over 60s buckets would mark live feeds absent in every
+        # bucket-less cell (serving_tier_for_step rejects such steps)
+        name, _secs = serving_tier_for_step(step)
+        return absent_from_catalog(
+            spark, out_dir, s, e, tier=name,
+            step_seconds=step, expected=sel.sources, as_of=as_of,
         )
-        return out
 
     if func == "topk":
         k, sel = args
@@ -429,9 +428,11 @@ def query_range(
         if sel.sources is not None:
             raise ValueError("promql: topk matchers are not supported")
         from .jobs import top_from_catalog
+        from .rollup import serving_tier_for_step
 
+        name, _secs = serving_tier_for_step(step)
         return top_from_catalog(
-            spark, out_dir, k=int(k), window_seconds=step,
+            spark, out_dir, tier=name, k=int(k), window_seconds=step,
             start=s, end=e, as_of=as_of,
         )
 

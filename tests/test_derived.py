@@ -230,3 +230,38 @@ def test_alert_rule_requires_params(spark, catalog_dir):
         materialize_derived(
             spark, catalog_dir, "rate_1h", params={"threshold": 1}
         )
+
+
+def test_refresh_noop_after_compaction(spark, catalog_dir, split_corpus):
+    """Compaction commits are content-identical (status='compact'): a
+    refresh that sees only them must no-op, not rebuild."""
+    materialize_derived(spark, catalog_dir, "rate_1h")
+    ingest_append(spark, split_corpus[1], catalog_dir, batch_id="c1")
+    assert refresh_derived(spark, catalog_dir, "rate_1h")["mode"] == "incremental"
+    cat = TierCatalog(catalog_dir)
+    assert cat.compact(spark, "1h") > 0  # folds the append runs
+    r = refresh_derived(spark, catalog_dir, "rate_1h")
+    assert r["mode"] == "noop"
+    h1 = cat.read_tier(spark, "1h")
+    assert _rows(read_derived(spark, catalog_dir, "rate_1h")) == _rows(
+        derived_rows(h1, "rate_1h")
+    )
+
+
+def test_refresh_falls_back_when_delta_runs_vacuumed(
+    spark, catalog_dir, split_corpus
+):
+    """Appends superseded by a compaction (their run dirs vacuumed)
+    BEFORE the refresh ran: the incremental path must not undercount
+    from the surviving dirs — it falls back to the per-partition
+    rebuild and still lands on the exact answer."""
+    materialize_derived(spark, catalog_dir, "rate_1h")
+    ingest_append(spark, split_corpus[1], catalog_dir, batch_id="v1")
+    cat = TierCatalog(catalog_dir)
+    assert cat.compact(spark, "1h") > 0  # supersedes + vacuums the appends
+    r = refresh_derived(spark, catalog_dir, "rate_1h")
+    assert r["mode"] == "rebuild" and not r["conflicted"]
+    h1 = cat.read_tier(spark, "1h")
+    assert _rows(read_derived(spark, catalog_dir, "rate_1h")) == _rows(
+        derived_rows(h1, "rate_1h")
+    )

@@ -198,3 +198,41 @@ def test_query_instant_routes_and_filters(spark, catalog_dir, span):
         query_instant(spark, catalog_dir, "tokens[1h]", at)
     with pytest.raises(ValueError, match="irate/idelta"):
         query_instant(spark, catalog_dir, "rate(tokens[1h])", at)
+
+
+def test_review_guards(spark, catalog_dir, span):
+    """Round-5 review regressions: fractional durations, sub-percent
+    quantiles, and unservable absent/topk steps are rejected loudly."""
+    lo, hi = span
+    with pytest.raises(ValueError, match="durations are integers"):
+        query_range(spark, catalog_dir, "sum_over_time(tokens[1.5h])",
+                    lo, hi, 3600)
+    with pytest.raises(ValueError, match="whole percent"):
+        query_range(spark, catalog_dir,
+                    "quantile_over_time(0.995, tokens[1h])", lo, hi, 3600)
+    with pytest.raises(ValueError, match="no tier divides"):
+        query_range(spark, catalog_dir, "absent_over_time(tokens[30s])",
+                    lo, lo + 60, 30)
+
+
+def test_avg_by_source_is_sum_over_cnt(spark, catalog_dir, span):
+    lo, hi = span
+    got = query_range(spark, catalog_dir, "avg by (source) (tokens)",
+                      lo, hi, 3600)
+    h1 = TierCatalog(catalog_dir).read_tier(spark, "1h").where(
+        (F.col("bucket_ts") >= lo) & (F.col("bucket_ts") < hi)
+    )
+    want = h1.groupBy("source", "bucket_ts").agg(
+        (F.sum("sum").cast("double") / F.sum("cnt")).alias("value")
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_topk_routes_to_step_serving_tier(spark, catalog_dir, span):
+    # a 60s-step topk must serve hour-spaced windows from the 1m tier,
+    # not silently re-label 1h buckets as minute windows
+    lo, hi = span
+    got = query_range(spark, catalog_dir, "topk(2, tokens)", lo, hi, 60)
+    want = top_from_catalog(spark, catalog_dir, tier="1m", k=2,
+                            window_seconds=60, start=lo, end=hi)
+    assert _rows(got) == _rows(want) and got.count() > 0
