@@ -2771,6 +2771,28 @@ def _q_top_movers_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDF_SPLITS = [100, 1_000, 5_000, 20_000, 50_256]
 
 
+def _cdf_multi_panels_sql() -> str:
+    """UNION ALL of one bucket-arithmetic CDF replay per _SKETCH_MULTI
+    panel (each references the shared pts/splits CTEs)."""
+    parts = []
+    for i, (s, e) in enumerate(_SKETCH_MULTI):
+        parts.append(
+            "(SELECT CAST(" + str(i) + " AS BIGINT) AS range_id, source, "
+            "CAST(split AS BIGINT) AS split, "
+            "CAST(SUM(CASE WHEN bucket_id <= thr THEN cnt ELSE 0 END) "
+            "AS BIGINT) AS n_le, "
+            "CAST(SUM(cnt) AS BIGINT) AS total, "
+            "CAST(SUM(CASE WHEN bucket_id <= thr THEN cnt ELSE 0 END) "
+            "AS DOUBLE) / SUM(cnt) AS cdf "
+            "FROM (SELECT source, CAST(length(bin(v)) * 32 "
+            "+ (v >> greatest(length(bin(v)) - 5, 0)) AS BIGINT) AS bucket_id, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM pts "
+            "WHERE ts >= " + str(s) + " AND ts < " + str(e) + " "
+            "GROUP BY 1, 2) sk CROSS JOIN splits GROUP BY 2, 3)"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _cdf_splits_values() -> str:
     """(split, threshold-bucket-id) VALUES rows for the CDF oracle —
     thresholds from the same Python bucket_id twin the Spark read embeds
@@ -2805,6 +2827,23 @@ def _q_sketch_histogram_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, e = _SKETCH_MULTI[0]
     rows = stitched_rows(_psk_tiers_mem(spark, sf_dir), s, e)
     return histogram(merge_sketch(rows, ["source"]), ["source"])
+
+
+def _q_sketch_cdf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH CDF panels (jobs.cdf_in_range_many's core): N ranges share
+    ONE scan per psk level via range_id tagging; each panel's P(v <=
+    split) is bitwise the single-range read. Oracle replays each panel
+    one-shot from raw points with the same bucket arithmetic."""
+    from tersets_spark.rollup import stitched_rows_many
+    from tersets_spark.sketch import cdf, merge_sketch
+
+    rows = stitched_rows_many(_psk_tiers_mem(spark, sf_dir), _SKETCH_MULTI)
+    out = cdf(merge_sketch(rows, ["range_id", "source"]),
+              ["range_id", "source"], _CDF_SPLITS)
+    return out.select(
+        F.col("range_id").cast("long").alias("range_id"), "source",
+        "split", "n_le", "total", "cdf",
+    )
 
 
 def _q_group_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3067,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_daily": _q_top_docs_daily,
         "sketch_grid_multi": _q_sketch_grid_multi,
         "sketch_histogram_range": _q_sketch_histogram_range,
+        "sketch_cdf_multi": _q_sketch_cdf_multi,
         "gapfill_multi": _q_gapfill_multi,
         "overview_m4": _q_overview_m4,
         "sketch_multi_percentiles": _q_sketch_multi_percentiles,
@@ -5363,6 +5403,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(vmax) AS BIGINT) AS vmax,
                    CAST(SUM(vsum) AS DOUBLE) / SUM(cnt) AS mean
             FROM tier GROUP BY 1, 2
+        """,
+        # batch CDF panels: per-panel one-shot bucket-arithmetic replay
+        "sketch_cdf_multi": f"""
+            WITH pts AS ({pts}),
+            splits(split, thr) AS (VALUES {_cdf_splits_values()})
+            {_cdf_multi_panels_sql()}
         """,
         # sketch CDF: same bucket arithmetic one-shot from raw points,
         # split thresholds precomputed with the Python bucket_id twin

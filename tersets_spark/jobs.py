@@ -1943,6 +1943,40 @@ def percentiles_in_range_many(
     )
 
 
+def cdf_in_range_many(
+    spark: SparkSession,
+    out_dir: str,
+    ranges: list[tuple[int, int]],
+    splits: list[int],
+    keys: tuple[str, ...] = ("source",),
+    as_of: int | None = None,
+) -> DataFrame:
+    """BATCH range-scoped CDF serving: one P(v <= split) set per
+    (range, keys) for MANY minute-aligned ranges, ONE pinned scan per
+    committed ``psk_*`` level (rollup.stitched_rows_many's range_id
+    tagging). Per range bitwise :func:`cdf_in_range` — the segment
+    partition makes the sum-merge exact, so batching changes nothing.
+    Output: (range_id, keys..., split, n_le, total, cdf)."""
+    from .rollup import stitched_rows_many
+    from .sketch import cdf, merge_sketch
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    catalog = TierCatalog(out_dir)
+    snap = catalog.snapshot() if as_of is None else as_of
+    tier_dfs = {
+        name: catalog.read_tier(spark, f"psk_{name}", as_of=snap)
+        for name in ("1m", "1h", "1d")
+    }
+    rows = stitched_rows_many(tier_dfs, ranges)
+    ks = ["range_id", *keys]
+    out = cdf(merge_sketch(rows, ks), ks, list(splits))
+    return out.select(
+        F.col("range_id").cast("long").alias("range_id"), *keys,
+        "split", "n_le", "total", "cdf",
+    )
+
+
 def percentile_grid_rows(
     tier_dfs: dict[str, DataFrame],
     start: int,

@@ -157,3 +157,25 @@ def test_histogram_twin_matches_oneshot_sketch(spark, seq_path, catalog_dir):
     served = histogram_in_range(spark, catalog_dir, s, e)
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(served) == key(direct) and served.count() > 0
+
+
+def test_cdf_many_matches_single_per_range(spark, seq_path, catalog_dir):
+    """Batch CDF panels == per-range single reads, including an
+    overlapping pair (shared sketch rows re-merge per range_id)."""
+    from tersets_spark.jobs import cdf_in_range_many
+
+    pts = _sketch_points(spark.read.parquet(seq_path))
+    lo = int(pts.agg(F.min("bucket_ts")).head()[0])
+    ranges = [
+        (lo, lo + 6 * 3600),
+        (lo + 3 * 3600, lo + 9 * 3600),   # overlaps the first
+        (lo + 60, lo + 120),              # sub-hour edge
+    ]
+    splits = [100, 5000, 50256]
+    got = cdf_in_range_many(spark, catalog_dir, ranges, splits)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    for i, (s, e) in enumerate(ranges):
+        single = cdf_in_range(spark, catalog_dir, s, e, splits)
+        batch_i = got.where(F.col("range_id") == i).drop("range_id")
+        assert key(batch_i) == key(single)
+    assert got.count() > 0
